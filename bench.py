@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Headline benchmark: Cond_SRVAE training throughput, 64px patches/sec/chip.
+
+Grid-mode flagship config (BASELINE.json metric): one jitted, donated train
+step of the canonical Cond_SRVAE (cr=1.2, ps=64, 48.9M params) over
+grid-patchified synthetic tiles. Prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "patches/sec/chip", "vs_baseline": R}
+
+``vs_baseline`` divides by the measured PyTorch-reference CPU throughput
+(``BASELINE_MEASURED.json``, produced by
+``scripts/measure_reference_baseline.py``; reference publishes no numbers —
+SURVEY §6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(
+    tiles_per_batch: int = 8,
+    patch_size: int = 64,
+    cr: float = 1.2,
+    warmup: int = 3,
+    steps: int = 20,
+    bf16: bool = True,
+) -> None:
+    from simple_vae_rs_tpu.config import CondSRVAEConfig, MeshConfig, TrainConfig
+    from simple_vae_rs_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    from simple_vae_rs_tpu.models import CondSRVAE
+    from simple_vae_rs_tpu.ops.patchify import grid_sr_batch
+    from simple_vae_rs_tpu.parallel.mesh import make_mesh
+    from simple_vae_rs_tpu.train.engine import Trainer
+
+    n_chips = len(jax.devices())
+    mesh = make_mesh(MeshConfig(data=n_chips, model=1))
+
+    cfg = CondSRVAEConfig(cr=cr, patch_size=patch_size)
+    dtype = jnp.bfloat16 if bf16 else None
+    model = CondSRVAE(cfg, dtype=dtype)
+    trainer = Trainer(model, TrainConfig(use_bfloat16=bf16), mesh=mesh)
+
+    # synthetic 256px tile batch -> on-device grid patchify (the real data
+    # path: 1 tile -> 16 patches, crop+normalize inside jit)
+    rng = np.random.default_rng(0)
+    lr_tiles = rng.random((tiles_per_batch, 128, 128, 4), dtype=np.float32) * 1000
+    hr_tiles = rng.random((tiles_per_batch, 256, 256, 4), dtype=np.float32) * 1000
+
+    patch_fn = jax.jit(lambda lr, hr: grid_sr_batch(lr, hr, patch_size))
+    batch = patch_fn(jnp.asarray(lr_tiles), jnp.asarray(hr_tiles))
+    batch = jax.block_until_ready(trainer._device_batch(batch))
+    patches = batch[1].shape[0]
+
+    state = trainer.init_state(batch)
+    lr = jnp.float32(1e-4)
+
+    for _ in range(warmup):
+        state, terms = trainer._train_step(state, batch, lr)
+    # fetch a value, not just block_until_ready: the final loss depends on
+    # every previous step's optimizer update, and a host read cannot
+    # complete before the device work (block_until_ready proved unreliable
+    # on the experimental tunneled backend).
+    float(jax.device_get(terms["loss"]))
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, terms = trainer._train_step(state, batch, lr)
+    float(jax.device_get(terms["loss"]))
+    dt = time.perf_counter() - t0
+
+    patches_per_sec_per_chip = patches * steps / dt / n_chips
+
+    baseline = None
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
+    if os.path.exists(path):
+        with open(path) as fh:
+            baseline = json.load(fh).get("patches_per_sec")
+    vs_baseline = (
+        patches_per_sec_per_chip / baseline if baseline else None
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "cond_srvae_train_64px_patches_per_sec_per_chip",
+                "value": round(patches_per_sec_per_chip, 2),
+                "unit": "patches/sec/chip",
+                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,227 @@
+"""CLI: the reference's flag surface over the TPU engine.
+
+Flag parity with reference ``train.py:83-148`` (``--pre_epochs --epochs
+--dataset --batch_size --patch_size --test --model_ckpt
+--val_metrics_every -cr/--compression_ratio --model_type``), plus
+TPU-native additions: ``--crop`` (grid mode, first-class per BASELINE.json),
+``--data_root``, ``--mesh_data/--mesh_model``, ``--bf16``, ``--seed``.
+
+Semantics fixed vs the reference (documented divergences):
+
+- ``--model_ckpt`` without ``--test`` resumes training *correctly*
+  (optimizer state + epoch restored; reference crashes — SURVEY §2.2-2).
+- device selection is mesh construction instead of a cuda/cpu pick
+  (reference ``train.py:51``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Optional, Sequence
+
+import jax
+
+
+def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(description="Train a VAE model.")
+    parser.add_argument(
+        "--pre_epochs",
+        type=int,
+        default=20,
+        help="Number of epochs to pre-train the low resolution model.",
+    )
+    parser.add_argument(
+        "--epochs", type=int, default=200, help="Number of epochs to train the model."
+    )
+    parser.add_argument("--dataset", type=str, default="s2v", help="Type of the dataset")
+    parser.add_argument(
+        "--batch_size", type=int, default=16,
+        help="Batch size for training and validation.",
+    )
+    parser.add_argument(
+        "--patch_size", type=int, default=64, help="Patch size of the High-Res Images."
+    )
+    parser.add_argument(
+        "--test", action="store_true",
+        help="If set, the model will be tested instead of trained.",
+    )
+    parser.add_argument(
+        "--model_ckpt", type=str,
+        help="Path to the model checkpoint to resume training.",
+    )
+    parser.add_argument(
+        "--val_metrics_every", type=int, default=5,
+        help="Number of epochs between validation metrics computation.",
+    )
+    parser.add_argument(
+        "-cr", "--compression_ratio", type=float, default=1.5,
+        help="Compression of the ratio.",
+    )
+    parser.add_argument(
+        "--model_type", type=str, default="Cond_SRVAE",
+        choices=["Cond_SRVAE", "VAE"],
+        help="Model to use : 'Cond_SRVAE' ou 'VAE'",
+    )
+    # --- TPU-native additions -------------------------------------------
+    parser.add_argument(
+        "--crop", type=str, default="random", choices=["random", "grid"],
+        help="Patchification mode; grid yields patches_per_tile x batch_size.",
+    )
+    parser.add_argument("--data_root", type=str, default=None, help="Dataset root dir.")
+    parser.add_argument(
+        "--mesh_data", type=int, default=-1, help="Mesh data-axis size (-1 = all)."
+    )
+    parser.add_argument(
+        "--mesh_model", type=int, default=1, help="Mesh model-axis size."
+    )
+    parser.add_argument("--seed", type=int, default=0, help="Global RNG seed.")
+    parser.add_argument(
+        "--bf16", action="store_true", help="Compute convs in bfloat16 (MXU-native)."
+    )
+    parser.add_argument(
+        "--samples", type=int, default=1000,
+        help="Posterior draws for the uncertainty task.",
+    )
+    return parser.parse_args(argv)
+
+
+def main(args: argparse.Namespace) -> None:
+    import jax.numpy as jnp
+    from simple_vae_rs_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from simple_vae_rs_tpu.config import (
+        CondSRVAEConfig,
+        MeshConfig,
+        TrainConfig,
+        VAEConfig,
+    )
+    from simple_vae_rs_tpu.data.loader import init_dataloader
+    from simple_vae_rs_tpu.models import VAE, CondSRVAE
+    from simple_vae_rs_tpu.parallel.mesh import make_mesh
+    from simple_vae_rs_tpu.tasks import run_task
+    from simple_vae_rs_tpu.train.callbacks import EarlyStopping, ModelCheckpoint
+    from simple_vae_rs_tpu.train.checkpoint import checkpoint_exists, load_checkpoint
+    from simple_vae_rs_tpu.train.engine import Trainer
+    from simple_vae_rs_tpu.utils.logging import make_logger
+
+    cr = args.compression_ratio
+    if cr <= 0:
+        raise ValueError("Compression ratio must be a positive integer.")
+
+    job_id = os.environ.get(
+        "SLURM_JOB_ID", f"local_{time.strftime('%Y%m%d-%H%M%S')}"
+    )
+    mesh = make_mesh(MeshConfig(data=args.mesh_data, model=args.mesh_model))
+    print(f"Mesh: {dict(mesh.shape)} over {len(mesh.devices.flat)} device(s)")
+
+    train_loader, val_loader = init_dataloader(
+        args.dataset,
+        args.batch_size,
+        args.patch_size,
+        crop=args.crop,
+        data_root=args.data_root,
+        mesh=mesh,
+        seed=args.seed,
+    )
+
+    dtype = jnp.bfloat16 if args.bf16 else None
+    if args.model_type == "VAE":
+        # reference trains the plain VAE on the LR stream at ps/2
+        # (train.py:35-40 passes patch_size // 2)
+        cfg = VAEConfig(cr=cr, patch_size=args.patch_size // 2)
+        model = VAE(cfg, dtype=dtype)
+        project = "VAE"
+    elif args.model_type == "Cond_SRVAE":
+        cfg = CondSRVAEConfig(cr=cr, patch_size=args.patch_size)
+        model = CondSRVAE(cfg, dtype=dtype)
+        project = "Cond_SRVAE"
+    else:
+        raise ValueError(
+            f"Unknown model type: {args.model_type}. Choose 'Cond_SRVAE' or 'VAE'."
+        )
+
+    callbacks = [
+        ModelCheckpoint(job_id, "ckpt", monitor="Loss/val_loss", mode="min"),
+        EarlyStopping(patience=25, delta=0.01),
+    ]
+    logger = make_logger(
+        project,
+        f"Latent-{cfg.latent_size}-Patch-{cfg.patch_size}-SLURM-{job_id}",
+        config={
+            "latent_size": cfg.latent_size,
+            "patch_size": cfg.patch_size,
+            "epochs": args.epochs,
+            "batch_size": args.batch_size,
+            "val_metrics_every": args.val_metrics_every,
+            "slurm_job_id": job_id,
+            "cr": cr,
+        },
+    )
+    train_cfg = TrainConfig(
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        val_metrics_every=args.val_metrics_every,
+        seed=args.seed,
+        use_bfloat16=args.bf16,
+    )
+    trainer = Trainer(
+        model, train_cfg, callbacks=callbacks, logger=logger, mesh=mesh, job_id=job_id
+    )
+    state = trainer.init_state(next(iter(train_loader)), seed=args.seed)
+
+    start_epoch = 1
+    if args.model_ckpt:
+        print("Loading model from checkpoint...")
+        if not checkpoint_exists(args.model_ckpt):
+            raise FileNotFoundError(f"Model checkpoint {args.model_ckpt} not found.")
+        state, meta = load_checkpoint(args.model_ckpt, state)
+        trainer.state = state
+        start_epoch = int(meta.get("epoch", 0)) + 1
+        if "scheduler" in meta:
+            trainer.scheduler.load_state_dict(meta["scheduler"])
+        print("Model loaded successfully.")
+
+    if not (args.test and args.model_ckpt):
+        trainer.fit(
+            train_loader,
+            val_loader,
+            epochs=args.epochs,
+            start_epoch=start_epoch,
+            val_metrics_every=args.val_metrics_every,
+        )
+
+    variables = {"params": trainer.state.params}
+    if trainer.state.batch_stats:
+        variables["batch_stats"] = trainer.state.batch_stats
+    run_task(
+        model,
+        variables,
+        val_loader,
+        job_id,
+        cr,
+        rng=jax.random.PRNGKey(args.seed),
+        samples=args.samples,
+    )
+
+
+def entrypoint() -> None:
+    arguments = parse_args()
+    print("==========================")
+    print("Initializing training with the following arguments:")
+    print(arguments)
+    print("--------------------------")
+    print(
+        f"Model checkpoint: {'not' if arguments.model_ckpt is None else arguments.model_ckpt} provided"
+    )
+    print("--------------------------")
+    print("Devices:", jax.devices())
+    print("==========================")
+    main(arguments)
+
+
+if __name__ == "__main__":
+    entrypoint()

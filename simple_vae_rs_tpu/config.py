@@ -1,0 +1,146 @@
+"""Typed configuration for models, training and the device mesh.
+
+The reference drives everything through argparse flags and hard-coded
+hyper-parameters (reference ``train.py:83-148``, ``train.py:65`` Adam lr=1e-4,
+``models/base.py:51-53,106`` scheduler/clip, ``train.py:32`` early stopping).
+Here those live in dataclasses; the CLI (``cli.py``) builds them from the same
+flag surface.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+def _vae_latent_size(patch_size: int, cr: float) -> int:
+    """Latent-size formula of the plain VAE (reference ``models/vae.py:29-31``)."""
+    return int((patch_size * patch_size * 4 // cr) // 16) * 16
+
+
+def _cond_latent_size(patch_size: int, cr: float) -> int:
+    """Latent-size formula of Cond_SRVAE (reference ``models/cond_vae.py:21``)."""
+    return int((patch_size * patch_size * 4 / cr) // 256) * 256
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    """Plain Gaussian VAE (reference ``models/vae.py``).
+
+    ``latent_size`` reproduces the reference attribute; the *actual* flattened
+    latent dimension is ``latent_channels * (patch_size // 4) ** 2`` which
+    equals ``latent_size`` only at canonical configs (see SURVEY.md §2.1).
+    This framework always uses the actual dimension, so every config is
+    shape-sound.
+    """
+
+    cr: float = 1.5
+    patch_size: int = 32
+    channels: int = 4
+
+    @property
+    def latent_size(self) -> int:
+        return _vae_latent_size(self.patch_size, self.cr)
+
+    @property
+    def latent_channels(self) -> int:
+        return self.latent_size // 64
+
+    @property
+    def latent_spatial(self) -> int:
+        return self.patch_size // 4
+
+    @property
+    def latent_dim(self) -> int:
+        """True flattened latent dimension implied by the encoder graph."""
+        return self.latent_channels * self.latent_spatial**2
+
+
+@dataclasses.dataclass(frozen=True)
+class CondSRVAEConfig:
+    """Conditional SR-VAE (reference ``models/cond_vae.py:16-235``).
+
+    ``patch_size`` is the high-resolution patch edge; the low-resolution
+    conditioning patch is ``patch_size // 2`` (2x super-resolution).
+    """
+
+    cr: float = 1.2
+    patch_size: int = 64
+    channels: int = 4
+
+    @property
+    def lr_patch_size(self) -> int:
+        return self.patch_size // 2
+
+    @property
+    def latent_size(self) -> int:
+        return _cond_latent_size(self.patch_size, self.cr)
+
+    @property
+    def latent_size_y(self) -> int:
+        return self.latent_size // 4
+
+    # z lives on an (ps/8, ps/8) grid with latent_size//64 channels.
+    @property
+    def z_channels(self) -> int:
+        return self.latent_size // 64
+
+    @property
+    def z_spatial(self) -> int:
+        return self.patch_size // 8
+
+    @property
+    def z_dim(self) -> int:
+        return self.z_channels * self.z_spatial**2
+
+    # u lives on an (ps/8, ps/8) grid of the LR encoder with
+    # latent_size_y//64 channels.
+    @property
+    def u_channels(self) -> int:
+        return self.latent_size_y // 64
+
+    @property
+    def u_spatial(self) -> int:
+        return self.patch_size // 8
+
+    @property
+    def u_dim(self) -> int:
+        return self.u_channels * self.u_spatial**2
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout: ``data`` (batch) x ``model`` (channel) axes.
+
+    The reference is single-device (reference ``train.py:51``); parallelism is
+    new here. Batch shards over ``data`` (ICI ring); the widest conv channel
+    dims may shard over ``model``.
+    """
+
+    data: int = -1  # -1: use all devices on the data axis
+    model: int = 1
+
+    def axis_sizes(self, n_devices: int) -> Tuple[int, int]:
+        model = max(1, self.model)
+        data = self.data if self.data > 0 else n_devices // model
+        return data, model
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training-engine hyper-parameters (reference defaults preserved)."""
+
+    epochs: int = 200
+    batch_size: int = 16
+    learning_rate: float = 1e-4  # reference train.py:65
+    grad_clip_norm: float = 1.0  # reference models/base.py:106
+    # ReduceLROnPlateau (reference models/base.py:51-53)
+    plateau_factor: float = 0.5
+    plateau_patience: int = 500
+    # EarlyStopping (reference train.py:32)
+    early_stop_patience: int = 25
+    early_stop_delta: float = 0.01
+    val_metrics_every: int = 5
+    seed: int = 0
+    # Numerical policy: compute convs in bf16 on TPU, accumulate/loss in f32.
+    use_bfloat16: bool = False

@@ -1,0 +1,179 @@
+"""Host loader feeding device-resident, on-device-patchified batches.
+
+Pipeline per batch: gather raw tiles on host (background prefetch thread)
+-> one host->device transfer (sharded over the mesh ``data`` axis) -> jitted
+crop+normalize (``ops/patchify.py``) -> (lr, hr) patch batch.
+
+Split semantics match the reference ``init_dataloader``
+(``dataset.py:13-47``): sequential 80/20 train/val split, shuffled train
+epochs, deterministic val order. Divergences (documented):
+
+- grid mode is a first-class loader option (the reference never wires it
+  from the CLI — SURVEY §2.2-3); effective batch = patches/tile x
+  batch_size, as the reference README describes.
+- batches have static shapes (`drop_last`) so the train step compiles once;
+  the reference's ragged final batch would trigger a recompile per epoch.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from simple_vae_rs_tpu.ops.patchify import grid_sr_batch, random_sr_crop_batch
+
+
+class DeviceLoader:
+    """Iterable over device-ready (lr, hr) patch batches."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        patch_size: int,
+        crop: str = "random",
+        shuffle: bool = False,
+        seed: int = 0,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        drop_last: bool = True,
+        prefetch: int = 2,
+    ) -> None:
+        if crop not in ("random", "grid"):
+            raise ValueError("Crop must be 'grid' or 'random'")
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.patch_size = patch_size
+        self.crop = crop
+        self.shuffle = shuffle
+        self.seed = seed
+        self.mesh = mesh
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    # ------------------------------------------------------------- iteration
+    def _index_batches(self) -> Sequence[np.ndarray]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+        nb = len(self)
+        return [order[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)]
+
+    def _gather(self, idxs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        lrs, hrs = [], []
+        for i in idxs:
+            lr, hr = self.dataset[int(i)]
+            lrs.append(lr)
+            hrs.append(hr)
+        return np.stack(lrs), np.stack(hrs)
+
+    def _host_batches(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        batches = self._index_batches()
+        if self.prefetch <= 0:
+            for idxs in batches:
+                yield self._gather(idxs)
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def worker():
+            try:
+                for idxs in batches:
+                    q.put(self._gather(idxs))
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+
+    def __iter__(self):
+        self._epoch += 1
+        base_rng = jax.random.PRNGKey(self.seed + 7919 * self._epoch)
+        for step, (lr_tiles, hr_tiles) in enumerate(self._host_batches()):
+            if self.mesh is not None:
+                from simple_vae_rs_tpu.parallel.mesh import shard_batch
+
+                lr_tiles, hr_tiles = shard_batch(self.mesh, (lr_tiles, hr_tiles))
+            if self.crop == "grid":
+                yield grid_sr_batch(lr_tiles, hr_tiles, self.patch_size)
+            else:
+                rng = jax.random.fold_in(base_rng, step)
+                yield random_sr_crop_batch(rng, lr_tiles, hr_tiles, self.patch_size)
+
+
+class _Subset:
+    def __init__(self, dataset, indices: Sequence[int]) -> None:
+        self.dataset = dataset
+        self.indices = list(indices)
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def __getitem__(self, i: int):
+        return self.dataset[self.indices[i]]
+
+
+def init_dataloader(
+    dataset: str,
+    batch_size: int = 16,
+    patch_size: int = 256,
+    crop: str = "random",
+    data_root: Optional[str] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    seed: int = 0,
+) -> Tuple[DeviceLoader, DeviceLoader]:
+    """Build (train_loader, val_loader): reference flag surface + grid mode.
+
+    Dataset names as in reference ``dataset.py:23-29``: Sen2Venus aliases
+    ("Sen2Venus"/"sen2venus"/"s2v"), "Floods"/"floods", plus "synthetic".
+    """
+    from simple_vae_rs_tpu.data.datasets import (
+        FloodDataset,
+        Sen2VenusDataset,
+        SyntheticSRDataset,
+    )
+
+    name = dataset.lower()
+    if name in ("sen2venus", "s2v"):
+        ds = Sen2VenusDataset(root=data_root or "ARM", patch_size=patch_size)
+    elif name == "floods":
+        ds = FloodDataset(root=data_root or "floods", patch_size=256)
+    elif name == "synthetic":
+        ds = SyntheticSRDataset(seed=seed)
+    else:
+        raise ValueError(f"Unknown dataset: {dataset}")
+
+    train_size = int(0.8 * len(ds))
+    train_ds = _Subset(ds, range(train_size))
+    val_ds = _Subset(ds, range(train_size, len(ds)))
+    train_loader = DeviceLoader(
+        train_ds, batch_size, patch_size, crop=crop, shuffle=True, seed=seed, mesh=mesh
+    )
+    val_loader = DeviceLoader(
+        val_ds,
+        batch_size,
+        patch_size,
+        # val uses the deterministic grid so metrics are reproducible
+        crop="grid" if crop == "grid" else "random",
+        shuffle=False,
+        seed=seed + 1,
+        mesh=mesh,
+    )
+    return train_loader, val_loader

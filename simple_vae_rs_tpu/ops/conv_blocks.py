@@ -1,0 +1,207 @@
+"""NHWC conv building blocks for the VAE encoder/decoder stacks.
+
+Functional parity targets (reference ``models/layers.py:217-297``):
+
+- ``DownBlock``: conv3x3(s1, C->C) -> conv4x4(s2, p1, C->C') -> BN -> ReLU
+- ``UpBlock``:   conv3x3(s1, C->C) -> convT4x4(s2, p1, C->C') -> BN -> ReLU
+
+TPU-first design notes:
+
+- NHWC layout throughout (the layout XLA:TPU prefers for convolutions; the
+  reference is NCHW torch). Conversion only happens at user-facing image IO.
+- Weight/bias initialization matches torch's ``kaiming_uniform_(a=sqrt(5))``
+  + uniform-bias scheme so learning dynamics are comparable:
+  ``U(-1/sqrt(fan), 1/sqrt(fan))`` with fan = in*k*k for Conv and
+  fan = out*k*k for ConvTranspose (torch's fan convention for transposed
+  weight layout ``(in, out, kh, kw)``).
+- ``dtype`` selects the activation/compute dtype (bf16 on TPU feeds the MXU
+  at full rate); parameters always live in f32.
+- XLA fuses conv + bias + BN-scale/shift + ReLU into one kernel at HLO
+  level; the Pallas path in ``ops/pallas_elbo.py`` covers the loss-side
+  fusion the compiler cannot do in one pass.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jnp.ndarray
+Dtype = Any
+
+
+def calculate_padding(
+    in_size: int, out_size: int, kernel_size: int, stride: int = 1, dilation: int = 1
+) -> int:
+    """Padding needed for a conv layer (reference ``models/layers.py:7-13``)."""
+    effective_kernel_size = (kernel_size - 1) * dilation + 1
+    return max(0, (in_size - out_size * stride + effective_kernel_size - 1) // 2)
+
+
+def calculate_output_size(
+    in_size: int, kernel_size: int, stride: int = 1, padding: int = 0, dilation: int = 1
+) -> int:
+    """Conv output size (reference ``models/layers.py:16-22``)."""
+    effective_kernel_size = (kernel_size - 1) * dilation + 1
+    return (in_size + 2 * padding - effective_kernel_size) // stride + 1
+
+
+def _uniform_init(bound: float) -> Callable:
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+# torch kaiming_uniform_(a=sqrt(5)) == U(-1/sqrt(fan_in), 1/sqrt(fan_in)),
+# i.e. variance_scaling(scale=1/3, fan_in, uniform).
+_torch_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_conv(
+    features: int,
+    in_features: int,
+    kernel_size: int = 3,
+    stride: int = 1,
+    padding: int = 1,
+    dtype: Optional[Dtype] = None,
+    name: Optional[str] = None,
+) -> nn.Conv:
+    """``nn.Conv`` with torch-default initialization (NHWC)."""
+    fan_in = in_features * kernel_size * kernel_size
+    return nn.Conv(
+        features,
+        (kernel_size, kernel_size),
+        strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        kernel_init=_torch_kernel_init,
+        bias_init=_uniform_init(1.0 / math.sqrt(fan_in)),
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+def torch_conv_transpose(
+    features: int,
+    in_features: int,
+    kernel_size: int = 4,
+    stride: int = 2,
+    padding: int = 1,
+    dtype: Optional[Dtype] = None,
+    name: Optional[str] = None,
+) -> nn.Conv:
+    """Transposed conv matching torch ConvT(k, s, p) geometry exactly.
+
+    Implemented as a fractionally-strided regular conv — input dilation
+    ``s`` with padding ``k-1-p`` — which is precisely how XLA lowers
+    ``conv_transpose`` onto the MXU; the learned kernel is a spatially
+    flipped reparametrization of torch's, with identical expressiveness.
+    Output spatial = ``s*(i-1) + k - 2p`` (= ``s*i`` for k=4, s=2, p=1).
+
+    Torch's init fan for the transposed weight ``(in, out, kh, kw)`` is
+    ``out * kh * kw`` — reproduced here for matched learning dynamics.
+    """
+    del in_features  # torch fan for ConvT depends on out channels only
+    fan = features * kernel_size * kernel_size
+    bound = 1.0 / math.sqrt(fan)
+    pad_t = kernel_size - 1 - padding
+    return nn.Conv(
+        features,
+        (kernel_size, kernel_size),
+        strides=(1, 1),
+        input_dilation=(stride, stride),
+        padding=[(pad_t, pad_t), (pad_t, pad_t)],
+        kernel_init=_uniform_init(bound),
+        bias_init=_uniform_init(bound),
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+def batch_norm(
+    use_running_average: bool, dtype: Optional[Dtype] = None, name: Optional[str] = None
+) -> nn.BatchNorm:
+    """BatchNorm with torch semantics: eps=1e-5, running-stat momentum 0.1.
+
+    Under ``jit`` with a batch-sharded global array, XLA computes the batch
+    statistics over the *global* batch (cross-replica sync for free) — the
+    TPU-native answer to "sync-BN" (SURVEY.md §7 hard part a).
+    """
+    return nn.BatchNorm(
+        use_running_average=use_running_average,
+        momentum=0.9,  # new_running = 0.9*running + 0.1*batch, as in torch
+        epsilon=1e-5,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+class DownBlock(nn.Module):
+    """conv3x3 -> strided conv4x4 (spatial /2) -> BN -> ReLU.
+
+    Parity: reference ``models/layers.py:217-256`` (``down_block``).
+    """
+
+    in_features: int
+    features: int
+    with_relu: bool = True
+    with_bn: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = True) -> Array:
+        x = torch_conv(
+            self.in_features, self.in_features, 3, 1, 1, dtype=self.dtype, name="conv"
+        )(x)
+        x = torch_conv(
+            self.features, self.in_features, 4, 2, 1, dtype=self.dtype, name="downsample"
+        )(x)
+        if self.with_bn:
+            x = batch_norm(not train, dtype=self.dtype, name="bn")(x)
+        if self.with_relu:
+            x = nn.relu(x)
+        return x
+
+
+class UpBlock(nn.Module):
+    """conv3x3 -> convT4x4 (spatial *2) -> BN -> ReLU.
+
+    Parity: reference ``models/layers.py:259-297`` (``up_block``).
+    """
+
+    in_features: int
+    features: int
+    with_relu: bool = True
+    with_bn: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = True) -> Array:
+        x = torch_conv(
+            self.in_features, self.in_features, 3, 1, 1, dtype=self.dtype, name="conv"
+        )(x)
+        x = torch_conv_transpose(
+            self.features, self.in_features, 4, 2, 1, dtype=self.dtype, name="upsample"
+        )(x)
+        if self.with_bn:
+            x = batch_norm(not train, dtype=self.dtype, name="bn")(x)
+        if self.with_relu:
+            x = nn.relu(x)
+        return x
+
+
+class Residual(nn.Module):
+    """Residual wrapper (reference ``models/layers.py:357-369``)."""
+
+    module: nn.Module
+
+    @nn.compact
+    def __call__(self, x: Array, *args, **kwargs) -> Array:
+        return x + self.module(x, *args, **kwargs)

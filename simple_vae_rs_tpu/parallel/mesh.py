@@ -1,0 +1,115 @@
+"""Device mesh and sharding layout.
+
+The reference has no distributed story at all (single device, SURVEY §2
+rows 14-15). This module is the TPU-native replacement: a
+``jax.sharding.Mesh`` with
+
+- ``data`` axis — batch/patch sharding over the ICI ring. The grid-mode
+  16x-patch axis folds into the batch, so one 256px tile's patches spread
+  across chips.
+- ``model`` axis — optional tensor sharding of the widest conv channel
+  dims (the flatten-side heads at cr=1.2 reach 848 channels), for configs
+  whose activations outgrow one chip's HBM. Size 1 by default: at ~49M
+  params DP is the right parallelism, but every entry point keeps the axis
+  open (BASELINE.json multispectral config).
+
+Everything below runs under plain ``jit``: arrays carry
+``NamedSharding``s, XLA's SPMD partitioner inserts the collectives
+(gradient ``psum`` over ``data``, channel all-gathers over ``model``) —
+exactly the scaling-book recipe: pick a mesh, annotate shardings, let XLA
+insert collectives.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from simple_vae_rs_tpu.config import MeshConfig
+
+
+def make_mesh(
+    cfg: Optional[MeshConfig] = None, devices: Optional[Sequence[jax.Device]] = None
+) -> Mesh:
+    """Build a ``(data, model)`` mesh over the available devices."""
+    cfg = cfg or MeshConfig()
+    devices = list(devices if devices is not None else jax.devices())
+    data, model = cfg.axis_sizes(len(devices))
+    if data * model > len(devices):
+        raise ValueError(
+            f"mesh {data}x{model} needs {data * model} devices, have {len(devices)}"
+        )
+    dev_array = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+def shard_batch(mesh: Mesh, batch: Tuple[Any, ...]) -> Tuple[Any, ...]:
+    """Shard each (B, H, W, C) array's batch dim over the ``data`` axis."""
+    out = []
+    for arr in batch:
+        spec = P("data", *([None] * (arr.ndim - 1)))
+        out.append(jax.device_put(arr, NamedSharding(mesh, spec)))
+    return tuple(out)
+
+
+# Conv kernels whose output-channel dim shards over the `model` axis when
+# it has size > 1: the wide prior/conditioning heads (latent//16 channels).
+_MODEL_SHARDED = re.compile(
+    r"(yz_conv2|uz_conv2|pz_mu_conv\d|pz_lv_conv\d|ex_head|ey_head|enc_head)"
+)
+
+
+def _spec_for(path: str, leaf) -> P:
+    if leaf.ndim == 4 and _MODEL_SHARDED.search(path):
+        return P(None, None, None, "model")  # (kh, kw, in, out)
+    if leaf.ndim == 1 and _MODEL_SHARDED.search(path):
+        return P("model")  # bias
+    return P()  # replicated
+
+
+def param_shardings(mesh: Mesh, params: Any) -> Any:
+    """NamedSharding tree for the params: replicated, except wide heads
+    channel-sharded over ``model`` (no-op when the axis has size 1)."""
+    if mesh.shape.get("model", 1) == 1:
+        return jax.tree.map(lambda _: NamedSharding(mesh, P()), params)
+
+    def to_sharding(path, leaf):
+        name = jax.tree_util.keystr(path)
+        return NamedSharding(mesh, _spec_for(name, leaf))
+
+    return jax.tree_util.tree_map_with_path(to_sharding, params)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    """Place a pytree fully replicated over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_state(mesh: Mesh, state: Any) -> Any:
+    """Place a TrainState: params and Adam moments per ``param_shardings``
+    (the moment trees repeat the param names, so the same channel rules
+    apply), everything else replicated."""
+
+    def put(path, leaf):
+        name = jax.tree_util.keystr(path)
+        if mesh.shape.get("model", 1) > 1 and hasattr(leaf, "ndim"):
+            spec = _spec_for(name, leaf)
+        else:
+            spec = P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    params = jax.tree_util.tree_map_with_path(put, state.params)
+    opt_state = jax.tree_util.tree_map_with_path(put, state.opt_state)
+    rest = replicate(mesh, (state.batch_stats, state.rng, state.step))
+    return state.replace(
+        params=params,
+        opt_state=opt_state,
+        batch_stats=rest[0],
+        rng=rest[1],
+        step=rest[2],
+    )

@@ -1,0 +1,246 @@
+"""Evaluation tasks: posterior-sampled uncertainty maps, MMSE, generation.
+
+Unifies the reference's two duplicated report paths (``models/base.py:293-348``
+``BaseVAE.task`` and the never-invoked ``task.py:10-81`` ``sr_task`` —
+SURVEY §2.2-8) into one module producing both artifacts:
+
+- ``results/{job}_CRx{cr}/error_mean_std_maps.png`` — input/sample/GT/mean
+  panel + MAE/MSE/STD/mean-bias maps over N posterior draws (default 1000,
+  reference ``base.py:306``), plus the printed MMSE;
+- ``results/{job}_CRx{cr}/generated_image.png`` — unconditional generation
+  panel (reference ``task.py:71-81``), device-agnostic (the reference
+  hardcodes "cuda" — SURVEY §2.2-5).
+
+The N-draw decode is the UQ north-star path: prior parameters are computed
+once, then draws are decoded in fixed-size chunks under one compiled
+function — HBM-safe at N=1000 x 64px and fast at N=32 per tile for variance
+maps (BASELINE.json config 5).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simple_vae_rs_tpu.models.cond_vae import CondSRVAE
+from simple_vae_rs_tpu.models.vae import VAE
+
+Array = jnp.ndarray
+
+
+# --------------------------------------------------------------- sampling
+def sample_chunked(
+    model,
+    variables,
+    y: Array,
+    rng: jax.Array,
+    samples: int = 1000,
+    chunk: int = 100,
+) -> Array:
+    """N posterior draws decoded in fixed-size chunks.
+
+    The conditioning pass (encoder_y / y_to_z / prior heads) runs once; only
+    the decoder runs per chunk. Matches reference semantics (one ``u`` draw
+    shared by all samples — ``cond_vae.py:299-318``).
+    """
+    chunk = min(chunk, samples)
+    n_chunks = -(-samples // chunk)
+
+    if isinstance(model, CondSRVAE):
+
+        def cond_prep(m, y, r):
+            from simple_vae_rs_tpu.models.vae import reparameterize
+
+            mu_u, logvar_u = m.encode_y(y, train=False)
+            u = reparameterize(r, mu_u, logvar_u)
+            y_feat = m.y_embedding(y, train=False)
+            mu_p, lv_p = m.z_cond(y_feat, u, train=False)
+            return mu_p, lv_p, y_feat
+
+        rng_u, rng_z = jax.random.split(rng)
+        mu_p, lv_p, y_feat = jax.jit(
+            lambda v, y, r: model.apply(v, y, r, method=cond_prep)
+        )(variables, y, rng_u)
+        std = jnp.exp(0.5 * lv_p)
+
+        @jax.jit
+        def decode_chunk(v, r):
+            eps = jax.random.normal(r, (chunk,) + mu_p.shape[1:], jnp.float32)
+            z = mu_p + eps * std
+            yf = jnp.broadcast_to(y_feat, (chunk,) + y_feat.shape[1:])
+            return model.apply(
+                v, z, yf, train=False, method=CondSRVAE.decode_x_from_features
+            )
+
+        outs = [
+            decode_chunk(variables, jax.random.fold_in(rng_z, i))
+            for i in range(n_chunks)
+        ]
+    else:
+        mu, logvar = jax.jit(
+            lambda v, y: model.apply(v, y, train=False, method=VAE.encode)
+        )(variables, y)
+        std = jnp.exp(0.5 * logvar)
+
+        @jax.jit
+        def decode_chunk(v, r):
+            eps = jax.random.normal(r, (chunk, mu.shape[-1]), jnp.float32)
+            z = mu + eps * std
+            return model.apply(v, z, train=False, method=VAE.decode)
+
+        outs = [
+            decode_chunk(variables, jax.random.fold_in(rng, i))
+            for i in range(n_chunks)
+        ]
+    return jnp.concatenate(outs, axis=0)[:samples]
+
+
+@partial(jax.jit, static_argnames=())
+def error_statistics(samples: Array, target: Array) -> Dict[str, Array]:
+    """Per-pixel statistics over the sample axis, all on device.
+
+    Matches reference ``base.py:309-344``: mean/std of samples, MAE/MSE of
+    (samples - target) reduced over (sample, channel), mean-bias map, MMSE.
+    """
+    samples = samples.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    diff = samples - target
+    return {
+        "mean": jnp.mean(samples, axis=0),  # (H, W, C)
+        "std": jnp.mean(jnp.std(samples, axis=0), axis=-1),  # (H, W)
+        "mae": jnp.mean(jnp.abs(diff), axis=(0, 3)),  # (H, W)
+        "mse": jnp.mean(diff**2, axis=(0, 3)),  # (H, W)
+        "mean_bias": jnp.mean(target[0] - jnp.mean(samples, axis=0), axis=-1),
+        "mmse": jnp.mean(diff**2),
+    }
+
+
+def uncertainty_maps(
+    model, variables, y: Array, rng: jax.Array, samples: int = 32, chunk: int = 32
+) -> Dict[str, Array]:
+    """Per-pixel SR variance maps from N posterior draws (BASELINE config 5)."""
+    draws = sample_chunked(model, variables, y, rng, samples=samples, chunk=chunk)
+    return {
+        "mean": jnp.mean(draws, axis=0),
+        "variance": jnp.var(draws, axis=0),
+        "std": jnp.std(draws, axis=0),
+    }
+
+
+# ----------------------------------------------------------------- reports
+def _rgb(img: np.ndarray) -> np.ndarray:
+    """4-band NHW C -> displayable RGB using bands [2,1,0] (reference
+    ``base.py:317``)."""
+    img = np.asarray(img)
+    if img.shape[-1] >= 3:
+        img = img[..., [2, 1, 0]]
+    else:
+        img = np.repeat(img[..., :1], 3, axis=-1)
+    return np.clip(img, 0.0, 1.0)
+
+
+def run_task(
+    model,
+    variables,
+    val_loader,
+    job_id: str,
+    cr: float,
+    rng: Optional[jax.Array] = None,
+    samples: int = 1000,
+    chunk: int = 100,
+    results_root: str = "results",
+) -> Dict[str, float]:
+    """Full reference task: error/uncertainty report + generation panel."""
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    results_dir = os.path.join(results_root, f"{job_id}_CRx{cr}")
+    os.makedirs(results_dir, exist_ok=True)
+
+    batch = next(iter(val_loader))
+    y_b, x_b = jnp.asarray(batch[0]), jnp.asarray(batch[1])
+    if isinstance(model, CondSRVAE):
+        # reference get_task_data picks item 1 (cond_vae.py:594-603)
+        i = min(1, y_b.shape[0] - 1)
+        pred, target = y_b[i : i + 1], x_b[i : i + 1]
+    else:
+        pred, target = x_b[0:1], x_b[0:1]
+
+    draws = sample_chunked(model, variables, pred, rng, samples=samples, chunk=chunk)
+    stats = jax.device_get(error_statistics(draws, target))
+    mmse = float(stats["mmse"])
+    print(f"MMSE: {mmse:.4f}")
+
+    _plot_error_maps(results_dir, pred, target, draws, stats)
+    if isinstance(model, CondSRVAE):
+        y_gen, x_gen = jax.jit(
+            lambda v, r: model.apply(v, r, method=CondSRVAE.generation)
+        )(variables, jax.random.fold_in(rng, 99))
+        _plot_generation(results_dir, jax.device_get(y_gen), jax.device_get(x_gen))
+    return {"mmse": mmse, "results_dir": results_dir}
+
+
+def _plot_error_maps(results_dir, pred, target, draws, stats) -> None:
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return
+    target_np = np.asarray(jax.device_get(target))
+    sample0 = np.asarray(jax.device_get(draws[0:1]))
+
+    plt.figure(figsize=(20, 10))
+    plt.subplot(2, 4, 1)
+    plt.imshow(_rgb(np.asarray(jax.device_get(pred))[0]))
+    plt.title("Input Image")
+    plt.subplot(2, 4, 2)
+    plt.imshow(_rgb(sample0[0]))
+    plt.title("Sampled Image")
+    plt.subplot(2, 4, 3)
+    plt.imshow(_rgb(target_np[0]))
+    plt.title("Ground Truth Image")
+    plt.subplot(2, 4, 4)
+    plt.imshow(_rgb(stats["mean"]))
+    plt.title("Mean of Samples")
+    plt.subplot(2, 4, 5)
+    plt.imshow(stats["mae"], cmap="hot")
+    plt.colorbar()
+    plt.title("MAE Map")
+    plt.subplot(2, 4, 6)
+    plt.imshow(stats["mse"], cmap="hot")
+    plt.colorbar()
+    plt.title("MSE Map")
+    plt.subplot(2, 4, 7)
+    plt.imshow(stats["std"], cmap="hot")
+    plt.colorbar()
+    plt.title(f"STD of Samples, Mean: {stats['std'].mean():.2f}")
+    plt.subplot(2, 4, 8)
+    plt.imshow(stats["mean_bias"], cmap="hot")
+    plt.colorbar()
+    plt.title(f"Mean Bias Map, Mean: {stats['mean_bias'].mean():.2f}")
+    plt.savefig(f"{results_dir}/error_mean_std_maps.png", bbox_inches="tight")
+    plt.close()
+
+
+def _plot_generation(results_dir, y_gen, x_gen) -> None:
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return
+    plt.figure(figsize=(10, 10))
+    plt.subplot(2, 1, 1)
+    plt.imshow(_rgb(np.asarray(y_gen)[0]))
+    plt.title("Generated Image")
+    plt.subplot(2, 1, 2)
+    plt.imshow(_rgb(np.asarray(x_gen)[0]))
+    plt.title("Generated Image from x")
+    plt.savefig(f"{results_dir}/generated_image.png", bbox_inches="tight")
+    plt.close()

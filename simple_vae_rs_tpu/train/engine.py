@@ -1,0 +1,425 @@
+"""Training engine: jitted, sharded train/val steps under a host epoch driver.
+
+Replaces the reference's mutable epoch loop (``models/base.py:40-185``) with
+the functional TPU pattern:
+
+- one jit-compiled ``train_step`` (forward + ELBO + global-norm clip + Adam
+  + BN-stat update) with the whole ``TrainState`` donated — weights never
+  leave HBM;
+- batches arrive sharded over the mesh ``data`` axis; XLA inserts the
+  gradient all-reduce and computes BatchNorm statistics over the *global*
+  batch (sync-BN for free);
+- loss terms accumulate on device and are fetched once per epoch (the
+  reference syncs ``loss.item()`` every step — ``models/base.py:116``);
+- epoch-level semantics preserved: callback hooks with stop flags, NaN
+  guard that raises (``base.py:125-128``), ReduceLROnPlateau stepped on val
+  loss, full-val metrics cadence (``base.py:153-157``), identical metric
+  names.
+"""
+
+from __future__ import annotations
+
+import time
+from math import isnan
+from typing import Any, Dict, Iterable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simple_vae_rs_tpu.config import TrainConfig
+from simple_vae_rs_tpu.models.cond_vae import CondSRVAE
+from simple_vae_rs_tpu.models.vae import VAE
+from simple_vae_rs_tpu.ops import pallas_elbo as L  # fused on TPU, jnp on CPU
+from simple_vae_rs_tpu.ops.metrics import psnr, ssim
+from simple_vae_rs_tpu.ops.resize import bicubic_upsample_2x
+from simple_vae_rs_tpu.train.callbacks import Callback
+from simple_vae_rs_tpu.train.schedule import ReduceLROnPlateau
+from simple_vae_rs_tpu.train.state import TrainState, create_train_state, make_optimizer
+from simple_vae_rs_tpu.utils.logging import Logger, NullLogger
+
+Array = jnp.ndarray
+Batch = Tuple[np.ndarray, ...]
+
+
+def _tree_add(a, b):
+    return jax.tree.map(jnp.add, a, b)
+
+
+class Trainer:
+    """Owns the compiled steps and the host epoch loop for one model."""
+
+    def __init__(
+        self,
+        model: Any,
+        train_cfg: Optional[TrainConfig] = None,
+        callbacks: Sequence[Callback] = (),
+        logger: Optional[Logger] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        job_id: str = "local",
+    ) -> None:
+        self.model = model
+        self.cfg = train_cfg or TrainConfig()
+        self.callbacks = list(callbacks)
+        self.logger = logger or NullLogger()
+        self.mesh = mesh
+        self.job_id = job_id
+        self.kind = "cond" if isinstance(model, CondSRVAE) else "vae"
+        self.tx = make_optimizer(self.cfg)
+        self.scheduler = ReduceLROnPlateau(
+            lr=self.cfg.learning_rate,
+            factor=self.cfg.plateau_factor,
+            patience=self.cfg.plateau_patience,
+        )
+        self.state: Optional[TrainState] = None
+        self.current_epoch = 0
+        self.baseline_metrics: Optional[Dict[str, float]] = None
+        self._build_steps()
+
+    # ------------------------------------------------------------ state init
+    def init_state(self, batch: Batch, seed: Optional[int] = None) -> TrainState:
+        seed = self.cfg.seed if seed is None else seed
+        rng = jax.random.PRNGKey(seed)
+        init_rng, model_rng, state_rng = jax.random.split(rng, 3)
+        batch = self._device_batch(batch)
+        # jit the whole init: eager Flax init dispatches hundreds of tiny ops
+        # (very slow against a remote/tunneled device); one compile instead.
+        if self.kind == "vae":
+            x = batch[0]
+            init_fn = jax.jit(lambda r1, xx, r2: self.model.init(
+                {"params": r1}, xx, r2, train=False
+            ))
+            variables = init_fn(init_rng, x, model_rng)
+        else:
+            y, x = batch[0], batch[1]
+            init_fn = jax.jit(lambda r1, xx, yy, r2: self.model.init(
+                {"params": r1}, xx, yy, r2, train=False
+            ))
+            variables = init_fn(init_rng, x, y, model_rng)
+        self.state = create_train_state(variables, self.tx, state_rng)
+        if self.mesh is not None:
+            from simple_vae_rs_tpu.parallel.mesh import shard_state
+
+            self.state = shard_state(self.mesh, self.state)
+        return self.state
+
+    # -------------------------------------------------------------- jit steps
+    def _variables(self, state: TrainState) -> Dict[str, Any]:
+        v = {"params": state.params}
+        if state.batch_stats:
+            v["batch_stats"] = state.batch_stats
+        return v
+
+    def _loss_and_terms(
+        self, params, batch_stats, batch, rng, train: bool
+    ) -> Tuple[Array, Tuple[Dict[str, Array], Any]]:
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        mutable = ["batch_stats"] if (train and batch_stats) else False
+        if self.kind == "vae":
+            x = batch[0]
+            out = self.model.apply(variables, x, rng, train=train, mutable=mutable)
+            (x_hat, mu, logvar), aux = out if mutable else (out, {})
+            mse, kld = L.fused_base_loss(x_hat, x, mu, logvar, params["gamma"])
+            loss = mse + kld
+            terms = {"loss": loss, "mse": mse, "kld": kld}
+        else:
+            y, x = batch[0], batch[1]
+            out = self.model.apply(variables, x, y, rng, train=train, mutable=mutable)
+            outputs, aux = out if mutable else (out, {})
+            x_hat, y_hat, mu_z, lv_z, mu_u, lv_u, mu_p, lv_p = outputs
+            mse_x, kld_u, mse_y, kld_z = L.fused_cond_loss(
+                x_hat, x, y_hat, y, mu_u, lv_u, mu_z, lv_z, mu_p, lv_p,
+                params["gammax"], params["gammay"],
+            )
+            loss = mse_x + kld_u + mse_y + kld_z
+            terms = {
+                "loss": loss,
+                "mse_x": mse_x,
+                "kld_u": kld_u,
+                "mse_y": mse_y,
+                "kld_z": kld_z,
+            }
+        new_stats = aux.get("batch_stats") if mutable else batch_stats
+        return loss, (terms, new_stats)
+
+    def _build_steps(self) -> None:
+        def train_step(state: TrainState, batch, lr):
+            step_rng = jax.random.fold_in(state.rng, state.step)
+            grad_fn = jax.value_and_grad(
+                lambda p: self._loss_and_terms(
+                    p, state.batch_stats, batch, step_rng, True
+                ),
+                has_aux=True,
+            )
+            (_, (terms, new_stats)), grads = grad_fn(state.params)
+            updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+            new_params = jax.tree.map(
+                lambda p, u: p - lr * u, state.params, updates
+            )
+            new_state = state.replace(
+                params=new_params,
+                batch_stats=new_stats if new_stats is not None else {},
+                opt_state=new_opt,
+                step=state.step + 1,
+            )
+            return new_state, terms
+
+        def val_step(state: TrainState, batch):
+            rng = jax.random.fold_in(state.rng, 0xFFF1)
+            _, (terms, _) = self._loss_and_terms(
+                state.params, state.batch_stats, batch, rng, False
+            )
+            return terms
+
+        donate = (0,)
+        self._train_step = jax.jit(train_step, donate_argnums=donate)
+        self._val_step = jax.jit(val_step)
+        self._eval_metrics_step = jax.jit(self._eval_metrics)
+        self._eval_images_step = jax.jit(self._eval_images)
+
+    # ------------------------------------------------------------ evaluation
+    def _eval_metrics(self, state: TrainState, batch):
+        """Per-batch metric sums, all on device (reference evaluate loops
+        per image on host — ``cond_vae.py:403-445``)."""
+        variables = self._variables(state)
+        rng = jax.random.fold_in(state.rng, 0xFFF2)
+        if self.kind == "vae":
+            x = batch[0]
+            x_hat, _, _ = self.model.apply(variables, x, rng, train=False)
+            return {
+                "ssim": jnp.sum(ssim(x, x_hat)),
+                "psnr": jnp.sum(psnr(x, x_hat)),
+                "count": jnp.float32(x.shape[0]),
+            }
+        y, x = batch[0], batch[1]
+        outputs = self.model.apply(variables, x, y, rng, train=False)
+        x_hat, y_hat = outputs[0], outputs[1]
+        x_sr = self.model.apply(
+            variables, y, rng, method=CondSRVAE.conditional_generation
+        )
+        return {
+            "ssim_y": jnp.sum(ssim(y, y_hat)),
+            "ssim_x": jnp.sum(ssim(x, x_hat)),
+            "ssim_sr": jnp.sum(ssim(x, x_sr)),
+            "psnr_sr": jnp.sum(psnr(x, x_sr)),
+            "count": jnp.float32(x.shape[0]),
+        }
+
+    def _eval_images(self, state: TrainState, batch):
+        variables = self._variables(state)
+        rng = jax.random.fold_in(state.rng, 0xFFF3)
+        if self.kind == "vae":
+            x = batch[0][:4]
+            x_hat, _, _ = self.model.apply(variables, x, rng, train=False)
+            return {"Images/Input": x, "Images/Reconstruction": x_hat}
+        y, x = batch[0][:4], batch[1][:4]
+        outputs = self.model.apply(variables, x, y, rng, train=False)
+        x_hat, y_hat = outputs[0], outputs[1]
+        x_sr = self.model.apply(
+            variables, y, rng, method=CondSRVAE.conditional_generation
+        )
+        return {
+            "Images/LR_Input": y,
+            "Images/HR_Input": x,
+            "Images/LR_Bicubic": bicubic_upsample_2x(y),
+            "Images/LR_Recon": y_hat,
+            "Images/HR_Recon": x_hat,
+            "Images/SR_Output": x_sr,
+        }
+
+    @staticmethod
+    @jax.jit
+    def _baseline_metrics_step(y, x):
+        up = bicubic_upsample_2x(y)
+        return {
+            "ssim": jnp.sum(ssim(x, up)),
+            "psnr": jnp.sum(psnr(x, up)),
+            "count": jnp.float32(x.shape[0]),
+        }
+
+    def compute_bicubic_baseline(self, val_loader) -> Dict[str, float]:
+        """Bicubic-2x SR baseline over the val set, on device.
+
+        Parity with reference ``cond_vae.py:541-579`` (minus its averaging
+        precedence bug, SURVEY §2.2-6 — this is the true mean).
+        """
+        sums: Dict[str, Array] = {}
+        for batch in val_loader:
+            y, x = self._device_batch(batch)[:2]
+            part = self._baseline_metrics_step(y, x)
+            sums = part if not sums else _tree_add(sums, part)
+        out = jax.device_get(sums)
+        n = max(float(out["count"]), 1.0)
+        return {"ssim_base": float(out["ssim"]) / n, "psnr_base": float(out["psnr"]) / n}
+
+    # ------------------------------------------------------------- data feed
+    def _device_batch(self, batch: Batch):
+        arrays = tuple(jnp.asarray(b, dtype=jnp.float32) for b in batch)
+        if self.mesh is not None:
+            from simple_vae_rs_tpu.parallel.mesh import shard_batch
+
+            arrays = shard_batch(self.mesh, arrays)
+        return arrays
+
+    # ------------------------------------------------------------------- fit
+    def fit(
+        self,
+        train_loader: Iterable[Batch],
+        val_loader: Iterable[Batch],
+        epochs: Optional[int] = None,
+        start_epoch: int = 1,
+        val_metrics_every: Optional[int] = None,
+        state: Optional[TrainState] = None,
+    ) -> TrainState:
+        cfg = self.cfg
+        epochs = epochs or cfg.epochs
+        val_metrics_every = (
+            val_metrics_every if val_metrics_every is not None else cfg.val_metrics_every
+        )
+        if state is not None:
+            self.state = state
+        if self.state is None:
+            self.state = self.init_state(next(iter(train_loader)))
+
+        if self.kind == "cond" and self.baseline_metrics is None:
+            self.baseline_metrics = self.compute_bicubic_baseline(val_loader)
+
+        prefix = {"vae": ("Loss/", "Loss/val_"), "cond": ("Loss/", "Loss/val_")}[
+            self.kind
+        ]
+
+        for epoch in range(start_epoch, epochs + 1):
+            self.current_epoch = epoch
+            stop = False
+            for cb in self.callbacks:
+                if cb.on_epoch_begin(epoch=epoch, model=self.model, trainer=self):
+                    print(
+                        f"Stopping training before epoch {epoch} due to "
+                        f"{cb.__class__.__name__} condition."
+                    )
+                    return self.state
+
+            # ---------------------------------------------------- train loop
+            t0 = time.perf_counter()
+            sums: Dict[str, Array] = {}
+            n_train = 0
+            lr = jnp.float32(self.scheduler.lr)
+            for batch in train_loader:
+                self.state, terms = self._train_step(
+                    self.state, self._device_batch(batch), lr
+                )
+                sums = terms if not sums else _tree_add(sums, terms)
+                n_train += 1
+            train_terms = {
+                prefix[0] + k: float(v) / n_train
+                for k, v in jax.device_get(sums).items()
+            }
+            train_loss = train_terms[prefix[0] + "loss"]
+            train_time = time.perf_counter() - t0
+            self.logger.log(
+                {**train_terms, "Perf/train_epoch_seconds": train_time}, step=epoch
+            )
+
+            if isnan(train_loss):
+                raise ValueError(
+                    f"NaN detected in training loss at epoch {epoch}. "
+                    "Check your model and data."
+                )
+            self._on_train_epoch_end(epoch)
+
+            # ------------------------------------------------------ val loop
+            vsums: Dict[str, Array] = {}
+            n_val = 0
+            for batch in val_loader:
+                terms = self._val_step(self.state, self._device_batch(batch))
+                vsums = terms if not vsums else _tree_add(vsums, terms)
+                n_val += 1
+            val_terms = {
+                prefix[1] + k: float(v) / n_val
+                for k, v in jax.device_get(vsums).items()
+            }
+            val_loss = val_terms[prefix[1] + "loss"]
+
+            full_val = epoch % val_metrics_every == 0 or epoch in (1, epochs)
+            self.evaluate(val_loader, epoch, full_val=full_val)
+
+            self.scheduler.step(val_loss)
+            self.logger.log(val_terms, step=epoch)
+
+            for cb in self.callbacks:
+                if cb.on_epoch_end(
+                    epoch=epoch,
+                    model=self.model,
+                    trainer=self,
+                    state=self.state,
+                    logs=val_terms,
+                    extra={"scheduler": self.scheduler.state_dict()},
+                ):
+                    print(
+                        f"Stopping training after epoch {epoch} due to "
+                        f"{cb.__class__.__name__} condition."
+                    )
+                    stop = True
+                    break
+            if stop:
+                return self.state
+
+            print(
+                f"Epoch {epoch}/{epochs}, Train Loss: {train_loss:.4f}, "
+                f"Val Loss: {val_loss:.4f}"
+            )
+
+        self.logger.finish()
+        return self.state
+
+    # ------------------------------------------------------- eval + logging
+    def evaluate(self, val_loader, epoch: int, full_val: bool = False) -> None:
+        image_cadence = 10 if self.kind == "cond" else 5
+        if full_val:
+            sums: Dict[str, Array] = {}
+            for batch in val_loader:
+                part = self._eval_metrics_step(self.state, self._device_batch(batch))
+                sums = part if not sums else _tree_add(sums, part)
+            out = jax.device_get(sums)
+            n = max(float(out.pop("count")), 1.0)
+            if self.kind == "vae":
+                self.logger.log(
+                    {
+                        "Metrics/SSIM": out["ssim"] / n,
+                        "Metrics/PSNR": out["psnr"] / n,
+                    },
+                    step=epoch,
+                )
+            else:
+                metrics = {
+                    "Metrics/SSIM_LR": out["ssim_y"] / n,
+                    "Metrics/SSIM_HR": out["ssim_x"] / n,
+                    "Metrics/SSIM_SR": out["ssim_sr"] / n,
+                    "Metrics/PSNR_SR": out["psnr_sr"] / n,
+                }
+                if self.baseline_metrics:
+                    metrics["Metrics/SSIM_Baseline"] = self.baseline_metrics[
+                        "ssim_base"
+                    ]
+                    metrics["Metrics/PSNR_Baseline"] = self.baseline_metrics[
+                        "psnr_base"
+                    ]
+                self.logger.log(metrics, step=epoch)
+        if epoch % image_cadence == 0 or epoch == 1:
+            first = next(iter(val_loader))
+            images = self._eval_images_step(self.state, self._device_batch(first))
+            self.logger.log_images(jax.device_get(images), step=epoch)
+
+    def _on_train_epoch_end(self, epoch: int) -> None:
+        params = self.state.params
+        if self.kind == "vae":
+            logs = {"HyperParameters/Gamma": float(params["gamma"])}
+        else:
+            logs = {
+                "HyperParameters/Gamma_X": float(params["gammax"]),
+                "HyperParameters/Gamma_Y": float(params["gammay"]),
+            }
+        logs["HyperParameters/Learning Rate"] = self.scheduler.get_last_lr()[0]
+        self.logger.log(logs, step=epoch)

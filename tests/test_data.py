@@ -1,0 +1,184 @@
+"""Data layer: TIFF codec roundtrip, datasets, on-device patchify, loader."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from simple_vae_rs_tpu.data.datasets import (
+    FloodDataset,
+    Sen2VenusDataset,
+    SyntheticSRDataset,
+)
+from simple_vae_rs_tpu.data.loader import DeviceLoader, init_dataloader
+from simple_vae_rs_tpu.data.tiffio import read_tiff, write_tiff
+from simple_vae_rs_tpu.ops.patchify import (
+    grid_patchify,
+    grid_sr_batch,
+    grid_unpatchify,
+    random_sr_crop_batch,
+)
+
+
+# ------------------------------------------------------------------ tiffio
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.int16, np.float32])
+def test_tiff_roundtrip_interleaved(tmp_path, dtype):
+    rng = np.random.default_rng(0)
+    arr = (rng.random((17, 13, 4)) * 100).astype(dtype)
+    path = str(tmp_path / "t.tif")
+    write_tiff(path, arr)
+    out = read_tiff(path)
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_tiff_roundtrip_planar_channels_first(tmp_path):
+    rng = np.random.default_rng(1)
+    arr = (rng.random((4, 32, 32)) * 10000).astype(np.uint16)
+    path = str(tmp_path / "p.tif")
+    write_tiff(path, arr, planar_channels_first=True)
+    out = read_tiff(path)
+    assert out.shape == (4, 32, 32)
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_tiff_single_band(tmp_path):
+    arr = np.arange(64, dtype=np.uint16).reshape(8, 8)
+    path = str(tmp_path / "s.tif")
+    write_tiff(path, arr)
+    np.testing.assert_array_equal(read_tiff(path), arr)
+
+
+# ---------------------------------------------------------------- patchify
+def test_grid_patchify_row_major_order():
+    # tile whose value encodes (row, col) of the 2x2 patch grid
+    tile = np.zeros((1, 4, 4, 1), np.float32)
+    tile[0, :2, 2:] = 1  # (row0, col1)
+    tile[0, 2:, :2] = 2  # (row1, col0)
+    tile[0, 2:, 2:] = 3
+    patches = np.asarray(grid_patchify(jnp.array(tile), 2))
+    assert patches.shape == (4, 2, 2, 1)
+    # row-major: 0, 1, 2, 3 — matches reference select_crop (dataset.py:220-228)
+    np.testing.assert_array_equal(patches[:, 0, 0, 0], [0, 1, 2, 3])
+
+
+def test_grid_unpatchify_roundtrip():
+    rng = np.random.default_rng(2)
+    tiles = rng.random((2, 8, 8, 3)).astype(np.float32)
+    patches = grid_patchify(jnp.array(tiles), 4)
+    back = np.asarray(grid_unpatchify(patches, 2))
+    np.testing.assert_array_equal(back, tiles)
+
+
+def test_grid_sr_batch_alignment_and_normalization():
+    from simple_vae_rs_tpu.utils.image import normalize_image
+
+    rng = np.random.default_rng(3)
+    hr = rng.random((2, 32, 32, 4)).astype(np.float32) * 500
+    lr = hr.reshape(2, 16, 2, 16, 2, 4).mean(axis=(2, 4))
+    lr_p, hr_p = grid_sr_batch(jnp.array(lr), jnp.array(hr), 16)
+    assert lr_p.shape == (8, 8, 8, 4)  # 2 tiles x 4 patches, LR = patch/2
+    assert hr_p.shape == (8, 16, 16, 4)
+    assert float(jnp.min(lr_p)) >= 0.0 and float(jnp.max(lr_p)) <= 1.0
+    # patch i covers the same footprint in both resolutions: patch 1 of
+    # tile 0 is the top-right corner (row-major), normalized after cropping
+    want_lr = np.asarray(normalize_image(jnp.array(lr[0, :8, 8:16])))
+    np.testing.assert_allclose(np.asarray(lr_p[1]), want_lr, rtol=1e-5)
+    want_hr = np.asarray(normalize_image(jnp.array(hr[0, :16, 16:32])))
+    np.testing.assert_allclose(np.asarray(hr_p[1]), want_hr, rtol=1e-5)
+
+
+def test_random_sr_crop_alignment():
+    rng_np = np.random.default_rng(4)
+    hr = rng_np.random((3, 64, 64, 4)).astype(np.float32)
+    lr = hr.reshape(3, 32, 2, 32, 2, 4).mean(axis=(2, 4))
+    lr_c, hr_c = random_sr_crop_batch(jax.random.PRNGKey(0), jnp.array(lr), jnp.array(hr), 32)
+    assert lr_c.shape == (3, 16, 16, 4)
+    assert hr_c.shape == (3, 32, 32, 4)
+    # HR crop downsampled must equal the LR crop (both normalized the same
+    # way only if min/max match; compare on correlation instead)
+    hr_down = np.asarray(hr_c).reshape(3, 16, 2, 16, 2, 4).mean(axis=(2, 4))
+    corr = np.corrcoef(hr_down.ravel(), np.asarray(lr_c).ravel())[0, 1]
+    assert corr > 0.95
+
+
+# ---------------------------------------------------------------- datasets
+def test_synthetic_dataset_deterministic():
+    ds = SyntheticSRDataset(length=4, hr_size=64, seed=5)
+    lr, hr = ds[0]
+    lr2, hr2 = ds[0]
+    assert lr.shape == (32, 32, 4) and hr.shape == (64, 64, 4)
+    np.testing.assert_array_equal(lr, lr2)
+    # LR really is the 2x2 downsample of HR
+    np.testing.assert_allclose(
+        lr, hr.reshape(32, 2, 32, 2, 4).mean(axis=(1, 3)), rtol=1e-5
+    )
+
+
+def test_sen2venus_dataset_from_index(tmp_path):
+    root = tmp_path / "ARM"
+    os.makedirs(root)
+    rng = np.random.default_rng(6)
+    rows = ["b2b3b4b8_10m\tb2b3b4b8_05m"]
+    from simple_vae_rs_tpu.data.tiffio import write_tiff
+
+    for i in range(3):
+        lr = (rng.random((4, 16, 16)) * 10000).astype(np.int16)
+        hr = (rng.random((4, 32, 32)) * 10000).astype(np.int16)
+        write_tiff(str(root / f"lr_{i}.tif"), lr, planar_channels_first=True)
+        write_tiff(str(root / f"hr_{i}.tif"), hr, planar_channels_first=True)
+        rows.append(f"lr_{i}.tif\thr_{i}.tif")
+    (root / "index.csv").write_text("\n".join(rows))
+
+    ds = Sen2VenusDataset(root=str(root))
+    assert len(ds) == 3
+    lr, hr = ds[1]
+    assert lr.shape == (16, 16, 4) and hr.shape == (32, 32, 4)
+    assert lr.dtype == np.float32
+
+
+def test_flood_dataset(tmp_path):
+    from simple_vae_rs_tpu.data.tiffio import write_tiff
+
+    site = tmp_path / "site1" / "S2"
+    os.makedirs(site)
+    rng = np.random.default_rng(7)
+    img = (rng.random((4, 128, 96)) * 5000).astype(np.uint16)
+    write_tiff(str(site / "a.tif"), img, planar_channels_first=True)
+    ds = FloodDataset(root=str(tmp_path), patch_size=64)
+    assert len(ds) == 2  # 2x1 patches of 64 in 128x96
+    a, b = ds[0]
+    assert a.shape == (64, 64, 4)
+    assert a.min() >= 0.0 and a.max() <= 1.0
+    np.testing.assert_array_equal(a, b)
+
+
+# ------------------------------------------------------------------ loader
+def test_device_loader_grid_mode_batch_shape():
+    ds = SyntheticSRDataset(length=6, hr_size=64, seed=8)
+    loader = DeviceLoader(ds, batch_size=2, patch_size=32, crop="grid", prefetch=0)
+    assert len(loader) == 3
+    lr, hr = next(iter(loader))
+    # 2 tiles x (64/32)^2 = 8 patches: grid mode batch = 4 x batch_size
+    assert hr.shape == (8, 32, 32, 4)
+    assert lr.shape == (8, 16, 16, 4)
+
+
+def test_device_loader_random_mode_and_epochs_differ():
+    ds = SyntheticSRDataset(length=4, hr_size=64, seed=9)
+    loader = DeviceLoader(
+        ds, batch_size=2, patch_size=32, crop="random", shuffle=True, prefetch=2
+    )
+    e1 = [np.asarray(hr) for _, hr in loader]
+    e2 = [np.asarray(hr) for _, hr in loader]
+    assert e1[0].shape == (2, 32, 32, 4)
+    assert not all(np.array_equal(a, b) for a, b in zip(e1, e2))
+
+
+def test_init_dataloader_split_and_synthetic():
+    train, val = init_dataloader("synthetic", batch_size=4, patch_size=64)
+    assert len(train.dataset) == 51  # 80% of 64
+    assert len(val.dataset) == 13
+    with pytest.raises(ValueError):
+        init_dataloader("nope", 1, 64)

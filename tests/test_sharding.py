@@ -1,0 +1,95 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (conftest forces it)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simple_vae_rs_tpu.config import CondSRVAEConfig, MeshConfig, TrainConfig
+from simple_vae_rs_tpu.models import CondSRVAE
+from simple_vae_rs_tpu.parallel.mesh import make_mesh, shard_batch, shard_state
+from simple_vae_rs_tpu.train.engine import Trainer
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _batch(bs=8, ps=16, seed=0):
+    rng = np.random.default_rng(seed)
+    return (
+        rng.random((bs, ps // 2, ps // 2, 4), dtype=np.float32),
+        rng.random((bs, ps, ps, 4), dtype=np.float32),
+    )
+
+
+def test_mesh_axes():
+    mesh = make_mesh(MeshConfig(data=-1, model=1))
+    assert dict(mesh.shape) == {"data": 8, "model": 1}
+    mesh2 = make_mesh(MeshConfig(data=4, model=2))
+    assert dict(mesh2.shape) == {"data": 4, "model": 2}
+
+
+def test_shard_batch_places_on_data_axis():
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    (y, x) = shard_batch(mesh, _batch())
+    assert len(y.sharding.device_set) == 8
+    spec = y.sharding.spec
+    assert spec[0] == "data"
+
+
+def test_dp_train_step_runs_and_matches_single_device():
+    """The sharded step must produce the same loss as unsharded (same math,
+    just distributed — XLA inserts the collectives)."""
+    batch = _batch(bs=8, ps=16)
+    model = CondSRVAE(CondSRVAEConfig(cr=2.0, patch_size=16))
+
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    t_sharded = Trainer(model, TrainConfig(learning_rate=1e-3), mesh=mesh)
+    s1 = t_sharded.init_state(batch)
+    s1, terms1 = t_sharded._train_step(
+        s1, t_sharded._device_batch(batch), jnp.float32(1e-3)
+    )
+
+    t_single = Trainer(model, TrainConfig(learning_rate=1e-3), mesh=None)
+    s2 = t_single.init_state(batch)
+    s2, terms2 = t_single._train_step(
+        s2, t_single._device_batch(batch), jnp.float32(1e-3)
+    )
+    np.testing.assert_allclose(
+        float(terms1["loss"]), float(terms2["loss"]), rtol=2e-4
+    )
+    # params after one step agree too (global-batch BN + all-reduced grads)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
+
+
+def test_tp_model_axis_sharding_runs():
+    """data=4 x model=2: wide head kernels sharded over out-channels."""
+    batch = _batch(bs=8, ps=16, seed=1)
+    model = CondSRVAE(CondSRVAEConfig(cr=2.0, patch_size=16))
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    trainer = Trainer(model, TrainConfig(learning_rate=1e-3), mesh=mesh)
+    state = trainer.init_state(batch)
+    # at least one kernel is actually sharded over 'model'
+    sharded = [
+        p
+        for path, p in jax.tree_util.tree_leaves_with_path(state.params)
+        if "model" in str(getattr(p.sharding, "spec", ""))
+    ]
+    assert sharded, "expected some model-axis-sharded parameters"
+    state, terms = trainer._train_step(
+        state, trainer._device_batch(batch), jnp.float32(1e-3)
+    )
+    assert np.isfinite(float(terms["loss"]))
+
+
+def test_graft_entry_dryrun():
+    import importlib.util, pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", pathlib.Path(__file__).parent.parent / "__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)

@@ -1,0 +1,170 @@
+"""Integration: 1-epoch fit for both models on synthetic data (CPU JAX).
+
+Mirrors reference ``tests/test_training.py`` (DummyWandb + 1 epoch through
+the full engine incl. callbacks/eval/scheduler) with this framework's
+NullLogger; also covers early stopping, checkpointing and the NaN guard —
+paths the reference never tests.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from simple_vae_rs_tpu.config import CondSRVAEConfig, TrainConfig, VAEConfig
+from simple_vae_rs_tpu.models import VAE, CondSRVAE
+from simple_vae_rs_tpu.train.callbacks import EarlyStopping, ModelCheckpoint
+from simple_vae_rs_tpu.train.engine import Trainer
+from simple_vae_rs_tpu.train.schedule import ReduceLROnPlateau
+
+
+class ArrayLoader:
+    """Minimal loader over in-memory (lr, hr) batches."""
+
+    def __init__(self, batches):
+        self.batches = batches
+
+    def __iter__(self):
+        return iter(self.batches)
+
+    def __len__(self):
+        return len(self.batches)
+
+
+def _sr_batches(n=2, bs=2, ps=16, seed=0):
+    rng = np.random.default_rng(seed)
+    return [
+        (
+            rng.random((bs, ps // 2, ps // 2, 4), dtype=np.float32),
+            rng.random((bs, ps, ps, 4), dtype=np.float32),
+        )
+        for _ in range(n)
+    ]
+
+
+def test_vae_training_loop_runs_one_epoch():
+    batches = _sr_batches(ps=32)
+    loader = ArrayLoader(batches)
+    model = VAE(VAEConfig(cr=2.0, patch_size=16))
+    trainer = Trainer(model, TrainConfig(epochs=1, learning_rate=1e-3))
+    state = trainer.fit(loader, loader, epochs=1, val_metrics_every=1)
+    assert trainer.scheduler.last_epoch == 1
+    assert int(state.step) == len(batches)
+
+
+def test_cond_training_loop_runs_one_epoch(tmp_path):
+    batches = _sr_batches(ps=16)
+    loader = ArrayLoader(batches)
+    model = CondSRVAE(CondSRVAEConfig(cr=2.0, patch_size=16))
+    cb = ModelCheckpoint("test", str(tmp_path / "ckpt"), monitor="Loss/val_loss")
+    trainer = Trainer(model, TrainConfig(epochs=1, learning_rate=1e-3), callbacks=[cb])
+    state = trainer.fit(loader, loader, epochs=1, val_metrics_every=1)
+    assert trainer.scheduler.last_epoch == 1
+    # bicubic baseline computed at train start (reference on_train_start)
+    assert trainer.baseline_metrics is not None
+    assert -1.0 <= trainer.baseline_metrics["ssim_base"] <= 1.0
+    # checkpoint written on improvement at epoch 1
+    from simple_vae_rs_tpu.train.checkpoint import checkpoint_exists
+
+    assert checkpoint_exists(str(tmp_path / "ckpt" / "test"))
+    assert int(state.step) == len(batches)
+
+
+def test_training_reduces_loss_on_fixed_batch():
+    """A few steps of Adam on one repeated batch must reduce the ELBO."""
+    batches = _sr_batches(n=1, bs=4, ps=16, seed=3) * 4
+    loader = ArrayLoader(batches)
+    model = CondSRVAE(CondSRVAEConfig(cr=2.0, patch_size=16))
+    trainer = Trainer(model, TrainConfig(epochs=3, learning_rate=1e-3))
+    trainer.init_state(batches[0])
+
+    import jax
+
+    lr = jnp.float32(1e-3)
+    first = None
+    state = trainer.state
+    for i in range(8):
+        state, terms = trainer._train_step(state, trainer._device_batch(batches[0]), lr)
+        if i == 0:
+            first = float(terms["loss"])
+    last = float(terms["loss"])
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first
+
+
+def test_early_stopping_protocol():
+    es = EarlyStopping(patience=2, delta=0.01)
+    assert not es.on_epoch_end(logs={"val_loss": 1.0})
+    assert not es.on_epoch_end(logs={"val_loss": 1.5})  # counter 1
+    assert es.on_epoch_end(logs={"val_loss": 1.5})  # counter 2 -> stop
+    # dead band: within +/- delta neither resets nor counts (reference quirk)
+    es2 = EarlyStopping(patience=1, delta=0.1)
+    es2.on_epoch_end(logs={"val_loss": 1.0})
+    assert not es2.on_epoch_end(logs={"val_loss": 1.05})
+    assert not es2.on_epoch_end(logs={"val_loss": 1.05})
+
+
+def test_model_checkpoint_fuzzy_monitor(tmp_path):
+    """Epoch-1 fuzzy metric-name match (reference callbacks.py:119-130)."""
+    from simple_vae_rs_tpu.train.state import TrainState, create_train_state, make_optimizer
+    import jax
+
+    model = VAE(VAEConfig(cr=2.0, patch_size=16))
+    v = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 16, 16, 4)),
+        jax.random.PRNGKey(1),
+        train=False,
+    )
+    state = create_train_state(v, make_optimizer(TrainConfig()), jax.random.PRNGKey(2))
+    cb = ModelCheckpoint("job", str(tmp_path), monitor="Loss/val_loss")
+    cb.on_epoch_end(epoch=1, state=state, logs={"Loss/val_total_loss": 0.5})
+    assert cb.monitor == "Loss/val_total_loss"
+    from simple_vae_rs_tpu.train.checkpoint import checkpoint_exists
+
+    assert checkpoint_exists(str(tmp_path / "job"))
+
+
+def test_nan_guard_raises():
+    batches = [(np.full((2, 8, 8, 4), np.nan, np.float32),
+                np.full((2, 16, 16, 4), np.nan, np.float32))]
+    loader = ArrayLoader(batches)
+    model = CondSRVAE(CondSRVAEConfig(cr=2.0, patch_size=16))
+    trainer = Trainer(model, TrainConfig(epochs=1))
+    with pytest.raises(ValueError, match="NaN detected"):
+        trainer.fit(loader, loader, epochs=1, val_metrics_every=10)
+
+
+def test_reduce_lr_on_plateau_torch_semantics():
+    s = ReduceLROnPlateau(lr=1.0, factor=0.5, patience=2)
+    for _ in range(3):
+        s.step(1.0)  # first sets best, next 2 are bad
+    assert s.lr == 1.0
+    s.step(1.0)  # third bad epoch > patience -> halve
+    assert s.lr == 0.5
+    s.step(0.5)  # improvement resets
+    assert s.num_bad_epochs == 0
+
+
+def test_checkpoint_roundtrip_exact_resume(tmp_path):
+    """Save -> load restores params, Adam moments, rng and step exactly."""
+    import jax
+
+    from simple_vae_rs_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    batches = _sr_batches(n=1, ps=16)
+    model = CondSRVAE(CondSRVAEConfig(cr=2.0, patch_size=16))
+    trainer = Trainer(model, TrainConfig(learning_rate=1e-3))
+    state = trainer.init_state(batches[0])
+    state, _ = trainer._train_step(
+        state, trainer._device_batch(batches[0]), jnp.float32(1e-3)
+    )
+    save_checkpoint(str(tmp_path / "ck"), state, epoch=7, extra={"scheduler": {"lr": 1e-3, "best": 1.0, "num_bad_epochs": 0, "last_epoch": 7}})
+
+    fresh = trainer.init_state(batches[0])
+    restored, meta = load_checkpoint(str(tmp_path / "ck"), fresh)
+    assert meta["epoch"] == 7
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state.opt_state), jax.tree.leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored.step) == int(state.step)
