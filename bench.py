@@ -100,5 +100,19 @@ def main(
     )
 
 
+def sweep() -> None:
+    """Throughput sweep over tile-batch sizes (prints one line per point)."""
+    for tiles in (2, 4, 8, 16, 32):
+        try:
+            main(tiles_per_batch=tiles)
+        except Exception as e:  # e.g. HBM exhaustion at the top end
+            print(json.dumps({"tiles": tiles, "error": str(e)[:120]}))
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--sweep" in sys.argv:
+        sweep()
+    else:
+        main()

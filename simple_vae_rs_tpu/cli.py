@@ -29,8 +29,11 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     parser.add_argument(
         "--pre_epochs",
         type=int,
-        default=20,
-        help="Number of epochs to pre-train the low resolution model.",
+        default=0,
+        help="Number of epochs to pre-train the low resolution model. "
+        "(The reference defaults to 20 but never uses the value — SURVEY "
+        "§2.2-4; here it actually pre-trains the LR branch, so the default "
+        "is 0 to keep default-run behavior identical.)",
     )
     parser.add_argument(
         "--epochs", type=int, default=200, help="Number of epochs to train the model."
@@ -61,8 +64,10 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     )
     parser.add_argument(
         "--model_type", type=str, default="Cond_SRVAE",
-        choices=["Cond_SRVAE", "VAE"],
-        help="Model to use : 'Cond_SRVAE' ou 'VAE'",
+        choices=["Cond_SRVAE", "VAE", "SRVAE"],
+        help="Model to use: 'Cond_SRVAE', 'VAE', or 'SRVAE' (the "
+        "hierarchical two-latent-level srVAE of the paper, LR view "
+        "computed inside the model).",
     )
     # --- TPU-native additions -------------------------------------------
     parser.add_argument(
@@ -83,6 +88,14 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     parser.add_argument(
         "--samples", type=int, default=1000,
         help="Posterior draws for the uncertainty task.",
+    )
+    parser.add_argument(
+        "--profile_dir", type=str, default="",
+        help="Write a jax.profiler trace of one training epoch here.",
+    )
+    parser.add_argument(
+        "--debug_nans", action="store_true",
+        help="Enable jax debug_nans (fail fast at the op that produced NaN).",
     )
     return parser.parse_args(argv)
 
@@ -139,6 +152,12 @@ def main(args: argparse.Namespace) -> None:
         cfg = CondSRVAEConfig(cr=cr, patch_size=args.patch_size)
         model = CondSRVAE(cfg, dtype=dtype)
         project = "Cond_SRVAE"
+    elif args.model_type == "SRVAE":
+        from simple_vae_rs_tpu.models import SRVAE
+
+        cfg = CondSRVAEConfig(cr=cr, patch_size=args.patch_size)
+        model = SRVAE(cfg, dtype=dtype)
+        project = "SRVAE"
     else:
         raise ValueError(
             f"Unknown model type: {args.model_type}. Choose 'Cond_SRVAE' or 'VAE'."
@@ -161,12 +180,15 @@ def main(args: argparse.Namespace) -> None:
             "cr": cr,
         },
     )
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     train_cfg = TrainConfig(
         epochs=args.epochs,
         batch_size=args.batch_size,
         val_metrics_every=args.val_metrics_every,
         seed=args.seed,
         use_bfloat16=args.bf16,
+        profile_dir=args.profile_dir,
     )
     trainer = Trainer(
         model, train_cfg, callbacks=callbacks, logger=logger, mesh=mesh, job_id=job_id
@@ -186,6 +208,8 @@ def main(args: argparse.Namespace) -> None:
         print("Model loaded successfully.")
 
     if not (args.test and args.model_ckpt):
+        if start_epoch == 1:
+            trainer.pretrain_lr_branch(train_loader, args.pre_epochs)
         trainer.fit(
             train_loader,
             val_loader,

@@ -144,3 +144,6 @@ class TrainConfig:
     seed: int = 0
     # Numerical policy: compute convs in bf16 on TPU, accumulate/loss in f32.
     use_bfloat16: bool = False
+    # jax.profiler trace of the second trained epoch is written here
+    # (SURVEY §5.a: the reference has no tracing at all).
+    profile_dir: str = ""

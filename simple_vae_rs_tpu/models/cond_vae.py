@@ -245,6 +245,17 @@ class CondSRVAE(nn.Module):
             flatten_map(logvar_z_uy),
         )
 
+    def lr_autoencode(
+        self, y: Array, rng: jax.Array, train: bool = True
+    ) -> Tuple[Array, Array, Array]:
+        """LR branch only: q(u|y) -> p(y|u). Used by staged pre-training
+        (the ``--pre_epochs`` flag the reference parses but never uses —
+        SURVEY §2.2-4; here it actually pre-trains the LR autoencoder)."""
+        mu_u, logvar_u = self.encode_y(y, train)
+        u = reparameterize(rng, mu_u, logvar_u)
+        y_hat = self.decode_y(u, train)
+        return y_hat, flatten_map(mu_u), flatten_map(logvar_u)
+
     # ------------------------------------------------------------ inference
     def conditional_generation(self, y: Array, rng: jax.Array) -> Array:
         """Single-draw 2x super-resolution (reference ``cond_vae.py:288-297``)."""

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from simple_vae_rs_tpu.models.cond_vae import CondSRVAE
+from simple_vae_rs_tpu.models.srvae import SRVAE
 from simple_vae_rs_tpu.models.vae import VAE
 
 Array = jnp.ndarray
@@ -51,16 +52,24 @@ def sample_chunked(
     chunk = min(chunk, samples)
     n_chunks = -(-samples // chunk)
 
-    if isinstance(model, CondSRVAE):
+    if isinstance(model, (CondSRVAE, SRVAE)):
 
         def cond_prep(m, y, r):
+            from simple_vae_rs_tpu.models.srvae import box_downsample_2x
             from simple_vae_rs_tpu.models.vae import reparameterize
 
-            mu_u, logvar_u = m.encode_y(y, train=False)
+            core = m.core if isinstance(m, SRVAE) else m
+            if isinstance(m, SRVAE) and y.shape[1] == m.config.patch_size:
+                y = box_downsample_2x(y)
+            mu_u, logvar_u = core.encode_y(y, train=False)
             u = reparameterize(r, mu_u, logvar_u)
-            y_feat = m.y_embedding(y, train=False)
-            mu_p, lv_p = m.z_cond(y_feat, u, train=False)
+            y_feat = core.y_embedding(y, train=False)
+            mu_p, lv_p = core.z_cond(y_feat, u, train=False)
             return mu_p, lv_p, y_feat
+
+        def cond_decode(m, z, yf):
+            core = m.core if isinstance(m, SRVAE) else m
+            return core.decode_x_from_features(z, yf, train=False)
 
         rng_u, rng_z = jax.random.split(rng)
         mu_p, lv_p, y_feat = jax.jit(
@@ -73,9 +82,7 @@ def sample_chunked(
             eps = jax.random.normal(r, (chunk,) + mu_p.shape[1:], jnp.float32)
             z = mu_p + eps * std
             yf = jnp.broadcast_to(y_feat, (chunk,) + y_feat.shape[1:])
-            return model.apply(
-                v, z, yf, train=False, method=CondSRVAE.decode_x_from_features
-            )
+            return model.apply(v, z, yf, method=cond_decode)
 
         outs = [
             decode_chunk(variables, jax.random.fold_in(rng_z, i))
@@ -162,7 +169,7 @@ def run_task(
 
     batch = next(iter(val_loader))
     y_b, x_b = jnp.asarray(batch[0]), jnp.asarray(batch[1])
-    if isinstance(model, CondSRVAE):
+    if isinstance(model, (CondSRVAE, SRVAE)):
         # reference get_task_data picks item 1 (cond_vae.py:594-603)
         i = min(1, y_b.shape[0] - 1)
         pred, target = y_b[i : i + 1], x_b[i : i + 1]
@@ -175,9 +182,10 @@ def run_task(
     print(f"MMSE: {mmse:.4f}")
 
     _plot_error_maps(results_dir, pred, target, draws, stats)
-    if isinstance(model, CondSRVAE):
+    if isinstance(model, (CondSRVAE, SRVAE)):
+        gen_method = SRVAE.generation if isinstance(model, SRVAE) else CondSRVAE.generation
         y_gen, x_gen = jax.jit(
-            lambda v, r: model.apply(v, r, method=CondSRVAE.generation)
+            lambda v, r: model.apply(v, r, method=gen_method)
         )(variables, jax.random.fold_in(rng, 99))
         _plot_generation(results_dir, jax.device_get(y_gen), jax.device_get(x_gen))
     return {"mmse": mmse, "results_dir": results_dir}

@@ -64,7 +64,14 @@ class Trainer:
         self.logger = logger or NullLogger()
         self.mesh = mesh
         self.job_id = job_id
-        self.kind = "cond" if isinstance(model, CondSRVAE) else "vae"
+        from simple_vae_rs_tpu.models.srvae import SRVAE
+
+        if isinstance(model, CondSRVAE):
+            self.kind = "cond"
+        elif isinstance(model, SRVAE):
+            self.kind = "srvae"
+        else:
+            self.kind = "vae"
         self.tx = make_optimizer(self.cfg)
         self.scheduler = ReduceLROnPlateau(
             lr=self.cfg.learning_rate,
@@ -84,18 +91,20 @@ class Trainer:
         batch = self._device_batch(batch)
         # jit the whole init: eager Flax init dispatches hundreds of tiny ops
         # (very slow against a remote/tunneled device); one compile instead.
-        if self.kind == "vae":
-            x = batch[0]
-            init_fn = jax.jit(lambda r1, xx, r2: self.model.init(
-                {"params": r1}, xx, r2, train=False
-            ))
-            variables = init_fn(init_rng, x, model_rng)
-        else:
+        if self.kind == "cond":
             y, x = batch[0], batch[1]
             init_fn = jax.jit(lambda r1, xx, yy, r2: self.model.init(
                 {"params": r1}, xx, yy, r2, train=False
             ))
             variables = init_fn(init_rng, x, y, model_rng)
+        else:
+            # vae trains on the LR stream (reference train.py:35-40);
+            # srvae on the HR stream (its LR view is internal)
+            x = batch[0] if self.kind == "vae" else batch[-1]
+            init_fn = jax.jit(lambda r1, xx, r2: self.model.init(
+                {"params": r1}, xx, r2, train=False
+            ))
+            variables = init_fn(init_rng, x, model_rng)
         self.state = create_train_state(variables, self.tx, state_rng)
         if self.mesh is not None:
             from simple_vae_rs_tpu.parallel.mesh import shard_state
@@ -124,6 +133,24 @@ class Trainer:
             mse, kld = L.fused_base_loss(x_hat, x, mu, logvar, params["gamma"])
             loss = mse + kld
             terms = {"loss": loss, "mse": mse, "kld": kld}
+        elif self.kind == "srvae":
+            x = batch[-1]
+            out = self.model.apply(variables, x, rng, train=train, mutable=mutable)
+            outputs, aux = out if mutable else (out, {})
+            x_hat, y_hat, mu_z, lv_z, mu_u, lv_u, mu_p, lv_p, y_int = outputs
+            core_params = params["core"]
+            mse_x, kld_u, mse_y, kld_z = L.fused_cond_loss(
+                x_hat, x, y_hat, y_int, mu_u, lv_u, mu_z, lv_z, mu_p, lv_p,
+                core_params["gammax"], core_params["gammay"],
+            )
+            loss = mse_x + kld_u + mse_y + kld_z
+            terms = {
+                "loss": loss,
+                "mse_x": mse_x,
+                "kld_u": kld_u,
+                "mse_y": mse_y,
+                "kld_z": kld_z,
+            }
         else:
             y, x = batch[0], batch[1]
             out = self.model.apply(variables, x, y, rng, train=train, mutable=mutable)
@@ -185,9 +212,10 @@ class Trainer:
         per image on host — ``cond_vae.py:403-445``)."""
         variables = self._variables(state)
         rng = jax.random.fold_in(state.rng, 0xFFF2)
-        if self.kind == "vae":
-            x = batch[0]
-            x_hat, _, _ = self.model.apply(variables, x, rng, train=False)
+        if self.kind in ("vae", "srvae"):
+            x = batch[0] if self.kind == "vae" else batch[-1]
+            outputs = self.model.apply(variables, x, rng, train=False)
+            x_hat = outputs[0]
             return {
                 "ssim": jnp.sum(ssim(x, x_hat)),
                 "psnr": jnp.sum(psnr(x, x_hat)),
@@ -210,9 +238,10 @@ class Trainer:
     def _eval_images(self, state: TrainState, batch):
         variables = self._variables(state)
         rng = jax.random.fold_in(state.rng, 0xFFF3)
-        if self.kind == "vae":
-            x = batch[0][:4]
-            x_hat, _, _ = self.model.apply(variables, x, rng, train=False)
+        if self.kind in ("vae", "srvae"):
+            x = (batch[0] if self.kind == "vae" else batch[-1])[:4]
+            outputs = self.model.apply(variables, x, rng, train=False)
+            x_hat = outputs[0]
             return {"Images/Input": x, "Images/Reconstruction": x_hat}
         y, x = batch[0][:4], batch[1][:4]
         outputs = self.model.apply(variables, x, y, rng, train=False)
@@ -263,6 +292,62 @@ class Trainer:
             arrays = shard_batch(self.mesh, arrays)
         return arrays
 
+    # ------------------------------------------------------- LR pre-training
+    def pretrain_lr_branch(self, train_loader: Iterable[Batch], pre_epochs: int) -> None:
+        """Stage-1: pre-train the LR autoencoder (encoder_y/decoder_y/gammay).
+
+        Gives the ``--pre_epochs`` flag real semantics (the reference parses
+        it but never reads it — SURVEY §2.2-4). Only the LR branch receives
+        gradients (the loss touches nothing else); a throwaway optimizer is
+        used so the main run starts with fresh Adam state.
+        """
+        if self.kind != "cond" or pre_epochs <= 0 or self.state is None:
+            return
+        pre_tx = make_optimizer(self.cfg)
+        pre_opt = pre_tx.init(self.state.params)
+
+        @jax.jit
+        def pre_step(state: TrainState, opt_state, batch, lr):
+            rng = jax.random.fold_in(state.rng, state.step)
+
+            def loss_fn(params):
+                variables = {"params": params}
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"] if state.batch_stats else False
+                out = self.model.apply(
+                    variables, batch[0], rng, train=True,
+                    method=CondSRVAE.lr_autoencode, mutable=mutable,
+                )
+                (y_hat, mu_u, lv_u), aux = out if mutable else (out, {})
+                mse_y, kld_u = L.fused_base_loss(
+                    y_hat, batch[0], mu_u, lv_u, params["gammay"]
+                )
+                return mse_y + kld_u, aux.get("batch_stats", state.batch_stats)
+
+            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            updates, new_opt = pre_tx.update(grads, opt_state, state.params)
+            new_params = jax.tree.map(lambda p, u: p - lr * u, state.params, updates)
+            new_state = state.replace(
+                params=new_params, batch_stats=new_stats, step=state.step + 1
+            )
+            return new_state, new_opt, loss
+
+        lr = jnp.float32(self.cfg.learning_rate)
+        for epoch in range(1, pre_epochs + 1):
+            last = None
+            n = 0
+            for batch in train_loader:
+                self.state, pre_opt, last = pre_step(
+                    self.state, pre_opt, self._device_batch(batch), lr
+                )
+                n += 1
+            loss = float(jax.device_get(last)) if n else float("nan")
+            self.logger.log({"Loss/pretrain_y_loss": loss}, step=epoch)
+            print(f"Pre-epoch {epoch}/{pre_epochs}, LR-branch loss: {loss:.4f}")
+
     # ------------------------------------------------------------------- fit
     def fit(
         self,
@@ -283,12 +368,10 @@ class Trainer:
         if self.state is None:
             self.state = self.init_state(next(iter(train_loader)))
 
-        if self.kind == "cond" and self.baseline_metrics is None:
+        if self.kind in ("cond", "srvae") and self.baseline_metrics is None:
             self.baseline_metrics = self.compute_bicubic_baseline(val_loader)
 
-        prefix = {"vae": ("Loss/", "Loss/val_"), "cond": ("Loss/", "Loss/val_")}[
-            self.kind
-        ]
+        prefix = ("Loss/", "Loss/val_")
 
         for epoch in range(start_epoch, epochs + 1):
             self.current_epoch = epoch
@@ -302,6 +385,9 @@ class Trainer:
                     return self.state
 
             # ---------------------------------------------------- train loop
+            profiling = bool(self.cfg.profile_dir) and epoch == start_epoch + 1
+            if profiling:
+                jax.profiler.start_trace(self.cfg.profile_dir)
             t0 = time.perf_counter()
             sums: Dict[str, Array] = {}
             n_train = 0
@@ -318,6 +404,8 @@ class Trainer:
             }
             train_loss = train_terms[prefix[0] + "loss"]
             train_time = time.perf_counter() - t0
+            if profiling:
+                jax.profiler.stop_trace()
             self.logger.log(
                 {**train_terms, "Perf/train_epoch_seconds": train_time}, step=epoch
             )
@@ -384,7 +472,7 @@ class Trainer:
                 sums = part if not sums else _tree_add(sums, part)
             out = jax.device_get(sums)
             n = max(float(out.pop("count")), 1.0)
-            if self.kind == "vae":
+            if self.kind in ("vae", "srvae"):
                 self.logger.log(
                     {
                         "Metrics/SSIM": out["ssim"] / n,
@@ -406,16 +494,57 @@ class Trainer:
                     metrics["Metrics/PSNR_Baseline"] = self.baseline_metrics[
                         "psnr_base"
                     ]
+                metrics.update(self._lpips_metrics(val_loader))
                 self.logger.log(metrics, step=epoch)
         if epoch % image_cadence == 0 or epoch == 1:
             first = next(iter(val_loader))
             images = self._eval_images_step(self.state, self._device_batch(first))
             self.logger.log_images(jax.device_get(images), step=epoch)
 
+    def _lpips_metrics(self, val_loader) -> Dict[str, float]:
+        """Host-side LPIPS when the pretrained package is available; the
+        reference's LPIPS-alex on BGR channels (``models/base.py:37``).
+        Computed on the first 4 images of each val batch (host-transfer cost
+        cap; the reference pays a full per-image device->host round trip).
+        Empty dict otherwise — SSIM/PSNR remain the on-device spine."""
+        from simple_vae_rs_tpu.utils.lpips_optional import lpips_available, lpips_batch
+
+        if not lpips_available():
+            return {}
+        sums = {"lpips_y": 0.0, "lpips_x": 0.0, "lpips_sr": 0.0}
+        count = 0
+        for batch in val_loader:
+            b = self._device_batch(batch)
+            imgs = jax.device_get(self._eval_images_step(self.state, b))
+            if self.kind == "vae":
+                vals = lpips_batch(imgs["Images/Input"], imgs["Images/Reconstruction"])
+                sums["lpips_x"] += float(np.sum(vals))
+                count += len(vals)
+                continue
+            y, x = imgs["Images/LR_Input"], imgs["Images/HR_Input"]
+            sums["lpips_y"] += float(np.sum(lpips_batch(y, imgs["Images/LR_Recon"])))
+            sums["lpips_x"] += float(np.sum(lpips_batch(x, imgs["Images/HR_Recon"])))
+            sums["lpips_sr"] += float(np.sum(lpips_batch(x, imgs["Images/SR_Output"])))
+            count += x.shape[0]
+        if count == 0:
+            return {}
+        if self.kind == "vae":
+            return {"Metrics/LPIPS": sums["lpips_x"] / count}
+        return {
+            "Metrics/LPIPS_LR": sums["lpips_y"] / count,
+            "Metrics/LPIPS_HR": sums["lpips_x"] / count,
+            "Metrics/LPIPS_SR": sums["lpips_sr"] / count,
+        }
+
     def _on_train_epoch_end(self, epoch: int) -> None:
         params = self.state.params
         if self.kind == "vae":
             logs = {"HyperParameters/Gamma": float(params["gamma"])}
+        elif self.kind == "srvae":
+            logs = {
+                "HyperParameters/Gamma_X": float(params["core"]["gammax"]),
+                "HyperParameters/Gamma_Y": float(params["core"]["gammay"]),
+            }
         else:
             logs = {
                 "HyperParameters/Gamma_X": float(params["gammax"]),
