@@ -25,7 +25,7 @@ import numpy as np
 
 
 def main(
-    tiles_per_batch: int = 8,
+    tiles_per_batch: int = 32,  # sweep-verified knee: throughput saturates here
     patch_size: int = 64,
     cr: float = 1.2,
     warmup: int = 3,
