@@ -174,7 +174,9 @@ def run_task(
         i = min(1, y_b.shape[0] - 1)
         pred, target = y_b[i : i + 1], x_b[i : i + 1]
     else:
-        pred, target = x_b[0:1], x_b[0:1]
+        # plain VAE reconstructs the stream it trains on — batch[0], the LR
+        # images (reference vae.py:233-238 takes x = batch[0])
+        pred, target = y_b[0:1], y_b[0:1]
 
     draws = sample_chunked(model, variables, pred, rng, samples=samples, chunk=chunk)
     stats = jax.device_get(error_statistics(draws, target))
