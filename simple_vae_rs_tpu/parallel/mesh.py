@@ -48,11 +48,21 @@ def make_mesh(
 
 
 def shard_batch(mesh: Mesh, batch: Tuple[Any, ...]) -> Tuple[Any, ...]:
-    """Shard each (B, H, W, C) array's batch dim over the ``data`` axis."""
+    """Shard each (B, H, W, C) array's batch dim over the ``data`` axis.
+
+    Multi-host: each process passes its *local* slice of the global batch
+    and ``jax.make_array_from_process_local_data`` assembles the global
+    array (SURVEY §5.h); single-host uses a plain ``device_put``.
+    """
     out = []
+    multihost = jax.process_count() > 1
     for arr in batch:
         spec = P("data", *([None] * (arr.ndim - 1)))
-        out.append(jax.device_put(arr, NamedSharding(mesh, spec)))
+        sharding = NamedSharding(mesh, spec)
+        if multihost:
+            out.append(jax.make_array_from_process_local_data(sharding, arr))
+        else:
+            out.append(jax.device_put(arr, sharding))
     return tuple(out)
 
 

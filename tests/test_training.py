@@ -145,6 +145,28 @@ def test_reduce_lr_on_plateau_torch_semantics():
     assert s.num_bad_epochs == 0
 
 
+def test_training_is_deterministic_across_runs():
+    """Same seed -> bitwise-identical parameters after identical steps
+    (the deterministic-RNG guarantee SURVEY §5.b asks for)."""
+    import jax
+
+    batches = _sr_batches(n=2, ps=16, seed=5)
+
+    def run():
+        model = CondSRVAE(CondSRVAEConfig(cr=2.0, patch_size=16))
+        trainer = Trainer(model, TrainConfig(learning_rate=1e-3, seed=11))
+        state = trainer.init_state(batches[0])
+        for b in batches:
+            state, _ = trainer._train_step(
+                state, trainer._device_batch(b), jnp.float32(1e-3)
+            )
+        return jax.device_get(state.params)
+
+    p1, p2 = run(), run()
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_checkpoint_roundtrip_exact_resume(tmp_path):
     """Save -> load restores params, Adam moments, rng and step exactly."""
     import jax
