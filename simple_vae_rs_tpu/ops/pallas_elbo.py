@@ -44,34 +44,52 @@ def _use_pallas() -> bool:
 
 
 # Mosaic requires the sublane (second-to-last) block dim to be a multiple
-# of 8 (f32 tile is 8x128), so the grid walks 8-row blocks; ragged batches
-# are zero-padded (every row reduction maps all-zero rows to exactly 0).
+# of 8 (f32 tile is 8x128), so the grid walks 8-row blocks. The feature
+# dim is tiled too — the 128px configs reach 218k features per row, far
+# beyond VMEM for a full-row block — with the row-sum accumulated across
+# inner grid steps (the output block revisits the same index for every
+# column block). Ragged edges are zero-padded: all three reductions map
+# zero elements to an exactly-zero contribution (for the general-Gaussian
+# KL, (0-0-1) + e^0 + 0 = 0).
 _ROWS = 8
+_MAX_COLS = 32768  # 8 x 32768 x 4B = 1 MB per input block
 
 
 def _rows_call(kernel, n_in: int, rows: Tuple[Array, ...], interpret: bool):
     b, d = rows[0].shape
     bp = -(-b // _ROWS) * _ROWS
-    if bp != b:
-        rows = tuple(jnp.pad(r, ((0, bp - b), (0, 0))) for r in rows)
+    cb = min(d, _MAX_COLS)
+    dp = -(-d // cb) * cb
+    if (bp, dp) != (b, d):
+        rows = tuple(jnp.pad(r, ((0, bp - b), (0, dp - d))) for r in rows)
     out = pl.pallas_call(
         kernel,
-        grid=(bp // _ROWS,),
+        grid=(bp // _ROWS, dp // cb),
         in_specs=[
-            pl.BlockSpec((_ROWS, d), lambda i: (i, 0), memory_space=_VMEM)
+            pl.BlockSpec((_ROWS, cb), lambda i, j: (i, j), memory_space=_VMEM)
             for _ in range(n_in)
         ],
-        out_specs=pl.BlockSpec((_ROWS, 1), lambda i: (i, 0), memory_space=_VMEM),
+        out_specs=pl.BlockSpec((_ROWS, 1), lambda i, j: (i, 0), memory_space=_VMEM),
         out_shape=jax.ShapeDtypeStruct((bp, 1), jnp.float32),
         interpret=interpret,
     )(*rows)
     return out[:b, 0]
 
 
+def _accumulate(out_ref, partial: Array) -> None:
+    """Zero the accumulator on the first column block, then accumulate."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += partial
+
+
 # ------------------------------------------------------------ sq_rows
 def _sq_kernel(a_ref, b_ref, out_ref):
     d = a_ref[...] - b_ref[...]
-    out_ref[...] = jnp.sum(d * d, axis=1, keepdims=True)
+    _accumulate(out_ref, jnp.sum(d * d, axis=1, keepdims=True))
 
 
 @jax.custom_vjp
@@ -105,7 +123,9 @@ sq_rows.defvjp(_sq_fwd, _sq_bwd)
 def _kl_std_kernel(mu_ref, lv_ref, out_ref):
     mu = mu_ref[...]
     lv = lv_ref[...]
-    out_ref[...] = jnp.sum(mu * mu + jnp.exp(lv) - 1.0 - lv, axis=1, keepdims=True)
+    _accumulate(
+        out_ref, jnp.sum(mu * mu + jnp.exp(lv) - 1.0 - lv, axis=1, keepdims=True)
+    )
 
 
 @jax.custom_vjp
@@ -143,10 +163,13 @@ def _kl_gen_kernel(mu2_ref, lv2_ref, mu3_ref, lv3_ref, out_ref):
     mu2, lv2 = mu2_ref[...], lv2_ref[...]
     mu3, lv3 = mu3_ref[...], lv3_ref[...]
     dm = mu2 - mu3
-    out_ref[...] = jnp.sum(
-        (lv3 - lv2 - 1.0) + jnp.exp(lv2 - lv3) + dm * dm * jnp.exp(-lv3),
-        axis=1,
-        keepdims=True,
+    _accumulate(
+        out_ref,
+        jnp.sum(
+            (lv3 - lv2 - 1.0) + jnp.exp(lv2 - lv3) + dm * dm * jnp.exp(-lv3),
+            axis=1,
+            keepdims=True,
+        ),
     )
 
 

@@ -43,6 +43,33 @@ def test_kl_gen_rows_interpret_matches():
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5)
 
 
+def test_column_tiled_accumulation():
+    """Rows longer than one VMEM block (128px configs: 218k features) are
+    tiled over column blocks with accumulation; ragged edge zero-padded."""
+    from simple_vae_rs_tpu.ops import pallas_elbo as pe_mod
+
+    old = pe_mod._MAX_COLS
+    pe_mod._MAX_COLS = 256  # force many column blocks with a ragged edge
+    try:
+        rng = np.random.default_rng(7)
+        d = 1000  # 4 blocks of 256 with padding
+        a, b = _rows(rng, 3, d), _rows(rng, 3, d)
+        got = pe._sq_rows_impl(jnp.array(a), jnp.array(b), interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.sum((a - b) ** 2, axis=1), rtol=1e-4
+        )
+        args = [_rows(rng, 3, d) for _ in range(4)]
+        got_kl = pe._kl_gen_rows_impl(*(jnp.array(x) for x in args), interpret=True)
+        mu2, lv2, mu3, lv3 = args
+        want = np.sum(
+            (lv3 - lv2 - 1) + np.exp(lv2 - lv3) + (mu2 - mu3) ** 2 * np.exp(-lv3),
+            axis=1,
+        )
+        np.testing.assert_allclose(np.asarray(got_kl), want, rtol=1e-4)
+    finally:
+        pe_mod._MAX_COLS = old
+
+
 def test_unaligned_row_length():
     """Row length not a multiple of 128 (latent_y=3392 case)."""
     rng = np.random.default_rng(3)
