@@ -97,6 +97,10 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
         "--debug_nans", action="store_true",
         help="Enable jax debug_nans (fail fast at the op that produced NaN).",
     )
+    parser.add_argument(
+        "--remat", action="store_true",
+        help="Rematerialize the forward in backward (activation memory ↓).",
+    )
     return parser.parse_args(argv)
 
 
@@ -189,6 +193,7 @@ def main(args: argparse.Namespace) -> None:
         seed=args.seed,
         use_bfloat16=args.bf16,
         profile_dir=args.profile_dir,
+        remat=args.remat,
     )
     trainer = Trainer(
         model, train_cfg, callbacks=callbacks, logger=logger, mesh=mesh, job_id=job_id

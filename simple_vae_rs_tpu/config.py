@@ -147,3 +147,7 @@ class TrainConfig:
     # jax.profiler trace of the second trained epoch is written here
     # (SURVEY §5.a: the reference has no tracing at all).
     profile_dir: str = ""
+    # Rematerialize the forward pass during backward (jax.checkpoint):
+    # trades ~1 extra forward of FLOPs for dropping all activation storage —
+    # for configs whose activations outgrow HBM (large patch/batch).
+    remat: bool = False

@@ -174,12 +174,14 @@ class Trainer:
     def _build_steps(self) -> None:
         def train_step(state: TrainState, batch, lr):
             step_rng = jax.random.fold_in(state.rng, state.step)
-            grad_fn = jax.value_and_grad(
-                lambda p: self._loss_and_terms(
-                    p, state.batch_stats, batch, step_rng, True
-                ),
-                has_aux=True,
+            loss_fn = lambda p: self._loss_and_terms(
+                p, state.batch_stats, batch, step_rng, True
             )
+            if self.cfg.remat:
+                # recompute the forward during backward instead of storing
+                # activations (HBM headroom for large patch/batch configs)
+                loss_fn = jax.checkpoint(loss_fn)
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
             (_, (terms, new_stats)), grads = grad_fn(state.params)
             updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
             new_params = jax.tree.map(

@@ -145,6 +145,29 @@ def test_reduce_lr_on_plateau_torch_semantics():
     assert s.num_bad_epochs == 0
 
 
+def test_remat_matches_plain_step():
+    """jax.checkpoint changes memory behavior, not math: one remat'd step
+    must produce the same loss and parameters as the plain step."""
+    import jax
+
+    batches = _sr_batches(n=1, ps=16, seed=9)
+    model = CondSRVAE(CondSRVAEConfig(cr=2.0, patch_size=16))
+
+    def one_step(remat):
+        trainer = Trainer(model, TrainConfig(learning_rate=1e-3, remat=remat, seed=4))
+        state = trainer.init_state(batches[0])
+        state, terms = trainer._train_step(
+            state, trainer._device_batch(batches[0]), jnp.float32(1e-3)
+        )
+        return float(terms["loss"]), jax.device_get(state.params)
+
+    loss_a, p_a = one_step(False)
+    loss_b, p_b = one_step(True)
+    assert loss_a == pytest.approx(loss_b, rel=1e-6)
+    for a, b in zip(jax.tree.leaves(p_a), jax.tree.leaves(p_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
 def test_training_is_deterministic_across_runs():
     """Same seed -> bitwise-identical parameters after identical steps
     (the deterministic-RNG guarantee SURVEY §5.b asks for)."""
