@@ -23,3 +23,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persist CPU compiles across test runs (the big-model tests dominate the
+# suite's wall clock on this 1-core machine).
+from simple_vae_rs_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(os.path.expanduser("~/.cache/svrs_jax_cache_cpu"))
