@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Benchmark the uncertainty-quantification path: posterior draws/sec.
+
+The reference's task decodes 1000 posterior draws through the HR decoder
+(``models/base.py:306``). Here the prior is computed once and the draws are
+decoded in compiled chunks (``tasks.sample_chunked``). Prints one JSON line
+per configuration.
+
+For the torch-CPU denominator run with ``--reference`` (times the
+reference's own ``sample`` on this machine).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def bench_ours(samples=1000, chunk=250, patch_size=64, cr=1.2):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from simple_vae_rs_tpu.config import CondSRVAEConfig
+    from simple_vae_rs_tpu.models import CondSRVAE
+    from simple_vae_rs_tpu.tasks import sample_chunked
+    from simple_vae_rs_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = CondSRVAEConfig(cr=cr, patch_size=patch_size)
+    model = CondSRVAE(cfg, dtype=jnp.bfloat16)
+    y = jnp.asarray(
+        np.random.default_rng(0).random((1, patch_size // 2, patch_size // 2, 4)),
+        dtype=jnp.float32,
+    )
+    variables = jax.jit(
+        lambda r: model.init(
+            {"params": r}, jnp.zeros((1, patch_size, patch_size, 4)), y,
+            jax.random.PRNGKey(1), train=False,
+        )
+    )(jax.random.PRNGKey(0))
+
+    # warmup (compiles prep + chunk decode)
+    out = sample_chunked(model, variables, y, jax.random.PRNGKey(2), samples=chunk,
+                         chunk=chunk)
+    float(jax.device_get(out[0, 0, 0, 0]))
+
+    for label in ("first", "steady"):
+        t0 = time.perf_counter()
+        out = sample_chunked(model, variables, y, jax.random.PRNGKey(3),
+                             samples=samples, chunk=chunk)
+        float(jax.device_get(out[-1, 0, 0, 0]))
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": "uq_posterior_draws_per_sec",
+            "impl": f"tpu-{label}",
+            "samples": samples,
+            "value": round(samples / dt, 1),
+            "seconds_total": round(dt, 3),
+        }))
+
+
+def bench_reference(samples=1000, patch_size=64, cr=1.2):
+    sys.path.insert(0, "/root/reference")
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))
+    from measure_reference_baseline import _stub_missing_modules
+
+    _stub_missing_modules()
+    import torch
+
+    import models
+
+    torch.manual_seed(0)
+    model = models.Cond_SRVAE(cr, patch_size=patch_size)
+    model.eval()
+    y = torch.rand(1, 4, patch_size // 2, patch_size // 2)
+    with torch.no_grad():
+        model.sample(y, samples=50)  # warmup
+        t0 = time.perf_counter()
+        model.sample(y, samples=samples)
+        dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "uq_posterior_draws_per_sec",
+        "impl": "reference-torch-cpu",
+        "samples": samples,
+        "value": round(samples / dt, 1),
+        "seconds_total": round(dt, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--reference" in sys.argv:
+        bench_reference()
+    else:
+        bench_ours()

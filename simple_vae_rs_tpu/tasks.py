@@ -53,58 +53,74 @@ def sample_chunked(
     n_chunks = -(-samples // chunk)
 
     if isinstance(model, (CondSRVAE, SRVAE)):
-
-        def cond_prep(m, y, r):
-            from simple_vae_rs_tpu.models.srvae import box_downsample_2x
-            from simple_vae_rs_tpu.models.vae import reparameterize
-
-            core = m.core if isinstance(m, SRVAE) else m
-            if isinstance(m, SRVAE) and y.shape[1] == m.config.patch_size:
-                y = box_downsample_2x(y)
-            mu_u, logvar_u = core.encode_y(y, train=False)
-            u = reparameterize(r, mu_u, logvar_u)
-            y_feat = core.y_embedding(y, train=False)
-            mu_p, lv_p = core.z_cond(y_feat, u, train=False)
-            return mu_p, lv_p, y_feat
-
-        def cond_decode(m, z, yf):
-            core = m.core if isinstance(m, SRVAE) else m
-            return core.decode_x_from_features(z, yf, train=False)
-
         rng_u, rng_z = jax.random.split(rng)
-        mu_p, lv_p, y_feat = jax.jit(
-            lambda v, y, r: model.apply(v, y, r, method=cond_prep)
-        )(variables, y, rng_u)
+        mu_p, lv_p, y_feat = _cond_prep(model, variables, y, rng_u)
         std = jnp.exp(0.5 * lv_p)
-
-        @jax.jit
-        def decode_chunk(v, r):
-            eps = jax.random.normal(r, (chunk,) + mu_p.shape[1:], jnp.float32)
-            z = mu_p + eps * std
-            yf = jnp.broadcast_to(y_feat, (chunk,) + y_feat.shape[1:])
-            return model.apply(v, z, yf, method=cond_decode)
-
         outs = [
-            decode_chunk(variables, jax.random.fold_in(rng_z, i))
+            _cond_decode_chunk(
+                model, variables, mu_p, std, y_feat,
+                jax.random.fold_in(rng_z, i), chunk,
+            )
             for i in range(n_chunks)
         ]
     else:
-        mu, logvar = jax.jit(
-            lambda v, y: model.apply(v, y, train=False, method=VAE.encode)
-        )(variables, y)
+        mu, logvar = _vae_encode(model, variables, y)
         std = jnp.exp(0.5 * logvar)
-
-        @jax.jit
-        def decode_chunk(v, r):
-            eps = jax.random.normal(r, (chunk, mu.shape[-1]), jnp.float32)
-            z = mu + eps * std
-            return model.apply(v, z, train=False, method=VAE.decode)
-
         outs = [
-            decode_chunk(variables, jax.random.fold_in(rng, i))
+            _vae_decode_chunk(
+                model, variables, mu, std, jax.random.fold_in(rng, i), chunk
+            )
             for i in range(n_chunks)
         ]
     return jnp.concatenate(outs, axis=0)[:samples]
+
+
+# Module-level jitted helpers: flax modules are hashable (frozen dataclasses
+# over frozen configs), so they pass as static args and the compiled
+# executables persist across sample_chunked calls — the serving path pays
+# tracing/compilation once per (model, shapes), not once per request.
+def _cond_prep_method(m, y, r):
+    from simple_vae_rs_tpu.models.srvae import box_downsample_2x
+    from simple_vae_rs_tpu.models.vae import reparameterize
+
+    core = m.core if isinstance(m, SRVAE) else m
+    if isinstance(m, SRVAE) and y.shape[1] == m.config.patch_size:
+        y = box_downsample_2x(y)
+    mu_u, logvar_u = core.encode_y(y, train=False)
+    u = reparameterize(r, mu_u, logvar_u)
+    y_feat = core.y_embedding(y, train=False)
+    mu_p, lv_p = core.z_cond(y_feat, u, train=False)
+    return mu_p, lv_p, y_feat
+
+
+def _cond_decode_method(m, z, yf):
+    core = m.core if isinstance(m, SRVAE) else m
+    return core.decode_x_from_features(z, yf, train=False)
+
+
+@partial(jax.jit, static_argnames=("model",))
+def _cond_prep(model, variables, y, rng):
+    return model.apply(variables, y, rng, method=_cond_prep_method)
+
+
+@partial(jax.jit, static_argnames=("model", "chunk"))
+def _cond_decode_chunk(model, variables, mu_p, std, y_feat, rng, chunk):
+    eps = jax.random.normal(rng, (chunk,) + mu_p.shape[1:], jnp.float32)
+    z = mu_p + eps * std
+    yf = jnp.broadcast_to(y_feat, (chunk,) + y_feat.shape[1:])
+    return model.apply(variables, z, yf, method=_cond_decode_method)
+
+
+@partial(jax.jit, static_argnames=("model",))
+def _vae_encode(model, variables, y):
+    return model.apply(variables, y, train=False, method=VAE.encode)
+
+
+@partial(jax.jit, static_argnames=("model", "chunk"))
+def _vae_decode_chunk(model, variables, mu, std, rng, chunk):
+    eps = jax.random.normal(rng, (chunk, mu.shape[-1]), jnp.float32)
+    z = mu + eps * std
+    return model.apply(variables, z, train=False, method=VAE.decode)
 
 
 @partial(jax.jit, static_argnames=())
