@@ -29,12 +29,19 @@ from simple_vae_rs_tpu.data.tiffio import read_tiff
 
 
 def _to_hwc(arr: np.ndarray) -> np.ndarray:
-    """tifffile-style output -> (H, W, C) float32."""
+    """tifffile-style output -> (H, W, C), native dtype preserved.
+
+    Integer tiles (Sen2Venus is int16 digital numbers) stay integer so the
+    host->device transfer ships half the bytes; the cast to f32 happens on
+    device inside the patchify jit (normalization is f32 regardless).
+    """
     if arr.ndim == 2:
         arr = arr[..., None]
     elif arr.ndim == 3 and arr.shape[0] <= 16 and arr.shape[0] < arr.shape[-1]:
         arr = np.transpose(arr, (1, 2, 0))  # (C, H, W) -> (H, W, C)
-    return np.ascontiguousarray(arr, dtype=np.float32)
+    if arr.dtype.kind == "f" and arr.dtype != np.float32:
+        arr = arr.astype(np.float32)
+    return np.ascontiguousarray(arr)
 
 
 class Sen2VenusDataset:

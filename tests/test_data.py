@@ -135,7 +135,9 @@ def test_sen2venus_dataset_from_index(tmp_path):
     assert len(ds) == 3
     lr, hr = ds[1]
     assert lr.shape == (16, 16, 4) and hr.shape == (32, 32, 4)
-    assert lr.dtype == np.float32
+    # integer tiles ship as int16 (half the host->device bytes); the
+    # f32 cast happens on device in the patchify jit
+    assert lr.dtype == np.int16
 
 
 def test_flood_dataset(tmp_path):
