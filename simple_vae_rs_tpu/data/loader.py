@@ -86,22 +86,42 @@ class DeviceLoader:
                 yield self._gather(idxs)
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
         sentinel = object()
 
         def worker():
             try:
                 for idxs in batches:
-                    q.put(self._gather(idxs))
-            finally:
-                q.put(sentinel)
+                    item = self._gather(idxs)
+                    # bounded put that gives up when the consumer abandoned
+                    # iteration (e.g. `next(iter(loader))` for one batch) —
+                    # otherwise the thread would block on the full queue
+                    # forever and leak
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+            except Exception as exc:  # propagate IO errors to the consumer
+                q.put(exc)
+                return
+            q.put(sentinel)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
 
     def __iter__(self):
         self._epoch += 1

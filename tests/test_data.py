@@ -178,6 +178,45 @@ def test_device_loader_random_mode_and_epochs_differ():
     assert not all(np.array_equal(a, b) for a, b in zip(e1, e2))
 
 
+def test_loader_propagates_worker_errors():
+    """An IO error in the prefetch thread must surface, not truncate the
+    epoch silently."""
+
+    class Broken:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            if i == 2:
+                raise OSError("corrupt tile")
+            a = np.zeros((8, 8, 4), np.float32)
+            return a, np.zeros((16, 16, 4), np.float32)
+
+    loader = DeviceLoader(Broken(), batch_size=1, patch_size=16, crop="grid",
+                          prefetch=2)
+    with pytest.raises(OSError, match="corrupt tile"):
+        for _ in loader:
+            pass
+
+
+def test_loader_abandoned_iteration_stops_worker():
+    """Taking one batch and dropping the iterator must not leave the
+    prefetch thread blocked forever."""
+    import threading
+
+    ds = SyntheticSRDataset(length=12, hr_size=64, seed=10)
+    before = threading.active_count()
+    for _ in range(5):
+        it = iter(DeviceLoader(ds, batch_size=2, patch_size=32, crop="grid",
+                               prefetch=1))
+        next(it)
+        it.close()  # generator finalization sets the stop event
+    import time
+
+    time.sleep(1.0)  # workers notice stop within their put timeout
+    assert threading.active_count() <= before + 1
+
+
 def test_init_dataloader_split_and_synthetic():
     train, val = init_dataloader("synthetic", batch_size=4, patch_size=64)
     assert len(train.dataset) == 51  # 80% of 64
