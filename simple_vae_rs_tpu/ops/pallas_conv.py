@@ -1,0 +1,146 @@
+"""Pallas-fused 3x3 conv + bias + BN + ReLU block (inference fast path).
+
+The north-star block kernel (BASELINE.json: "conv encoder/decoder stacks
+backed by Pallas-fused conv+norm+activation blocks"): a same-padded 3x3
+convolution expressed the MXU-native way — nine shifted (H*W, C) x (C, O)
+matmuls accumulated in VMEM — with the whole pointwise tail (bias, folded
+BatchNorm affine, ReLU) fused into the same kernel, so one HBM round trip
+covers what torch runs as 3-4 kernels.
+
+Measured on a v5e (B=64, 64x64x64->64, 30-call steady state, 2026-08-16):
+bf16 **1.60 ms (12.1 TF/s) vs XLA conv+mul+max 2.88 ms (6.7 TF/s)** — 1.8x;
+f32 parity (2.29 vs 2.14 ms). Numerics match `lax.conv_general_dilated` to
+3e-6 (tests/test_pallas_conv.py + live run).
+
+Scope and honesty: the training step keeps XLA convs (its end-to-end step
+is compute-bound already, and this kernel covers 3x3/s1 only — no strided
+4x4 or transposed variants, no backward). This is the opt-in inference
+path: eval-mode BatchNorm is a pure affine, so conv+BN+ReLU collapses into
+one fused pass. Wiring it through the eval/serving conv3x3 layers is
+round-2 work.
+
+VMEM budget: one grid program holds one batch element's padded input
+(H+2, W+2, C), the kernel (3, 3, C, O) and the f32 accumulator (H*W, O).
+`fits_vmem` guards applicability; callers fall back to `lax.conv` beyond.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+
+    _VMEM = pltpu.VMEM
+    _HAVE_PLTPU = True
+except ImportError:  # pragma: no cover
+    _VMEM = None
+    _HAVE_PLTPU = False
+
+Array = jnp.ndarray
+
+_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the 16 MB scoped limit
+
+
+def fits_vmem(h: int, w: int, c: int, o: int, itemsize: int = 4) -> bool:
+    xp = (h + 2) * (w + 2) * c * itemsize
+    wgt = 9 * c * o * itemsize
+    acc = h * w * o * 4  # f32 accumulator
+    return xp + wgt + 2 * acc < _VMEM_BUDGET
+
+
+def _kernel(h: int, w: int, relu: bool):
+    def body(xp_ref, w_ref, scale_ref, shift_ref, out_ref):
+        acc = jnp.zeros((h * w, w_ref.shape[-1]), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                patch = xp_ref[0, dy : dy + h, dx : dx + w, :].reshape(h * w, -1)
+                acc += jnp.dot(
+                    patch, w_ref[dy, dx], preferred_element_type=jnp.float32
+                )
+        out = acc * scale_ref[...] + shift_ref[...]
+        if relu:
+            out = jnp.maximum(out, 0.0)
+        out_ref[...] = out.reshape(1, h, w, -1)
+
+    return body
+
+
+@partial(jax.jit, static_argnames=("relu", "interpret"))
+def fused_conv3x3_bn_relu(
+    x: Array,
+    kernel: Array,
+    scale: Array,
+    shift: Array,
+    relu: bool = True,
+    interpret: bool = False,
+) -> Array:
+    """y = act((conv3x3(x, kernel)) * scale + shift), one fused kernel.
+
+    - ``x``: (B, H, W, C) — any float dtype; accumulation is f32.
+    - ``kernel``: (3, 3, C, O).
+    - ``scale``/``shift``: (O,) — the folded pointwise tail. For a plain
+      conv+bias use scale=1, shift=bias; for eval BatchNorm see
+      :func:`fold_conv_bn`.
+    """
+    b, h, w, c = x.shape
+    o = kernel.shape[-1]
+    if not _HAVE_PLTPU or (not interpret and jax.default_backend() != "tpu"):
+        return _reference(x, kernel, scale, shift, relu)
+    if not fits_vmem(h, w, c, o, jnp.dtype(x.dtype).itemsize):
+        return _reference(x, kernel, scale, shift, relu)
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return pl.pallas_call(
+        _kernel(h, w, relu),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h + 2, w + 2, c), lambda i: (i, 0, 0, 0),
+                         memory_space=_VMEM),
+            pl.BlockSpec((3, 3, c, o), lambda i: (0, 0, 0, 0), memory_space=_VMEM),
+            pl.BlockSpec((o,), lambda i: (0,), memory_space=_VMEM),
+            pl.BlockSpec((o,), lambda i: (0,), memory_space=_VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w, o), lambda i: (i, 0, 0, 0),
+                               memory_space=_VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, o), jnp.float32),
+        interpret=interpret,
+    )(xp, kernel, scale.astype(jnp.float32), shift.astype(jnp.float32))
+
+
+def _reference(x, kernel, scale, shift, relu):
+    out = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32),
+        kernel.astype(jnp.float32),
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    out = out * scale + shift
+    return jnp.maximum(out, 0.0) if relu else out
+
+
+def fold_conv_bn(
+    kernel: Array,
+    bias: Optional[Array],
+    bn_scale: Array,
+    bn_bias: Array,
+    running_mean: Array,
+    running_var: Array,
+    eps: float = 1e-5,
+):
+    """Fold eval-mode BatchNorm into (scale, shift) for the fused kernel.
+
+    conv -> BN(eval) == conv * s + t with s = gamma/sqrt(var+eps) and
+    t = beta - mean*s (+ bias*s when the conv has a bias).
+    """
+    s = bn_scale / jnp.sqrt(running_var + eps)
+    t = bn_bias - running_mean * s
+    if bias is not None:
+        t = t + bias * s
+    return kernel, s, t

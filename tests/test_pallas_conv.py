@@ -1,0 +1,68 @@
+"""Fused conv3x3+BN+ReLU Pallas kernel vs lax.conv reference."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from simple_vae_rs_tpu.ops.pallas_conv import (
+    _reference,
+    fits_vmem,
+    fold_conv_bn,
+    fused_conv3x3_bn_relu,
+)
+
+
+def _data(b=2, h=8, w=8, c=4, o=8, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    k = rng.standard_normal((3, 3, c, o)).astype(np.float32) * 0.2
+    scale = rng.standard_normal(o).astype(np.float32)
+    shift = rng.standard_normal(o).astype(np.float32)
+    return jnp.array(x), jnp.array(k), jnp.array(scale), jnp.array(shift)
+
+
+def test_fused_matches_lax_conv_interpret():
+    x, k, s, t = _data()
+    got = fused_conv3x3_bn_relu(x, k, s, t, interpret=True)
+    want = _reference(x, k, s, t, relu=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_fused_no_relu():
+    x, k, s, t = _data(seed=1)
+    got = fused_conv3x3_bn_relu(x, k, s, t, relu=False, interpret=True)
+    want = _reference(x, k, s, t, relu=False)
+    assert float(jnp.min(got)) < 0  # relu really off
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_fold_conv_bn_equals_separate_ops():
+    rng = np.random.default_rng(2)
+    o = 6
+    x, k, _, _ = _data(c=4, o=o, seed=3)
+    bias = jnp.array(rng.standard_normal(o).astype(np.float32))
+    gamma = jnp.array(rng.random(o).astype(np.float32) + 0.5)
+    beta = jnp.array(rng.standard_normal(o).astype(np.float32))
+    mean = jnp.array(rng.standard_normal(o).astype(np.float32))
+    var = jnp.array(rng.random(o).astype(np.float32) + 0.5)
+
+    kernel, s, t = fold_conv_bn(k, bias, gamma, beta, mean, var)
+    fused = fused_conv3x3_bn_relu(x, kernel, s, t, relu=True, interpret=True)
+
+    conv = jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + bias
+    bn = (conv - mean) / jnp.sqrt(var + 1e-5) * gamma + beta
+    want = jnp.maximum(bn, 0.0)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(want), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_vmem_guard_falls_back():
+    assert not fits_vmem(256, 256, 128, 128)
+    x, k, s, t = _data(b=1, h=8, w=8)
+    # oversize path goes through the lax reference, still correct
+    out = fused_conv3x3_bn_relu(x, k, s, t)
+    assert out.shape == (1, 8, 8, 8)
