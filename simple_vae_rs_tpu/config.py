@@ -14,12 +14,20 @@ from typing import Tuple
 
 
 def _vae_latent_size(patch_size: int, cr: float) -> int:
-    """Latent-size formula of the plain VAE (reference ``models/vae.py:29-31``)."""
+    """Latent-size formula of the plain VAE (reference ``models/vae.py:29-31``).
+
+    The literal ``4`` is the reference's band count baked into its formula;
+    it stays 4 even for other ``channels`` so that ``cr`` keeps the same
+    meaning as the reference's flag (compression relative to 4-band pixels).
+    """
     return int((patch_size * patch_size * 4 // cr) // 16) * 16
 
 
 def _cond_latent_size(patch_size: int, cr: float) -> int:
-    """Latent-size formula of Cond_SRVAE (reference ``models/cond_vae.py:21``)."""
+    """Latent-size formula of Cond_SRVAE (reference ``models/cond_vae.py:21``).
+
+    Same note as :func:`_vae_latent_size` regarding the literal ``4``.
+    """
     return int((patch_size * patch_size * 4 / cr) // 256) * 256
 
 

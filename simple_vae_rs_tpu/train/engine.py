@@ -301,16 +301,29 @@ class Trainer:
         Gives the ``--pre_epochs`` flag real semantics (the reference parses
         it but never reads it — SURVEY §2.2-4). Only the LR branch receives
         gradients (the loss touches nothing else); a throwaway optimizer is
-        used so the main run starts with fresh Adam state.
+        used so the main run starts with fresh Adam state. For the
+        hierarchical ``SRVAE`` the LR view is computed from the HR batch.
         """
-        if self.kind != "cond" or pre_epochs <= 0 or self.state is None:
+        if self.kind not in ("cond", "srvae") or pre_epochs <= 0 or self.state is None:
             return
         pre_tx = make_optimizer(self.cfg)
         pre_opt = pre_tx.init(self.state.params)
+        srvae = self.kind == "srvae"
+
+        def lr_method(m, y, r, train):
+            if srvae:
+                return m.core.lr_autoencode(y, r, train)
+            return m.lr_autoencode(y, r, train)
 
         @jax.jit
         def pre_step(state: TrainState, opt_state, batch, lr):
             rng = jax.random.fold_in(state.rng, state.step)
+            if srvae:
+                from simple_vae_rs_tpu.models.srvae import box_downsample_2x
+
+                y_in = box_downsample_2x(batch[-1])
+            else:
+                y_in = batch[0]
 
             def loss_fn(params):
                 variables = {"params": params}
@@ -318,13 +331,12 @@ class Trainer:
                     variables["batch_stats"] = state.batch_stats
                 mutable = ["batch_stats"] if state.batch_stats else False
                 out = self.model.apply(
-                    variables, batch[0], rng, train=True,
-                    method=CondSRVAE.lr_autoencode, mutable=mutable,
+                    variables, y_in, rng, True, method=lr_method, mutable=mutable
                 )
                 (y_hat, mu_u, lv_u), aux = out if mutable else (out, {})
-                mse_y, kld_u = L.fused_base_loss(
-                    y_hat, batch[0], mu_u, lv_u, params["gammay"]
-                )
+                gkey = "core" if srvae else None
+                gammay = params[gkey]["gammay"] if gkey else params["gammay"]
+                mse_y, kld_u = L.fused_base_loss(y_hat, y_in, mu_u, lv_u, gammay)
                 return mse_y + kld_u, aux.get("batch_stats", state.batch_stats)
 
             (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(

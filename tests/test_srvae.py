@@ -83,6 +83,32 @@ def test_srvae_training_loop_and_task_paths(tmp_path):
     assert np.isfinite(out["mmse"])
 
 
+def test_srvae_pretrain_lr_branch():
+    """Hierarchical model pre-trains its LR branch from the internal view."""
+    batches = _batches(n=1, ps=16, seed=7)
+    loader = ArrayLoader(batches)
+    model = SRVAE(CondSRVAEConfig(cr=2.0, patch_size=16))
+    trainer = Trainer(model, TrainConfig(learning_rate=1e-3))
+    state0 = trainer.init_state(batches[0])
+    before = jax.device_get(state0.params)
+    trainer.pretrain_lr_branch(loader, pre_epochs=1)
+    after = jax.device_get(trainer.state.params)
+    moved = frozen = 0
+    for path, a in jax.tree_util.tree_leaves_with_path(before):
+        node = after
+        for k in path:
+            node = node[k.key]
+        name = jax.tree_util.keystr(path)
+        same = np.allclose(np.asarray(a), np.asarray(node))
+        if ("ey_" in name) or ("dy_" in name) or ("gammay" in name):
+            assert not same, name
+            moved += 1
+        else:
+            assert same, name
+            frozen += 1
+    assert moved and frozen
+
+
 def test_cond_pretrain_lr_branch_only_updates_y_branch():
     from simple_vae_rs_tpu.config import CondSRVAEConfig
     from simple_vae_rs_tpu.models import CondSRVAE
