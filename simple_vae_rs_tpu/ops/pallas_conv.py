@@ -125,6 +125,29 @@ def _reference(x, kernel, scale, shift, relu):
     return jnp.maximum(out, 0.0) if relu else out
 
 
+# Differentiable wrapper: forward = fused Pallas kernel, backward = XLA's
+# autodiff of the reference expression (exactly the same math; the backward
+# conv pair is already well-lowered by XLA, so a hand-written Pallas bwd
+# would buy nothing). Makes the fused block usable inside training graphs.
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_conv3x3_bn_relu_grad(x, kernel, scale, shift, relu=True):
+    return fused_conv3x3_bn_relu(x, kernel, scale, shift, relu=relu)
+
+
+def _fused_fwd(x, kernel, scale, shift, relu):
+    out = fused_conv3x3_bn_relu(x, kernel, scale, shift, relu=relu)
+    return out, (x, kernel, scale, shift)
+
+
+def _fused_bwd(relu, res, g):
+    x, kernel, scale, shift = res
+    _, vjp = jax.vjp(lambda *a: _reference(*a, relu), x, kernel, scale, shift)
+    return vjp(g)
+
+
+fused_conv3x3_bn_relu_grad.defvjp(_fused_fwd, _fused_bwd)
+
+
 def fold_conv_bn(
     kernel: Array,
     bias: Optional[Array],

@@ -60,6 +60,24 @@ def test_fold_conv_bn_equals_separate_ops():
                                atol=1e-5)
 
 
+def test_custom_vjp_grads_match_reference():
+    from simple_vae_rs_tpu.ops.pallas_conv import fused_conv3x3_bn_relu_grad
+
+    x, k, s, t = _data(b=1, h=6, w=6, c=4, o=4, seed=5)
+
+    def loss_fused(x, k, s, t):
+        return jnp.sum(fused_conv3x3_bn_relu_grad(x, k, s, t, True) ** 2)
+
+    def loss_ref(x, k, s, t):
+        return jnp.sum(_reference(x, k, s, t, True) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(x, k, s, t)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, k, s, t)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
+
+
 def test_vmem_guard_falls_back():
     assert not fits_vmem(256, 256, 128, 128)
     x, k, s, t = _data(b=1, h=8, w=8)
