@@ -59,6 +59,12 @@ class SRVAE(nn.Module):
         out = self.core(x, y, rng, train)
         return out + (y,)
 
+    def conditional_generation(self, y: Array, rng: jax.Array) -> Array:
+        """Single-draw 2x SR given an LR (or HR, downsampled first) image."""
+        if y.shape[1] == self.config.patch_size:
+            y = box_downsample_2x(y)
+        return self.core.conditional_generation(y, rng)
+
     def sample(self, y: Array, rng: jax.Array, samples: int = 1000) -> Array:
         """Posterior-prior draws given an image (HR or LR).
 

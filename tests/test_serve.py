@@ -59,3 +59,27 @@ def test_uncertainty_maps(resolver):
 
 def test_warmup(resolver):
     warmup(resolver, lr_shape=(1, 8, 8, 4))
+
+
+def test_from_checkpoint_srvae(tmp_path):
+    from simple_vae_rs_tpu.models import SRVAE
+
+    cfg = CondSRVAEConfig(cr=2.0, patch_size=16)
+    model = SRVAE(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 16, 16, 4)),
+        jax.random.PRNGKey(1),
+        train=False,
+    )
+    state = create_train_state(variables, make_optimizer(TrainConfig()),
+                               jax.random.PRNGKey(2))
+    path = str(tmp_path / "srvae")
+    save_checkpoint(path, state, epoch=1)
+    sr = SuperResolver.from_checkpoint(path, cr=2.0, patch_size=16,
+                                       model_type="SRVAE")
+    y = np.random.default_rng(5).random((2, 8, 8, 4)).astype(np.float32)
+    out = sr.super_resolve(y)
+    assert out.shape == (2, 16, 16, 4)
+    maps = sr.uncertainty(y[0], samples=4, chunk=2)
+    assert maps["mean"].shape == (16, 16, 4)
