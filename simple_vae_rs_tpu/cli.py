@@ -101,6 +101,11 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
         "--remat", action="store_true",
         help="Rematerialize the forward in backward (activation memory ↓).",
     )
+    parser.add_argument(
+        "--pallas_conv", action="store_true",
+        help="Route 3x3/s1 convs through the fused Pallas kernel "
+        "(measured 1.8x over XLA conv in bf16 at 64ch).",
+    )
     return parser.parse_args(argv)
 
 
@@ -186,6 +191,10 @@ def main(args: argparse.Namespace) -> None:
     )
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    if args.pallas_conv:
+        from simple_vae_rs_tpu.ops import pallas_conv
+
+        pallas_conv.enable(True)
     train_cfg = TrainConfig(
         epochs=args.epochs,
         batch_size=args.batch_size,

@@ -62,6 +62,56 @@ def _uniform_init(bound: float) -> Callable:
 _torch_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
 
+class PallasCapableConv3x3(nn.Module):
+    """3x3/s1 conv, drop-in for ``nn.Conv`` (identical param tree/init),
+    that routes through the fused Pallas kernel when the process-wide
+    switch is on (``ops.pallas_conv.enable()`` / ``SVRS_PALLAS_CONV=1``)
+    and the shape fits VMEM. Differentiable either way (the fused path
+    carries a custom VJP), so the switch covers training and inference.
+    """
+
+    features: int
+    in_features: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from simple_vae_rs_tpu.ops import pallas_conv as pc
+
+        fan_in = self.in_features * 9
+        kernel = self.param(
+            "kernel", _torch_kernel_init, (3, 3, self.in_features, self.features)
+        )
+        bias = self.param(
+            "bias", _uniform_init(1.0 / math.sqrt(fan_in)), (self.features,)
+        )
+        dt = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
+        if (
+            pc.is_enabled()
+            and x.ndim == 4
+            and pc.fits_vmem(
+                x.shape[1], x.shape[2], x.shape[3], self.features,
+                jnp.dtype(dt).itemsize,
+            )
+        ):
+            out = pc.fused_conv3x3_bn_relu_grad(
+                x.astype(dt),
+                kernel.astype(dt),
+                jnp.ones((self.features,), jnp.float32),
+                bias.astype(jnp.float32),
+                False,
+            )
+            return out.astype(dt)
+        out = jax.lax.conv_general_dilated(
+            x.astype(dt),
+            kernel.astype(dt),
+            window_strides=(1, 1),
+            padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out + bias.astype(dt)
+
+
 def torch_conv(
     features: int,
     in_features: int,
@@ -70,8 +120,15 @@ def torch_conv(
     padding: int = 1,
     dtype: Optional[Dtype] = None,
     name: Optional[str] = None,
-) -> nn.Conv:
-    """``nn.Conv`` with torch-default initialization (NHWC)."""
+) -> nn.Module:
+    """Conv with torch-default initialization (NHWC).
+
+    The 3x3/s1 case returns :class:`PallasCapableConv3x3` (same parameter
+    tree as ``nn.Conv``) so every plain conv in the models can ride the
+    fused Pallas kernel behind the global switch.
+    """
+    if kernel_size == 3 and stride == 1 and padding == 1:
+        return PallasCapableConv3x3(features, in_features, dtype=dtype, name=name)
     fan_in = in_features * kernel_size * kernel_size
     return nn.Conv(
         features,

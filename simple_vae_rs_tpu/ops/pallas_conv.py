@@ -12,12 +12,16 @@ bf16 **1.60 ms (12.1 TF/s) vs XLA conv+mul+max 2.88 ms (6.7 TF/s)** — 1.8x;
 f32 parity (2.29 vs 2.14 ms). Numerics match `lax.conv_general_dilated` to
 3e-6 (tests/test_pallas_conv.py + live run).
 
-Scope and honesty: the training step keeps XLA convs (its end-to-end step
-is compute-bound already, and this kernel covers 3x3/s1 only — no strided
-4x4 or transposed variants, no backward). This is the opt-in inference
-path: eval-mode BatchNorm is a pure affine, so conv+BN+ReLU collapses into
-one fused pass. Wiring it through the eval/serving conv3x3 layers is
-round-2 work.
+Model-level, via the drop-in ``PallasCapableConv3x3`` (every 3x3/s1 conv in
+the models) behind the global switch: canonical Cond_SRVAE conditional
+generation at batch 16 runs **2.44 ms vs 17.46 ms** with XLA convs — 7.15x
+lower serving latency (output diff 1e-4, bf16 noise). The win inverts at
+large batch: the per-image grid loses to XLA's batched conv in the 512-patch
+training step (3.4k vs 10.6k patches/s), so the switch is OFF by default —
+enable it for latency-bound serving (`--pallas_conv` /
+``SVRS_PALLAS_CONV=1`` / ``serve.SuperResolver.from_checkpoint(...,
+pallas_conv=True)``), keep XLA for throughput training. Batch-tiled grids
+to close the large-batch gap are round-2 work.
 
 VMEM budget: one grid program holds one batch element's padded input
 (H+2, W+2, C), the kernel (3, 3, C, O) and the f32 accumulator (H*W, O).
@@ -167,3 +171,22 @@ def fold_conv_bn(
     if bias is not None:
         t = t + bias * s
     return kernel, s, t
+
+
+# ------------------------------------------------------------- global switch
+# Process-wide opt-in for routing the models' 3x3/s1 convs through the fused
+# kernel (CLI --pallas_conv, or SVRS_PALLAS_CONV=1). Read at TRACE time:
+# set it before the first jit of a graph (startup), not mid-run — compiled
+# executables do not retrace on a flag flip.
+import os as _os
+
+_ENABLED = _os.environ.get("SVRS_PALLAS_CONV", "0") == "1"
+
+
+def enable(value: bool = True) -> None:
+    global _ENABLED
+    _ENABLED = bool(value)
+
+
+def is_enabled() -> bool:
+    return _ENABLED

@@ -74,12 +74,19 @@ class SuperResolver:
         model_type: str = "Cond_SRVAE",
         dtype: Optional[Any] = None,
         seed: int = 0,
+        pallas_conv: bool = False,
     ) -> "SuperResolver":
         from simple_vae_rs_tpu.train.checkpoint import load_checkpoint
         from simple_vae_rs_tpu.train.state import create_train_state, make_optimizer
         from simple_vae_rs_tpu.utils.cache import enable_compilation_cache
 
         enable_compilation_cache()
+        if pallas_conv:
+            # 7x lower SR latency at small batch (see ops/pallas_conv.py);
+            # process-wide switch — set before any graph traces.
+            from simple_vae_rs_tpu.ops import pallas_conv as pc
+
+            pc.enable(True)
         cfg = CondSRVAEConfig(cr=cr, patch_size=patch_size, channels=channels)
         cls_ = {"Cond_SRVAE": CondSRVAE, "SRVAE": SRVAE}[model_type]
         model = cls_(cfg, dtype=dtype)

@@ -78,6 +78,28 @@ def test_custom_vjp_grads_match_reference():
                                    atol=1e-5)
 
 
+def test_model_forward_unchanged_by_switch_on_cpu():
+    """With the global switch on, CPU execution takes the reference path —
+    model outputs must be unchanged (wiring smoke for the drop-in conv)."""
+    from simple_vae_rs_tpu.config import VAEConfig
+    from simple_vae_rs_tpu.models import VAE
+    from simple_vae_rs_tpu.ops import pallas_conv as pc
+
+    model = VAE(VAEConfig(cr=2.0, patch_size=16))
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 16, 16, 4))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(1)}, x, jax.random.PRNGKey(2), train=False
+    )
+    off = model.apply(variables, x, jax.random.PRNGKey(3), train=False)
+    pc.enable(True)
+    try:
+        on = model.apply(variables, x, jax.random.PRNGKey(3), train=False)
+    finally:
+        pc.enable(False)
+    np.testing.assert_allclose(np.asarray(off[0]), np.asarray(on[0]), rtol=1e-5,
+                               atol=1e-6)
+
+
 def test_vmem_guard_falls_back():
     assert not fits_vmem(256, 256, 128, 128)
     x, k, s, t = _data(b=1, h=8, w=8)
