@@ -14,10 +14,10 @@ f32 parity (2.29 vs 2.14 ms). Numerics match `lax.conv_general_dilated` to
 
 Model-level, via the drop-in ``PallasCapableConv3x3`` (every 3x3/s1 conv in
 the models) behind the global switch: canonical Cond_SRVAE conditional
-generation at batch 16 runs **2.44 ms vs 17.46 ms** with XLA convs — 7.15x
+generation at batch 16 runs **2.10 ms vs 16.8 ms** with XLA convs — ~8x
 lower serving latency (output diff 1e-4, bf16 noise). The win inverts at
 large batch: the per-image grid loses to XLA's batched conv in the 512-patch
-training step (3.4k vs 10.6k patches/s), so the switch is OFF by default —
+training step (4.0k vs 10.6k patches/s), so the switch is OFF by default —
 enable it for latency-bound serving (`--pallas_conv` /
 ``SVRS_PALLAS_CONV=1`` / ``serve.SuperResolver.from_checkpoint(...,
 pallas_conv=True)``), keep XLA for throughput training. Batch-tiled grids
@@ -70,7 +70,7 @@ def _kernel(h: int, w: int, relu: bool):
         out = acc * scale_ref[...] + shift_ref[...]
         if relu:
             out = jnp.maximum(out, 0.0)
-        out_ref[...] = out.reshape(1, h, w, -1)
+        out_ref[...] = out.reshape(1, h, w, -1).astype(out_ref.dtype)
 
     return body
 
@@ -112,18 +112,22 @@ def fused_conv3x3_bn_relu(
         ],
         out_specs=pl.BlockSpec((1, h, w, o), lambda i: (i, 0, 0, 0),
                                memory_space=_VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, o), jnp.float32),
+        # output rides the input dtype (halves HBM write traffic for bf16);
+        # the accumulation inside the kernel is f32 regardless
+        out_shape=jax.ShapeDtypeStruct((b, h, w, o), x.dtype),
         interpret=interpret,
     )(xp, kernel, scale.astype(jnp.float32), shift.astype(jnp.float32))
 
 
 def _reference(x, kernel, scale, shift, relu):
+    # operands keep their dtype (bf16 stays bf16 on the MXU); accumulate f32
     out = jax.lax.conv_general_dilated(
-        x.astype(jnp.float32),
-        kernel.astype(jnp.float32),
+        x,
+        kernel,
         window_strides=(1, 1),
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
     )
     out = out * scale + shift
     return jnp.maximum(out, 0.0) if relu else out
@@ -145,8 +149,21 @@ def _fused_fwd(x, kernel, scale, shift, relu):
 
 def _fused_bwd(relu, res, g):
     x, kernel, scale, shift = res
-    _, vjp = jax.vjp(lambda *a: _reference(*a, relu), x, kernel, scale, shift)
-    return vjp(g)
+
+    # same-dtype expression for the VJP: lax.conv's backward requires both
+    # operands in one dtype, so the bf16 path differentiates an all-bf16
+    # conv (standard bf16 training numerics; scale/shift grads come back in
+    # their own primal dtype).
+    def f(x_, k_, s_, t_):
+        out = jax.lax.conv_general_dilated(
+            x_, k_, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        out = out * s_.astype(out.dtype) + t_.astype(out.dtype)
+        return jnp.maximum(out, 0.0) if relu else out
+
+    out_ref, vjp = jax.vjp(f, x, kernel, scale, shift)
+    return vjp(g.astype(out_ref.dtype))
 
 
 fused_conv3x3_bn_relu_grad.defvjp(_fused_fwd, _fused_bwd)
