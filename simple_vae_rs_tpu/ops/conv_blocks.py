@@ -16,9 +16,11 @@ TPU-first design notes:
   weight layout ``(in, out, kh, kw)``).
 - ``dtype`` selects the activation/compute dtype (bf16 on TPU feeds the MXU
   at full rate); parameters always live in f32.
-- XLA fuses conv + bias + BN-scale/shift + ReLU into one kernel at HLO
-  level; the Pallas path in ``ops/pallas_elbo.py`` covers the loss-side
-  fusion the compiler cannot do in one pass.
+- Every 3x3/s1 conv is a :class:`PallasCapableConv3x3` — identical
+  parameter tree to ``nn.Conv`` — that routes through the fused Pallas
+  block kernel (``ops/pallas_conv.py``, ~8x lower serving latency at small
+  batch) when the process-wide switch is on; XLA's own conv+pointwise
+  fusion otherwise (faster at large training batches).
 """
 
 from __future__ import annotations
