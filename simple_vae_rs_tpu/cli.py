@@ -133,6 +133,11 @@ def main(args: argparse.Namespace) -> None:
     cr = args.compression_ratio
     if cr <= 0:
         raise ValueError("Compression ratio must be a positive integer.")
+    # --test skips training entirely (reference train.py:54-68); without a
+    # checkpoint there is nothing to test, so fail loudly instead of silently
+    # evaluating random weights.
+    if args.test and not args.model_ckpt:
+        raise ValueError("--test requires --model_ckpt (nothing to test otherwise).")
 
     job_id = os.environ.get(
         "SLURM_JOB_ID", f"local_{time.strftime('%Y%m%d-%H%M%S')}"
@@ -221,7 +226,8 @@ def main(args: argparse.Namespace) -> None:
             trainer.scheduler.load_state_dict(meta["scheduler"])
         print("Model loaded successfully.")
 
-    if not (args.test and args.model_ckpt):
+    # --test skips training entirely (reference train.py:54-68).
+    if not args.test:
         if start_epoch == 1:
             trainer.pretrain_lr_branch(train_loader, args.pre_epochs)
         trainer.fit(

@@ -183,7 +183,12 @@ def run_task(
     results_dir = os.path.join(results_root, f"{job_id}_CRx{cr}")
     os.makedirs(results_dir, exist_ok=True)
 
-    batch = next(iter(val_loader))
+    batch = next(iter(val_loader), None)
+    if batch is None:
+        raise ValueError(
+            "Validation loader is empty (batch_size larger than the val "
+            "split with drop_last?). Reduce --batch_size."
+        )
     y_b, x_b = jnp.asarray(batch[0]), jnp.asarray(batch[1])
     if isinstance(model, (CondSRVAE, SRVAE)):
         # reference get_task_data picks item 1 (cond_vae.py:594-603)

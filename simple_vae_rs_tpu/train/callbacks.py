@@ -28,34 +28,63 @@ class Callback(abc.ABC):
 class EarlyStopping(Callback):
     """Stop when val loss stops improving (reference ``callbacks.py:31-76``).
 
-    Quirk preserved: the counter only increments when
-    ``loss > best + delta`` — values inside the ``[best - delta,
-    best + delta]`` dead band neither reset nor advance the counter.
+    Intended-behavior notes:
+
+    - The reference hard-codes the key ``"val_loss"``, but its engine only
+      ever passes logs keyed ``"Loss/val_loss"`` (``models/vae.py:136``), so
+      upstream EarlyStopping can *never* fire — a latent bug (documented in
+      docs/PARITY.md). Here the monitor is resolved against the actual log
+      keys on first use, with the same difflib fuzzy matching that
+      ``ModelCheckpoint`` uses, so the wired path really stops training.
+    - Dead-band quirk preserved deliberately: a value inside
+      ``[best - delta, best + delta]`` neither resets nor advances the
+      patience counter.
     """
 
-    def __init__(self, patience: int = 10, delta: float = 0.0) -> None:
+    def __init__(
+        self,
+        patience: int = 10,
+        delta: float = 0.0,
+        monitor: str = "Loss/val_loss",
+    ) -> None:
         self.patience = patience
         self.delta = delta
+        self.monitor = monitor
         self.counter = 0
         self.best_loss = float("inf")
         self.best_epoch = 0
-        self.metric_name = "val_loss"
+        self._resolved = False
 
     def on_epoch_begin(self, **kwargs) -> bool:
         return False
 
+    def _resolve_monitor(self, logs: Dict[str, float]) -> None:
+        if self.monitor not in logs:
+            matches = get_close_matches(self.monitor, logs.keys(), n=1, cutoff=0)
+            if not matches:
+                raise ValueError(
+                    f"EarlyStopping monitor '{self.monitor}' not found and no "
+                    f"logs to match against. Available: {list(logs.keys())}"
+                )
+            self.monitor = matches[0]
+        self._resolved = True
+
     def on_epoch_end(self, **kwargs) -> bool:
-        logs = kwargs.get("logs", {})
-        val_loss = logs.get(self.metric_name, float("inf"))
-        if val_loss < self.best_loss - self.delta:
-            self.best_loss = val_loss
-            self.counter = 0
+        logs: Dict[str, float] = kwargs.get("logs", {})
+        if not logs:
             return False
-        elif val_loss > self.best_loss + self.delta:
+        if not self._resolved:
+            self._resolve_monitor(logs)
+        current = logs.get(self.monitor)
+        if current is None:
+            return False
+        if current < self.best_loss - self.delta:
+            self.best_loss = current
+            self.best_epoch = kwargs.get("epoch", 0)
+            self.counter = 0
+        elif current > self.best_loss + self.delta:
             self.counter += 1
-            if self.counter >= self.patience:
-                return True
-        return False
+        return self.counter >= self.patience
 
 
 class ModelCheckpoint(Callback):

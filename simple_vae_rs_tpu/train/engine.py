@@ -387,6 +387,20 @@ class Trainer:
 
         prefix = ("Loss/", "Loss/val_")
 
+        # finish() on every exit path (early stop, callback stop, exception) —
+        # the reference leaves its wandb run open on non-completion paths.
+        try:
+            return self._fit_epochs(
+                train_loader, val_loader, epochs, start_epoch,
+                val_metrics_every, prefix,
+            )
+        finally:
+            self.logger.finish()
+
+    def _fit_epochs(
+        self, train_loader, val_loader, epochs, start_epoch,
+        val_metrics_every, prefix,
+    ) -> TrainState:
         for epoch in range(start_epoch, epochs + 1):
             self.current_epoch = epoch
             stop = False
@@ -473,7 +487,6 @@ class Trainer:
                 f"Val Loss: {val_loss:.4f}"
             )
 
-        self.logger.finish()
         return self.state
 
     # ------------------------------------------------------- eval + logging

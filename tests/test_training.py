@@ -92,15 +92,80 @@ def test_training_reduces_loss_on_fixed_batch():
 
 
 def test_early_stopping_protocol():
+    # engine-keyed logs (the wired path; VERDICT r1 #1)
     es = EarlyStopping(patience=2, delta=0.01)
-    assert not es.on_epoch_end(logs={"val_loss": 1.0})
-    assert not es.on_epoch_end(logs={"val_loss": 1.5})  # counter 1
-    assert es.on_epoch_end(logs={"val_loss": 1.5})  # counter 2 -> stop
+    assert not es.on_epoch_end(logs={"Loss/val_loss": 1.0})
+    assert not es.on_epoch_end(logs={"Loss/val_loss": 1.5})  # counter 1
+    assert es.on_epoch_end(logs={"Loss/val_loss": 1.5})  # counter 2 -> stop
     # dead band: within +/- delta neither resets nor counts (reference quirk)
     es2 = EarlyStopping(patience=1, delta=0.1)
-    es2.on_epoch_end(logs={"val_loss": 1.0})
-    assert not es2.on_epoch_end(logs={"val_loss": 1.05})
-    assert not es2.on_epoch_end(logs={"val_loss": 1.05})
+    es2.on_epoch_end(logs={"Loss/val_loss": 1.0})
+    assert not es2.on_epoch_end(logs={"Loss/val_loss": 1.05})
+    assert not es2.on_epoch_end(logs={"Loss/val_loss": 1.05})
+    # bare keys still resolve via fuzzy matching (like ModelCheckpoint)
+    es3 = EarlyStopping(patience=1, delta=0.0)
+    assert not es3.on_epoch_end(logs={"val_loss": 1.0})
+    assert es3.monitor == "val_loss"
+    assert es3.on_epoch_end(logs={"val_loss": 2.0})
+
+
+class _FinishCountingLogger:
+    """NullLogger that records finish() calls."""
+
+    def __init__(self):
+        self.finished = 0
+
+    def log(self, metrics, step=None):
+        pass
+
+    def log_images(self, images, step=None):
+        pass
+
+    def finish(self):
+        self.finished += 1
+
+
+def test_early_stopping_fires_through_engine():
+    """Worsening val loss through the REAL engine stops fit at patience.
+
+    Guards the round-1 bug where EarlyStopping monitored 'val_loss' but the
+    engine logs 'Loss/val_loss', so the wired path could never stop. Also
+    asserts logger.finish() runs on the early-stop exit path.
+    """
+    train_batches = _sr_batches(n=1, bs=2, ps=32, seed=0)
+
+    class WorseningValLoader:
+        """Val data degrades each epoch -> val loss strictly increases."""
+
+        def __init__(self):
+            self.trainer = None
+
+        def __iter__(self):
+            scale = np.float32(1.0 + 4.0 * self.trainer.current_epoch)
+            yield tuple(b * scale for b in train_batches[0])
+
+        def __len__(self):
+            return 1
+
+    model = VAE(VAEConfig(cr=2.0, patch_size=16))
+    es = EarlyStopping(patience=2, delta=0.0)
+    logger = _FinishCountingLogger()
+    trainer = Trainer(
+        model,
+        TrainConfig(epochs=50, learning_rate=1e-6),
+        callbacks=[es],
+        logger=logger,
+    )
+    val_loader = WorseningValLoader()
+    val_loader.trainer = trainer
+    trainer.fit(
+        ArrayLoader(train_batches), val_loader, epochs=50, val_metrics_every=100
+    )
+    assert es.monitor == "Loss/val_loss"
+    assert es.counter >= es.patience
+    # best at epoch 1; epochs 2 and 3 worsen -> stop after epoch 3, not 50
+    assert trainer.current_epoch == 3
+    assert logger.finished == 1
 
 
 def test_model_checkpoint_fuzzy_monitor(tmp_path):
