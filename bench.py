@@ -24,6 +24,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# v5e peak dense bf16 matmul throughput, per chip (public spec: 197 TFLOP/s
+# bf16; 394 TOPS int8)
+_V5E_PEAK_BF16 = 197e12
+
+
 def main(
     tiles_per_batch: int = 32,  # sweep-verified knee: throughput saturates here
     patch_size: int = 64,
@@ -31,6 +36,7 @@ def main(
     warmup: int = 3,
     steps: int = 20,
     bf16: bool = True,
+    pallas_conv: bool = False,
 ) -> None:
     from simple_vae_rs_tpu.config import CondSRVAEConfig, MeshConfig, TrainConfig
     from simple_vae_rs_tpu.utils.cache import enable_compilation_cache
@@ -40,6 +46,11 @@ def main(
     from simple_vae_rs_tpu.ops.patchify import grid_sr_batch
     from simple_vae_rs_tpu.parallel.mesh import make_mesh
     from simple_vae_rs_tpu.train.engine import Trainer
+
+    if pallas_conv:
+        from simple_vae_rs_tpu.ops import pallas_conv as pc
+
+        pc.enable(True)
 
     n_chips = len(jax.devices())
     mesh = make_mesh(MeshConfig(data=n_chips, model=1))
@@ -79,6 +90,17 @@ def main(
 
     patches_per_sec_per_chip = patches * steps / dt / n_chips
 
+    # MFU: XLA's own FLOP count for the compiled train step against the
+    # chip's peak bf16 matmul rate (backs BASELINE.md's roofline claim)
+    mfu = None
+    try:
+        cost = trainer._train_step.lower(state, batch, lr).compile().cost_analysis()
+        step_flops = float(cost.get("flops", 0.0))
+        if step_flops > 0:
+            mfu = step_flops * steps / dt / n_chips / _V5E_PEAK_BF16
+    except Exception:
+        pass
+
     baseline = None
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
     if os.path.exists(path):
@@ -88,16 +110,15 @@ def main(
         patches_per_sec_per_chip / baseline if baseline else None
     )
 
-    print(
-        json.dumps(
-            {
-                "metric": "cond_srvae_train_64px_patches_per_sec_per_chip",
-                "value": round(patches_per_sec_per_chip, 2),
-                "unit": "patches/sec/chip",
-                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-            }
-        )
-    )
+    record = {
+        "metric": "cond_srvae_train_64px_patches_per_sec_per_chip",
+        "value": round(patches_per_sec_per_chip, 2),
+        "unit": "patches/sec/chip",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }
+    if mfu is not None:
+        record["mfu"] = round(mfu, 4)
+    print(json.dumps(record))
 
 
 def sweep() -> None:
@@ -115,4 +136,4 @@ if __name__ == "__main__":
     if "--sweep" in sys.argv:
         sweep()
     else:
-        main()
+        main(pallas_conv="--pallas_conv" in sys.argv)

@@ -103,8 +103,9 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     )
     parser.add_argument(
         "--pallas_conv", action="store_true",
-        help="Route 3x3/s1 convs through the fused Pallas kernel "
-        "(measured 1.8x over XLA conv in bf16 at 64ch).",
+        help="Fuse eval-mode conv+BN+ReLU block tails into Pallas kernels "
+        "(adaptive dispatch; wins the latency-bound small-batch regime, "
+        "convT kernel 5.7x over XLA's dilated conv).",
     )
     return parser.parse_args(argv)
 

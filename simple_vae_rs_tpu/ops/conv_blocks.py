@@ -17,10 +17,11 @@ TPU-first design notes:
 - ``dtype`` selects the activation/compute dtype (bf16 on TPU feeds the MXU
   at full rate); parameters always live in f32.
 - Every 3x3/s1 conv is a :class:`PallasCapableConv3x3` — identical
-  parameter tree to ``nn.Conv`` — that routes through the fused Pallas
-  block kernel (``ops/pallas_conv.py``, ~8x lower serving latency at small
-  batch) when the process-wide switch is on; XLA's own conv+pointwise
-  fusion otherwise (faster at large training batches).
+  parameter tree to ``nn.Conv`` — and eval-mode blocks fuse their whole
+  strided-conv→BN→ReLU tail into one Pallas kernel
+  (``ops/pallas_conv.py``) when the process-wide switch is on. Dispatch is
+  adaptive per shape: Pallas in the latency-bound small-batch regime, XLA's
+  ~63%-MFU batched conv at training scale (``pallas_conv.wins_over_xla``).
 """
 
 from __future__ import annotations
@@ -91,6 +92,12 @@ class PallasCapableConv3x3(nn.Module):
         if (
             pc.is_enabled()
             and x.ndim == 4
+            # trace-time train/eval split with zero API churn: training
+            # steps run apply(mutable=["batch_stats"]); eval/serving don't.
+            # Training batches ride XLA's ~63%-MFU batched conv; the fused
+            # kernel serves the latency-bound eval path.
+            and not self.is_mutable_collection("batch_stats")
+            and pc.wins_over_xla(x.shape[0], x.shape[1], x.shape[2])
             and pc.fits_vmem(
                 x.shape[1], x.shape[2], x.shape[3], self.features,
                 jnp.dtype(dt).itemsize,
@@ -202,10 +209,41 @@ def batch_norm(
     )
 
 
-class DownBlock(nn.Module):
+class _FusedTailMixin:
+    """Shared fused-eval-tail logic for Down/UpBlock.
+
+    In eval mode with the Pallas switch on, the strided conv + BatchNorm +
+    ReLU tail runs as ONE fused kernel: the child conv/BN parameters are
+    read from ``self.variables`` (same tree — the submodules still own
+    them), eval-BN is folded into (scale, shift) via ``fold_conv_bn``, and
+    the whole tail dispatches once. Training mode keeps the separate ops
+    (batch statistics can't fold).
+    """
+
+    def _fused_tail_params(self, dt):
+        from simple_vae_rs_tpu.ops import pallas_conv as pc
+
+        p = self.variables["params"]
+        kernel = p[self._tail_name]["kernel"]
+        bias = p[self._tail_name]["bias"]
+        if self.with_bn:
+            bs = self.variables["batch_stats"]["bn"]
+            kernel, s, t = pc.fold_conv_bn(
+                kernel, bias, p["bn"]["scale"], p["bn"]["bias"],
+                bs["mean"], bs["var"],
+            )
+        else:
+            s = jnp.ones((self.features,), jnp.float32)
+            t = bias.astype(jnp.float32)
+        return kernel.astype(dt), s, t
+
+
+class DownBlock(nn.Module, _FusedTailMixin):
     """conv3x3 -> strided conv4x4 (spatial /2) -> BN -> ReLU.
 
     Parity: reference ``models/layers.py:217-256`` (``down_block``).
+    Eval mode with the Pallas switch on fuses the conv4x4+BN+ReLU tail
+    into one kernel (``ops/pallas_conv.fused_conv4x4s2_bn_relu``).
     """
 
     in_features: int
@@ -214,11 +252,30 @@ class DownBlock(nn.Module):
     with_bn: bool = True
     dtype: Optional[Dtype] = None
 
+    _tail_name = "downsample"
+
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
+        from simple_vae_rs_tpu.ops import pallas_conv as pc
+
         x = torch_conv(
             self.in_features, self.in_features, 3, 1, 1, dtype=self.dtype, name="conv"
         )(x)
+        dt = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
+        if (
+            pc.is_enabled()
+            and not train
+            and not self.is_initializing()
+            and pc.wins_over_xla(x.shape[0], x.shape[1] // 2, x.shape[2] // 2)
+            and pc.fits_vmem4(
+                x.shape[1], x.shape[2], x.shape[3], self.features,
+                jnp.dtype(dt).itemsize,
+            )
+        ):
+            kernel, s, t = self._fused_tail_params(dt)
+            return pc.fused_conv4x4s2_bn_relu_grad(
+                x.astype(dt), kernel, s, t, self.with_relu
+            )
         x = torch_conv(
             self.features, self.in_features, 4, 2, 1, dtype=self.dtype, name="downsample"
         )(x)
@@ -229,10 +286,12 @@ class DownBlock(nn.Module):
         return x
 
 
-class UpBlock(nn.Module):
+class UpBlock(nn.Module, _FusedTailMixin):
     """conv3x3 -> convT4x4 (spatial *2) -> BN -> ReLU.
 
     Parity: reference ``models/layers.py:259-297`` (``up_block``).
+    Eval mode with the Pallas switch on fuses the convT+BN+ReLU tail into
+    one kernel (``ops/pallas_conv.fused_convT4x4s2_bn_relu``).
     """
 
     in_features: int
@@ -241,11 +300,30 @@ class UpBlock(nn.Module):
     with_bn: bool = True
     dtype: Optional[Dtype] = None
 
+    _tail_name = "upsample"
+
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
+        from simple_vae_rs_tpu.ops import pallas_conv as pc
+
         x = torch_conv(
             self.in_features, self.in_features, 3, 1, 1, dtype=self.dtype, name="conv"
         )(x)
+        dt = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
+        if (
+            pc.is_enabled()
+            and not train
+            and not self.is_initializing()
+            and pc.wins_over_xla(x.shape[0], 2 * x.shape[1], 2 * x.shape[2])
+            and pc.fits_vmemT(
+                x.shape[1], x.shape[2], x.shape[3], self.features,
+                jnp.dtype(dt).itemsize,
+            )
+        ):
+            kernel, s, t = self._fused_tail_params(dt)
+            return pc.fused_convT4x4s2_bn_relu_grad(
+                x.astype(dt), kernel, s, t, self.with_relu
+            )
         x = torch_conv_transpose(
             self.features, self.in_features, 4, 2, 1, dtype=self.dtype, name="upsample"
         )(x)

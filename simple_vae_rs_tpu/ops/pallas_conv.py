@@ -1,31 +1,38 @@
-"""Pallas-fused 3x3 conv + bias + BN + ReLU block (inference fast path).
+"""Pallas-fused conv + bias/BN + ReLU block kernels.
 
-The north-star block kernel (BASELINE.json: "conv encoder/decoder stacks
-backed by Pallas-fused conv+norm+activation blocks"): a same-padded 3x3
-convolution expressed the MXU-native way — nine shifted (H*W, C) x (C, O)
-matmuls accumulated in VMEM — with the whole pointwise tail (bias, folded
-BatchNorm affine, ReLU) fused into the same kernel, so one HBM round trip
-covers what torch runs as 3-4 kernels.
+The north-star block kernels (BASELINE.json: "conv encoder/decoder stacks
+backed by Pallas-fused conv+norm+activation blocks"). Every conv shape the
+Down/Up blocks use (reference ``models/layers.py:217-297``) has a fused
+kernel here, each expressed the MXU-native way — shifted (rows, C) x (C, O)
+matmuls accumulated in VMEM f32 — with the whole pointwise tail (bias,
+folded eval-BatchNorm affine, ReLU) fused into the same kernel, so one HBM
+round trip covers what torch runs as 3-4 kernels:
 
-Measured on a v5e (B=64, 64x64x64->64, 30-call steady state, 2026-08-16):
-bf16 **1.60 ms (12.1 TF/s) vs XLA conv+mul+max 2.88 ms (6.7 TF/s)** — 1.8x;
-f32 parity (2.29 vs 2.14 ms). Numerics match `lax.conv_general_dilated` to
-3e-6 (tests/test_pallas_conv.py + live run).
+- :func:`fused_conv3x3_bn_relu` — 3x3/s1 SAME conv: nine shifted matmuls.
+- :func:`fused_conv4x4s2_bn_relu` — 4x4/s2/p1 conv (DownBlock tail):
+  the padded input is split into its four stride-2 phases *outside* the
+  kernel (one XLA copy), turning the strided conv into sixteen
+  contiguous-slice matmuls — no strided VMEM loads.
+- :func:`fused_convT4x4s2_bn_relu` — convT 4x4/s2/p1 (UpBlock tail) in the
+  input-dilated-conv parametrization the models store
+  (``ops/conv_blocks.py:torch_conv_transpose``): each of the four *output*
+  phases needs only 4 of the 16 taps (the rest hit dilation zeros), so the
+  kernel does 16 matmuls total and interleaves the phases in VMEM —
+  zero wasted FLOPs vs the 4x redundancy of materializing the dilated input.
 
-Model-level, via the drop-in ``PallasCapableConv3x3`` (every 3x3/s1 conv in
-the models) behind the global switch: canonical Cond_SRVAE conditional
-generation at batch 16 runs **2.10 ms vs 16.8 ms** with XLA convs — ~8x
-lower serving latency (output diff 1e-4, bf16 noise). The win inverts at
-large batch: the per-image grid loses to XLA's batched conv in the 512-patch
-training step (4.0k vs 10.6k patches/s), so the switch is OFF by default —
-enable it for latency-bound serving (`--pallas_conv` /
-``SVRS_PALLAS_CONV=1`` / ``serve.SuperResolver.from_checkpoint(...,
-pallas_conv=True)``), keep XLA for throughput training. Batch-tiled grids
-to close the large-batch gap are round-2 work.
+Grids are batch-tiled: each program owns the largest image-tile count that
+fits the VMEM budget (``_batch_tile``), so large training batches amortize
+grid/dispatch overhead instead of paying one program per image.
 
-VMEM budget: one grid program holds one batch element's padded input
-(H+2, W+2, C), the kernel (3, 3, C, O) and the f32 accumulator (H*W, O).
-`fits_vmem` guards applicability; callers fall back to `lax.conv` beyond.
+Training: the custom VJP saves the kernel *output* as a residual and
+computes the backward analytically — mask from the saved output, scale/shift
+grads from reductions, and the two transposed convs via
+``jax.linear_transpose`` (no forward replay; round-1 version re-ran the
+whole forward inside the backward).
+
+VMEM budget: a program holds its padded input tile, the kernel and the f32
+accumulator. ``fits_vmem`` guards applicability; callers fall back to
+``lax.conv`` beyond.
 """
 
 from __future__ import annotations
@@ -48,29 +55,69 @@ except ImportError:  # pragma: no cover
 
 Array = jnp.ndarray
 
-_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the 16 MB scoped limit
+_VMEM_BUDGET = 10 * 1024 * 1024  # conservative: ~16 MB scoped limit minus
+# pipeline double-buffers and Mosaic stack temporaries (validated on v5e:
+# the estimate below stays ~1.3x under the compiler-reported peak)
+
+
+def _rnd(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _tile_bytes(h: int, w: int, c: int, o: int, itemsize: int,
+                ho: Optional[int] = None, wo: Optional[int] = None,
+                out_mult: int = 1) -> int:
+    """Conservative per-image VMEM bytes for one program.
+
+    All buffers are counted in *padded tiles*: the lane (last) dim rounds
+    up to 128 and the sublane (second-to-last) dim to 32/itemsize — a
+    4-channel array really occupies 128 lanes of VMEM. Counts the padded
+    input and output blocks twice (Pallas double-buffers pipelined blocks),
+    four f32 accumulator-sized temporaries (acc + affine/relu/astype
+    intermediates the Mosaic stack keeps live), and one materialized patch
+    slice.
+    """
+    ho = h if ho is None else ho
+    wo = w if wo is None else wo
+    sub = 32 // itemsize
+    xp = (h + 2) * _rnd(w + 2, sub) * _rnd(c, 128) * itemsize
+    acc = _rnd(ho * wo, 8) * _rnd(o, 128) * 4
+    patch = _rnd(ho * wo, sub) * _rnd(c, 128) * itemsize
+    out = ho * _rnd(wo, sub) * _rnd(o * out_mult, 128) * itemsize
+    return 2 * xp + 4 * acc + patch + 2 * out
 
 
 def fits_vmem(h: int, w: int, c: int, o: int, itemsize: int = 4) -> bool:
-    xp = (h + 2) * (w + 2) * c * itemsize
-    wgt = 9 * c * o * itemsize
-    acc = h * w * o * 4  # f32 accumulator
-    return xp + wgt + 2 * acc < _VMEM_BUDGET
+    wgt = 9 * c * o * 4
+    return _tile_bytes(h, w, c, o, itemsize) + wgt < _VMEM_BUDGET
 
 
-def _kernel(h: int, w: int, relu: bool):
+def _batch_tile(b: int, per_image: int, weights: int) -> int:
+    """Largest divisor of b whose tile fits the VMEM budget (>= 1)."""
+    bt = 1
+    for cand in (2, 4, 8, 16):
+        if b % cand == 0 and cand * per_image + weights < _VMEM_BUDGET:
+            bt = cand
+    return bt
+
+
+# --------------------------------------------------------------- 3x3 stride 1
+def _kernel3(bt: int, h: int, w: int, relu: bool):
     def body(xp_ref, w_ref, scale_ref, shift_ref, out_ref):
-        acc = jnp.zeros((h * w, w_ref.shape[-1]), jnp.float32)
+        o = w_ref.shape[-1]
+        acc = jnp.zeros((bt * h * w, o), jnp.float32)
         for dy in range(3):
             for dx in range(3):
-                patch = xp_ref[0, dy : dy + h, dx : dx + w, :].reshape(h * w, -1)
+                patch = xp_ref[:, dy : dy + h, dx : dx + w, :].reshape(
+                    bt * h * w, -1
+                )
                 acc += jnp.dot(
                     patch, w_ref[dy, dx], preferred_element_type=jnp.float32
                 )
         out = acc * scale_ref[...] + shift_ref[...]
         if relu:
             out = jnp.maximum(out, 0.0)
-        out_ref[...] = out.reshape(1, h, w, -1).astype(out_ref.dtype)
+        out_ref[...] = out.reshape(bt, h, w, -1).astype(out_ref.dtype)
 
     return body
 
@@ -94,23 +141,26 @@ def fused_conv3x3_bn_relu(
     """
     b, h, w, c = x.shape
     o = kernel.shape[-1]
+    itemsize = jnp.dtype(x.dtype).itemsize
     if not _HAVE_PLTPU or (not interpret and jax.default_backend() != "tpu"):
-        return _reference(x, kernel, scale, shift, relu)
-    if not fits_vmem(h, w, c, o, jnp.dtype(x.dtype).itemsize):
-        return _reference(x, kernel, scale, shift, relu)
+        return _reference3(x, kernel, scale, shift, relu)
+    if not fits_vmem(h, w, c, o, itemsize):
+        return _reference3(x, kernel, scale, shift, relu)
 
+    wgt = 9 * c * o * 4
+    bt = _batch_tile(b, _tile_bytes(h, w, c, o, itemsize), wgt)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     return pl.pallas_call(
-        _kernel(h, w, relu),
-        grid=(b,),
+        _kernel3(bt, h, w, relu),
+        grid=(b // bt,),
         in_specs=[
-            pl.BlockSpec((1, h + 2, w + 2, c), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((bt, h + 2, w + 2, c), lambda i: (i, 0, 0, 0),
                          memory_space=_VMEM),
             pl.BlockSpec((3, 3, c, o), lambda i: (0, 0, 0, 0), memory_space=_VMEM),
             pl.BlockSpec((o,), lambda i: (0,), memory_space=_VMEM),
             pl.BlockSpec((o,), lambda i: (0,), memory_space=_VMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, w, o), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((bt, h, w, o), lambda i: (i, 0, 0, 0),
                                memory_space=_VMEM),
         # output rides the input dtype (halves HBM write traffic for bf16);
         # the accumulation inside the kernel is f32 regardless
@@ -119,54 +169,284 @@ def fused_conv3x3_bn_relu(
     )(xp, kernel, scale.astype(jnp.float32), shift.astype(jnp.float32))
 
 
-def _reference(x, kernel, scale, shift, relu):
-    # operands keep their dtype (bf16 stays bf16 on the MXU); accumulate f32
-    out = jax.lax.conv_general_dilated(
-        x,
-        kernel,
-        window_strides=(1, 1),
-        padding="SAME",
+def _conv(x, kernel, strides=(1, 1), padding="SAME"):
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=strides, padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
     )
+
+
+def _reference3(x, kernel, scale, shift, relu):
+    out = _conv(x, kernel) * scale + shift
+    return (jnp.maximum(out, 0.0) if relu else out).astype(x.dtype)
+
+
+# --------------------------------------------------------------- 4x4 stride 2
+def _kernel4(bt: int, ho: int, wo: int, relu: bool):
+    def body(ph_ref, w_ref, scale_ref, shift_ref, out_ref):
+        o = w_ref.shape[-1]
+        acc = jnp.zeros((bt * ho * wo, o), jnp.float32)
+        for dy in range(4):
+            for dx in range(4):
+                r, a0 = dy % 2, dy // 2
+                s, b0 = dx % 2, dx // 2
+                patch = ph_ref[
+                    :, r, s, a0 : a0 + ho, b0 : b0 + wo, :
+                ].reshape(bt * ho * wo, -1)
+                acc += jnp.dot(
+                    patch, w_ref[dy, dx], preferred_element_type=jnp.float32
+                )
+        out = acc * scale_ref[...] + shift_ref[...]
+        if relu:
+            out = jnp.maximum(out, 0.0)
+        out_ref[...] = out.reshape(bt, ho, wo, -1).astype(out_ref.dtype)
+
+    return body
+
+
+def fits_vmem4(h: int, w: int, c: int, o: int, itemsize: int = 4) -> bool:
+    wgt = 16 * c * o * 4
+    per = _tile_bytes(h, w, c, o, itemsize, ho=h // 2, wo=w // 2)
+    return h % 2 == 0 and w % 2 == 0 and per + wgt < _VMEM_BUDGET
+
+
+@partial(jax.jit, static_argnames=("relu", "interpret"))
+def fused_conv4x4s2_bn_relu(
+    x: Array,
+    kernel: Array,
+    scale: Array,
+    shift: Array,
+    relu: bool = True,
+    interpret: bool = False,
+) -> Array:
+    """y = act(conv4x4(x, kernel, stride 2, pad 1) * scale + shift), fused.
+
+    The DownBlock tail (reference ``models/layers.py:217-256``: strided conv
+    -> BN -> ReLU) as one kernel. ``x``: (B, H, W, C) with H, W even;
+    ``kernel``: (4, 4, C, O); output (B, H/2, W/2, O).
+
+    out[i, j] = sum_{dy,dx} xp[2i+dy, 2j+dx] @ W[dy, dx] with xp = pad(x, 1).
+    Writing dy = 2*a + r: xp[2i+dy] = phase_r[i + a] where phase_r = xp[r::2]
+    — so the strided conv becomes 16 contiguous-slice matmuls over the four
+    (r, s) phase planes, built outside the kernel by one reshape/transpose.
+    """
+    b, h, w, c = x.shape
+    o = kernel.shape[-1]
+    itemsize = jnp.dtype(x.dtype).itemsize
+    if not _HAVE_PLTPU or (not interpret and jax.default_backend() != "tpu"):
+        return _reference4(x, kernel, scale, shift, relu)
+    if not fits_vmem4(h, w, c, o, itemsize):
+        return _reference4(x, kernel, scale, shift, relu)
+
+    ho, wo = h // 2, w // 2
+    hp, wp = (h + 2) // 2, (w + 2) // 2
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # (B, 2, 2, hp, wp, C): ph[b, r, s, a, e] = xp[b, 2a+r, 2e+s]
+    ph = xp.reshape(b, hp, 2, wp, 2, c).transpose(0, 2, 4, 1, 3, 5)
+
+    wgt = 16 * c * o * 4
+    per = _tile_bytes(h, w, c, o, itemsize, ho=ho, wo=wo)
+    bt = _batch_tile(b, per, wgt)
+    return pl.pallas_call(
+        _kernel4(bt, ho, wo, relu),
+        grid=(b // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, 2, 2, hp, wp, c), lambda i: (i, 0, 0, 0, 0, 0),
+                         memory_space=_VMEM),
+            pl.BlockSpec((4, 4, c, o), lambda i: (0, 0, 0, 0), memory_space=_VMEM),
+            pl.BlockSpec((o,), lambda i: (0,), memory_space=_VMEM),
+            pl.BlockSpec((o,), lambda i: (0,), memory_space=_VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, ho, wo, o), lambda i: (i, 0, 0, 0),
+                               memory_space=_VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, ho, wo, o), x.dtype),
+        interpret=interpret,
+    )(ph, kernel, scale.astype(jnp.float32), shift.astype(jnp.float32))
+
+
+def _reference4(x, kernel, scale, shift, relu):
+    out = _conv(x, kernel, strides=(2, 2), padding=[(1, 1), (1, 1)])
     out = out * scale + shift
-    return jnp.maximum(out, 0.0) if relu else out
+    return (jnp.maximum(out, 0.0) if relu else out).astype(x.dtype)
 
 
-# Differentiable wrapper: forward = fused Pallas kernel, backward = XLA's
-# autodiff of the reference expression (exactly the same math; the backward
-# conv pair is already well-lowered by XLA, so a hand-written Pallas bwd
-# would buy nothing). Makes the fused block usable inside training graphs.
-@partial(jax.custom_vjp, nondiff_argnums=(4,))
-def fused_conv3x3_bn_relu_grad(x, kernel, scale, shift, relu=True):
-    return fused_conv3x3_bn_relu(x, kernel, scale, shift, relu=relu)
+# ------------------------------------------------------------ convT 4x4 s2 p1
+# Tap tables for the four output phases, in the input-dilated-conv
+# parametrization the models store (torch_conv_transpose: convT(x) ==
+# conv(dilate2(x), W', pad=2)). Output row p = 2i+u only sees dilated rows
+# of matching parity, leaving 2 taps per axis per phase:
+#   u=0: o[2i] = xq[i]   @ W'[0] + xq[i+1] @ W'[2]
+#   u=1: o[2i+1] = xq[i+1] @ W'[1] + xq[i+2] @ W'[3]
+# with xq = pad(x, 1). Same table for columns.
+_T_TAPS = {0: ((0, 0), (1, 2)), 1: ((1, 1), (2, 3))}
 
 
-def _fused_fwd(x, kernel, scale, shift, relu):
-    out = fused_conv3x3_bn_relu(x, kernel, scale, shift, relu=relu)
-    return out, (x, kernel, scale, shift)
+def _kernelT(bt: int, h: int, w: int, relu: bool):
+    def body(xq_ref, w_ref, scale_ref, shift_ref, out_ref):
+        o = w_ref.shape[-1]
+        u = pl.program_id(1)
+        outs = []
+        for v in (0, 1):  # both column phases in one program (see out spec)
+            acc = jnp.zeros((bt * h * w, o), jnp.float32)
+            # the (a, dy) tap table for phase 1 is phase 0's shifted by +1
+            # (rows and columns alike), so the row phase u is a traced
+            # offset via pl.ds and one body serves both row-phase programs
+            for a0, dy in _T_TAPS[0]:
+                for b0, dx in _T_TAPS[v]:
+                    patch = xq_ref[
+                        :, pl.ds(a0 + u, h), b0 : b0 + w, :
+                    ].reshape(bt * h * w, -1)
+                    # W'[dy+u, dx]: row phase u=1 uses kernel rows (1, 3)
+                    kmat = w_ref[pl.ds(dy + u, 1), dx].reshape(
+                        w_ref.shape[-2], o
+                    )
+                    acc += jnp.dot(
+                        patch, kmat, preferred_element_type=jnp.float32
+                    )
+            out = acc * scale_ref[...] + shift_ref[...]
+            if relu:
+                out = jnp.maximum(out, 0.0)
+            outs.append(out.reshape(bt, h, w, o))
+        # pack the two column phases into the channel dim: index v*O + c
+        packed = jnp.concatenate(outs, axis=-1)
+        out_ref[...] = packed.reshape(bt, h, 1, w, 2 * o).astype(out_ref.dtype)
+
+    return body
 
 
-def _fused_bwd(relu, res, g):
-    x, kernel, scale, shift = res
-
-    # same-dtype expression for the VJP: lax.conv's backward requires both
-    # operands in one dtype, so the bf16 path differentiates an all-bf16
-    # conv (standard bf16 training numerics; scale/shift grads come back in
-    # their own primal dtype).
-    def f(x_, k_, s_, t_):
-        out = jax.lax.conv_general_dilated(
-            x_, k_, (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
-        out = out * s_.astype(out.dtype) + t_.astype(out.dtype)
-        return jnp.maximum(out, 0.0) if relu else out
-
-    out_ref, vjp = jax.vjp(f, x, kernel, scale, shift)
-    return vjp(g.astype(out_ref.dtype))
+def fits_vmemT(h: int, w: int, c: int, o: int, itemsize: int = 4) -> bool:
+    wgt = 16 * c * o * 4
+    per = _tile_bytes(h, w, c, o, itemsize, out_mult=2)
+    return per + wgt < _VMEM_BUDGET
 
 
-fused_conv3x3_bn_relu_grad.defvjp(_fused_fwd, _fused_bwd)
+@partial(jax.jit, static_argnames=("relu", "interpret"))
+def fused_convT4x4s2_bn_relu(
+    x: Array,
+    kernel: Array,
+    scale: Array,
+    shift: Array,
+    relu: bool = True,
+    interpret: bool = False,
+) -> Array:
+    """y = act(convT4x4(x, stride 2, pad 1) * scale + shift), fused.
+
+    The UpBlock tail (reference ``models/layers.py:259-297``: convT -> BN ->
+    ReLU) as one kernel. ``kernel`` is the input-dilated-conv weight the
+    models store ((4, 4, C, O), see ``torch_conv_transpose``); output
+    (B, 2H, 2W, O). Each output phase touches only the 4 non-zero taps, so
+    the kernel runs 16 matmuls total — no dilation zeros are materialized
+    or multiplied.
+    """
+    b, h, w, c = x.shape
+    o = kernel.shape[-1]
+    itemsize = jnp.dtype(x.dtype).itemsize
+    if not _HAVE_PLTPU or (not interpret and jax.default_backend() != "tpu"):
+        return _referenceT(x, kernel, scale, shift, relu)
+    if not fits_vmemT(h, w, c, o, itemsize):
+        return _referenceT(x, kernel, scale, shift, relu)
+
+    xq = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    wgt = 16 * c * o * 4
+    per = _tile_bytes(h, w, c, o, itemsize, out_mult=2)
+    bt = _batch_tile(b, per, wgt)
+    # each program owns one row phase u and both column phases (packed into
+    # the channel dim); the phase layout (B, H, 2, W, 2*O) reshapes to the
+    # interleaved (B, 2H, 2W, O) as a free row-major view — no in-kernel
+    # transposes, and the out block keeps Mosaic's (sublane, lane) rules
+    out5 = pl.pallas_call(
+        _kernelT(bt, h, w, relu),
+        grid=(b // bt, 2),
+        in_specs=[
+            pl.BlockSpec((bt, h + 2, w + 2, c), lambda i, u: (i, 0, 0, 0),
+                         memory_space=_VMEM),
+            pl.BlockSpec((4, 4, c, o), lambda i, u: (0, 0, 0, 0),
+                         memory_space=_VMEM),
+            pl.BlockSpec((o,), lambda i, u: (0,), memory_space=_VMEM),
+            pl.BlockSpec((o,), lambda i, u: (0,), memory_space=_VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bt, h, 1, w, 2 * o), lambda i, u: (i, 0, u, 0, 0),
+            memory_space=_VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, 2, w, 2 * o), x.dtype),
+        interpret=interpret,
+    )(xq, kernel, scale.astype(jnp.float32), shift.astype(jnp.float32))
+    return out5.reshape(b, 2 * h, 2 * w, o)
+
+
+def _referenceT(x, kernel, scale, shift, relu):
+    out = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1), padding=[(2, 2), (2, 2)],
+        lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    out = out * scale + shift
+    return (jnp.maximum(out, 0.0) if relu else out).astype(x.dtype)
+
+
+# ---------------------------------------------------------------- custom VJP
+# Forward = fused Pallas kernel; backward = analytic, from the SAVED output:
+# the ReLU mask and the pre-affine conv result are both recoverable from
+# out/scale/shift, and the two transposed convs come from
+# jax.linear_transpose of the (linear-in-each-argument) conv — so, unlike a
+# jax.vjp of the reference expression, the forward conv is never recomputed
+# in the backward pass.
+def _make_grad(fused_fn, conv_fn):
+    @partial(jax.custom_vjp, nondiff_argnums=(4,))
+    def fwd_op(x, kernel, scale, shift, relu=True):
+        return fused_fn(x, kernel, scale, shift, relu=relu)
+
+    def fwd(x, kernel, scale, shift, relu):
+        out = fused_fn(x, kernel, scale, shift, relu=relu)
+        return out, (x, kernel, scale, shift, out)
+
+    def bwd(relu, res, g):
+        x, kernel, scale, shift, out = res
+        out32 = out.astype(jnp.float32)
+        g32 = g.astype(jnp.float32)
+        if relu:
+            g32 = jnp.where(out32 > 0.0, g32, 0.0)
+        # pre-affine conv result; where scale==0 the factor is irrelevant
+        # (only reached when g32==0 or d(scale) contributions vanish), and
+        # the training path always folds scale=1.
+        inv = jnp.where(scale == 0.0, 0.0, 1.0 / scale)
+        conv_raw = (out32 - shift) * inv
+        dscale = jnp.sum(g32 * conv_raw, axis=(0, 1, 2))
+        dshift = jnp.sum(g32, axis=(0, 1, 2))
+        g_conv = (g32 * scale).astype(x.dtype)
+        dx = jax.linear_transpose(lambda x_: conv_fn(x_, kernel), x)(g_conv)[0]
+        dk = jax.linear_transpose(lambda k_: conv_fn(x, k_), kernel)(g_conv)[0]
+        return dx, dk, dscale.astype(scale.dtype), dshift.astype(shift.dtype)
+
+    fwd_op.defvjp(fwd, bwd)
+    return fwd_op
+
+
+def _conv3_samedtype(x, k):
+    return jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ).astype(x.dtype)
+
+
+def _conv4_samedtype(x, k):
+    return jax.lax.conv_general_dilated(
+        x, k, (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ).astype(x.dtype)
+
+
+def _convT_samedtype(x, k):
+    return jax.lax.conv_general_dilated(
+        x, k, (1, 1), [(2, 2), (2, 2)], lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ).astype(x.dtype)
+
+
+fused_conv3x3_bn_relu_grad = _make_grad(fused_conv3x3_bn_relu, _conv3_samedtype)
+fused_conv4x4s2_bn_relu_grad = _make_grad(fused_conv4x4s2_bn_relu, _conv4_samedtype)
+fused_convT4x4s2_bn_relu_grad = _make_grad(fused_convT4x4s2_bn_relu, _convT_samedtype)
 
 
 def fold_conv_bn(
@@ -178,7 +458,7 @@ def fold_conv_bn(
     running_var: Array,
     eps: float = 1e-5,
 ):
-    """Fold eval-mode BatchNorm into (scale, shift) for the fused kernel.
+    """Fold eval-mode BatchNorm into (scale, shift) for the fused kernels.
 
     conv -> BN(eval) == conv * s + t with s = gamma/sqrt(var+eps) and
     t = beta - mean*s (+ bias*s when the conv has a bias).
@@ -191,13 +471,21 @@ def fold_conv_bn(
 
 
 # ------------------------------------------------------------- global switch
-# Process-wide opt-in for routing the models' 3x3/s1 convs through the fused
-# kernel (CLI --pallas_conv, or SVRS_PALLAS_CONV=1). Read at TRACE time:
+# Process-wide opt-in for routing the models' convs through the fused
+# kernels (CLI --pallas_conv, or SVRS_PALLAS_CONV=1). Read at TRACE time:
 # set it before the first jit of a graph (startup), not mid-run — compiled
 # executables do not retrace on a flag flip.
 import os as _os
 
 _ENABLED = _os.environ.get("SVRS_PALLAS_CONV", "0") == "1"
+
+# Adaptive dispatch threshold (total output rows = B*Ho*Wo). Measured on
+# v5e (chained single-dispatch towers, bf16, 64ch): the VMEM-grid kernels
+# win the latency-bound regime (<= ~64k rows — small-batch serving, where
+# the fused tail also saves HBM round trips) while XLA's batched conv runs
+# at ~63% MFU beyond and is the right path for 512-patch training steps.
+# Like cuDNN heuristics: per-shape kernel selection, not one winner.
+_MAX_ROWS = int(_os.environ.get("SVRS_PALLAS_CONV_MAX_ROWS", 65536))
 
 
 def enable(value: bool = True) -> None:
@@ -207,3 +495,8 @@ def enable(value: bool = True) -> None:
 
 def is_enabled() -> bool:
     return _ENABLED
+
+
+def wins_over_xla(batch: int, out_h: int, out_w: int) -> bool:
+    """True when the fused kernels beat XLA at this output-row count."""
+    return batch * out_h * out_w <= _MAX_ROWS

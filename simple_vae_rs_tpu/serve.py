@@ -82,7 +82,8 @@ class SuperResolver:
 
         enable_compilation_cache()
         if pallas_conv:
-            # 7x lower SR latency at small batch (see ops/pallas_conv.py);
+            # fused conv+BN+ReLU tails for the latency-bound small-batch
+            # regime (adaptive dispatch, see ops/pallas_conv.py);
             # process-wide switch — set before any graph traces.
             from simple_vae_rs_tpu.ops import pallas_conv as pc
 

@@ -1,41 +1,97 @@
-"""Fused conv3x3+BN+ReLU Pallas kernel vs lax.conv reference."""
+"""Fused conv+BN+ReLU Pallas kernels vs lax.conv references.
+
+Covers all three block kernels (3x3/s1, 4x4/s2, convT4x4/s2) in interpret
+mode, the analytic custom VJPs, BN folding, batch tiling, and the
+block-level fused eval path (DownBlock/UpBlock with the switch on).
+"""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from simple_vae_rs_tpu.ops.pallas_conv import (
-    _reference,
+    _reference3,
+    _reference4,
+    _referenceT,
     fits_vmem,
     fold_conv_bn,
     fused_conv3x3_bn_relu,
+    fused_conv3x3_bn_relu_grad,
+    fused_conv4x4s2_bn_relu,
+    fused_conv4x4s2_bn_relu_grad,
+    fused_convT4x4s2_bn_relu,
+    fused_convT4x4s2_bn_relu_grad,
 )
 
 
-def _data(b=2, h=8, w=8, c=4, o=8, seed=0):
+def _data(b=2, h=8, w=8, c=4, o=8, k=3, seed=0):
     rng = np.random.default_rng(seed)
     x = rng.standard_normal((b, h, w, c)).astype(np.float32)
-    k = rng.standard_normal((3, 3, c, o)).astype(np.float32) * 0.2
+    kern = rng.standard_normal((k, k, c, o)).astype(np.float32) * 0.2
     scale = rng.standard_normal(o).astype(np.float32)
     shift = rng.standard_normal(o).astype(np.float32)
-    return jnp.array(x), jnp.array(k), jnp.array(scale), jnp.array(shift)
+    return jnp.array(x), jnp.array(kern), jnp.array(scale), jnp.array(shift)
 
 
-def test_fused_matches_lax_conv_interpret():
+def test_fused3_matches_lax_conv_interpret():
     x, k, s, t = _data()
     got = fused_conv3x3_bn_relu(x, k, s, t, interpret=True)
-    want = _reference(x, k, s, t, relu=True)
+    want = _reference3(x, k, s, t, relu=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4,
                                atol=1e-5)
 
 
-def test_fused_no_relu():
+def test_fused3_no_relu():
     x, k, s, t = _data(seed=1)
     got = fused_conv3x3_bn_relu(x, k, s, t, relu=False, interpret=True)
-    want = _reference(x, k, s, t, relu=False)
+    want = _reference3(x, k, s, t, relu=False)
     assert float(jnp.min(got)) < 0  # relu really off
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_fused3_batch_tiled_grid():
+    """b=8 divides into multi-image tiles; result identical to per-image."""
+    x, k, s, t = _data(b=8, seed=7)
+    got = fused_conv3x3_bn_relu(x, k, s, t, interpret=True)
+    want = _reference3(x, k, s, t, relu=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_fused4_matches_lax_strided_conv_interpret():
+    x, k, s, t = _data(b=3, h=10, w=6, c=4, o=8, k=4, seed=2)
+    got = fused_conv4x4s2_bn_relu(x, k, s, t, interpret=True)
+    want = _reference4(x, k, s, t, relu=True)
+    assert got.shape == (3, 5, 3, 8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_fusedT_matches_lax_dilated_conv_interpret():
+    x, k, s, t = _data(b=3, h=5, w=7, c=4, o=8, k=4, seed=3)
+    got = fused_convT4x4s2_bn_relu(x, k, s, t, interpret=True)
+    want = _referenceT(x, k, s, t, relu=True)
+    assert got.shape == (3, 10, 14, 8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_fusedT_matches_torch_convT_geometry():
+    """The dilated-conv parametrization must equal torch ConvT(4, 2, 1)."""
+    import torch
+
+    x, k, s, t = _data(b=1, h=6, w=6, c=3, o=5, k=4, seed=4)
+    got = fused_convT4x4s2_bn_relu(x, k, jnp.ones_like(s), jnp.zeros_like(t),
+                                   relu=False, interpret=True)
+    # dilated-conv kernel (kh, kw, C, O) -> torch convT weight (C, O, kh, kw)
+    # is the spatial flip (see ops/conv_blocks.torch_conv_transpose)
+    w_t = torch.tensor(np.asarray(k)[::-1, ::-1].copy()).permute(2, 3, 0, 1)
+    x_t = torch.tensor(np.asarray(x)).permute(0, 3, 1, 2)
+    want = torch.nn.functional.conv_transpose2d(x_t, w_t, stride=2, padding=1)
+    np.testing.assert_allclose(
+        np.asarray(got), want.permute(0, 2, 3, 1).numpy(), rtol=1e-4, atol=1e-5
+    )
 
 
 def test_fold_conv_bn_equals_separate_ops():
@@ -61,21 +117,29 @@ def test_fold_conv_bn_equals_separate_ops():
 
 
 def test_custom_vjp_grads_match_reference():
-    from simple_vae_rs_tpu.ops.pallas_conv import fused_conv3x3_bn_relu_grad
+    """Analytic backward (saved-output mask, linear_transpose convs) must
+    equal autodiff of the reference expression — for all three kernels."""
+    cases = [
+        (fused_conv3x3_bn_relu_grad, _reference3, 3),
+        (fused_conv4x4s2_bn_relu_grad, _reference4, 4),
+        (fused_convT4x4s2_bn_relu_grad, _referenceT, 4),
+    ]
+    for fused_op, ref, ksize in cases:
+        x, k, s, t = _data(b=2, h=6, w=6, c=4, o=4, k=ksize, seed=5)
+        for relu in (True, False):
+            def loss_fused(x, k, s, t):
+                return jnp.sum(fused_op(x, k, s, t, relu) ** 2)
 
-    x, k, s, t = _data(b=1, h=6, w=6, c=4, o=4, seed=5)
+            def loss_ref(x, k, s, t):
+                return jnp.sum(ref(x, k, s, t, relu) ** 2)
 
-    def loss_fused(x, k, s, t):
-        return jnp.sum(fused_conv3x3_bn_relu_grad(x, k, s, t, True) ** 2)
-
-    def loss_ref(x, k, s, t):
-        return jnp.sum(_reference(x, k, s, t, True) ** 2)
-
-    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(x, k, s, t)
-    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, k, s, t)
-    for a, b in zip(gf, gr):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
-                                   atol=1e-5)
+            gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(x, k, s, t)
+            gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, k, s, t)
+            for a, b in zip(gf, gr):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+                    err_msg=f"k={ksize} relu={relu}",
+                )
 
 
 def test_model_forward_unchanged_by_switch_on_cpu():
@@ -97,7 +161,50 @@ def test_model_forward_unchanged_by_switch_on_cpu():
     finally:
         pc.enable(False)
     np.testing.assert_allclose(np.asarray(off[0]), np.asarray(on[0]), rtol=1e-5,
-                               atol=1e-6)
+                               atol=1e-5)
+
+
+def test_block_fused_eval_tail_matches_unfused():
+    """DownBlock/UpBlock eval with the switch on (conv+folded-BN+ReLU as one
+    fused call) must numerically equal the separate conv->BN->ReLU path."""
+    from simple_vae_rs_tpu.ops import pallas_conv as pc
+    from simple_vae_rs_tpu.ops.conv_blocks import DownBlock, UpBlock
+
+    for Block, h in ((DownBlock, 16), (UpBlock, 8)):
+        block = Block(in_features=8, features=12)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, h, h, 8))
+        variables = block.init(
+            {"params": jax.random.PRNGKey(1)}, x, train=False
+        )
+        # make batch_stats non-trivial so the folding is actually tested
+        variables = jax.tree.map(lambda a: a, variables)
+        bs = variables["batch_stats"]["bn"]
+        variables["batch_stats"]["bn"] = {
+            "mean": bs["mean"] + 0.3,
+            "var": bs["var"] * 1.7 + 0.1,
+        }
+        want = block.apply(variables, x, train=False)
+        pc.enable(True)
+        try:
+            got = block.apply(variables, x, train=False)
+        finally:
+            pc.enable(False)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5,
+            err_msg=Block.__name__,
+        )
+        # training path must be unaffected by the switch (stats can't fold)
+        pc.enable(True)
+        try:
+            tr_on, _ = block.apply(
+                variables, x, train=True, mutable=["batch_stats"]
+            )
+        finally:
+            pc.enable(False)
+        tr_off, _ = block.apply(variables, x, train=True, mutable=["batch_stats"])
+        np.testing.assert_allclose(
+            np.asarray(tr_on), np.asarray(tr_off), rtol=1e-5, atol=1e-5
+        )
 
 
 def test_vmem_guard_falls_back():
