@@ -6,9 +6,10 @@ Usage:
         --model_type Cond_SRVAE -cr 1.2 --patch_size 64
 
 Produces ``out_ckpt.orbax`` (or ``.msgpack``) loadable via ``--model_ckpt``.
-See ``simple_vae_rs_tpu/utils/convert.py`` for fidelity notes (VAE exact;
-Cond_SRVAE exact on the encoder/decoder paths, prior-head input permutation
-differs — fine-tune briefly after conversion).
+Conversion is functionally exact for both model types: Cond_SRVAE models are
+built with ``torch_regroup=True`` (the reference's C-major latent
+reinterpretations as explicit reshapes — see ``utils/convert.py`` and
+``tests/test_torch_parity.py``).
 """
 
 import argparse
@@ -45,7 +46,12 @@ def main():
         init_args = (x, jax.random.PRNGKey(1))
         converted = cv.convert_vae_state_dict(sd)
     else:
-        cfg = CondSRVAEConfig(cr=args.compression_ratio, patch_size=args.patch_size)
+        # torch_regroup reproduces the reference's C-major latent
+        # reinterpretations, making the converted prior path exact
+        cfg = CondSRVAEConfig(
+            cr=args.compression_ratio, patch_size=args.patch_size,
+            torch_regroup=True,
+        )
         model = CondSRVAE(cfg)
         x = jnp.zeros((1, cfg.patch_size, cfg.patch_size, cfg.channels))
         y = jnp.zeros((1, cfg.lr_patch_size, cfg.lr_patch_size, cfg.channels))

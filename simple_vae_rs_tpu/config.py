@@ -75,6 +75,12 @@ class CondSRVAEConfig:
     cr: float = 1.2
     patch_size: int = 64
     channels: int = 4
+    # Use the reference's C-major Flatten/Unflatten reinterpretation for the
+    # latent regroupings instead of the default structure-preserving
+    # pixel-shuffle (ops/reshape.py). Required for functionally-exact
+    # converted reference checkpoints (utils/convert.py); same parameter
+    # tree and shapes either way.
+    torch_regroup: bool = False
 
     @property
     def lr_patch_size(self) -> int:

@@ -19,7 +19,10 @@ TPU-first redesign (documented divergences, same capability/param counts):
   q(z|x) and p(z|u,y) both live on the (ps/8, ps/8, latent//64) z-grid —
   prior heads emit (ps/16, ps/16, latent//16) and are pixel-shuffled up,
   replacing the reference's C-major flatten/unflatten reinterpretations
-  (see ``ops/reshape.py``).
+  (see ``ops/reshape.py``). Set ``config.torch_regroup`` to use the
+  reference's exact C-major bijection instead — required for
+  functionally-exact converted reference checkpoints
+  (``utils/convert.py``; proven in ``tests/test_torch_parity.py``).
 - ``y_to_z`` is computed once per forward and shared between the prior and
   ``decoder_x`` (the reference runs it twice per step —
   ``cond_vae.py:239,271``; SURVEY §3.2 flags the fusion).
@@ -39,6 +42,8 @@ from simple_vae_rs_tpu.config import CondSRVAEConfig
 from simple_vae_rs_tpu.models.vae import reparameterize
 from simple_vae_rs_tpu.ops.conv_blocks import DownBlock, UpBlock, torch_conv
 from simple_vae_rs_tpu.ops.reshape import (
+    cmajor_regroup_down,
+    cmajor_regroup_up,
     depth_to_space,
     flatten_map,
     space_to_depth,
@@ -150,6 +155,19 @@ class CondSRVAE(nn.Module):
             h[..., c:].astype(jnp.float32),
         )
 
+    # latent regroupings: structure-preserving pixel-shuffle by default;
+    # the reference's exact C-major reinterpretation under torch_regroup
+    # (functionally-exact converted checkpoints — utils/convert.py)
+    def _regroup_down(self, x: Array) -> Array:
+        if self.config.torch_regroup:
+            return cmajor_regroup_down(x, 2)
+        return space_to_depth(x, 2)
+
+    def _regroup_up(self, x: Array) -> Array:
+        if self.config.torch_regroup:
+            return cmajor_regroup_up(x, 2)
+        return depth_to_space(x, 2)
+
     # ----------------------------------------------------- conditional prior
     def y_embedding(self, y: Array, train: bool = True) -> Array:
         """Shared conditioning features (ps/16, ps/16, latent//16)."""
@@ -167,7 +185,7 @@ class CondSRVAE(nn.Module):
         ``logvar`` clamped to [-7, 7] (reference ``cond_vae.py:230``).
         """
         del train  # prior heads have no BatchNorm
-        u_feat = space_to_depth(u_map.astype(y_feat.dtype), 2)
+        u_feat = self._regroup_down(u_map.astype(y_feat.dtype))
         u_feat = self.uz_conv1(u_feat)
         u_feat = self.uz_conv2(u_feat)
         joint = jnp.concatenate([y_feat, u_feat], axis=-1)
@@ -175,8 +193,8 @@ class CondSRVAE(nn.Module):
         logvar = self.pz_lv_conv2(self.pz_lv_conv1(joint))
         logvar = jnp.clip(logvar, -7.0, 7.0)
         return (
-            depth_to_space(mu.astype(jnp.float32), 2),
-            depth_to_space(logvar.astype(jnp.float32), 2),
+            self._regroup_up(mu.astype(jnp.float32)),
+            self._regroup_up(logvar.astype(jnp.float32)),
         )
 
     # ------------------------------------------------------------- decoders
@@ -195,7 +213,7 @@ class CondSRVAE(nn.Module):
         self, z_map: Array, y_feat: Array, train: bool = True
     ) -> Array:
         """z grid + precomputed y features -> HR reconstruction."""
-        y_grid = depth_to_space(y_feat, 2)  # -> (ps/8, ps/8, latent//64)
+        y_grid = self._regroup_up(y_feat)  # -> (ps/8, ps/8, latent//64)
         h = jnp.concatenate(
             [y_grid.astype(z_map.dtype), z_map], axis=-1
         ).astype(self.dtype or z_map.dtype)

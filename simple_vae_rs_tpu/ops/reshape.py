@@ -35,6 +35,36 @@ def depth_to_space(x: Array, block: int = 2) -> Array:
     return x.reshape(b, h * block, w * block, c_out)
 
 
+def cmajor_regroup_down(x: Array, block: int = 2) -> Array:
+    """(B, H, W, C) -> (B, H/b, W/b, C*b*b) with the *reference's* C-major
+    Flatten/Unflatten reinterpretation semantics.
+
+    Exactly reproduces ``nn.Flatten`` of an NCHW ``(C, H, W)`` map followed
+    by ``nn.Unflatten(1, (C*b*b, H/b, W/b))`` (reference
+    ``cond_vae.py:167-189``): equivalent to the NCHW reshape
+    ``(B, C, H, W) -> (B, C*b*b, H/b, W/b)``. Unlike
+    :func:`space_to_depth` this scrambles spatial structure (row pairs move
+    into channels; columns scatter across the new row) — it exists so
+    converted reference checkpoints are *functionally exact*
+    (``utils/convert.py``; enable with ``CondSRVAEConfig.torch_regroup``).
+    """
+    b, h, w, c = x.shape
+    x = x.transpose(0, 3, 1, 2)  # NCHW
+    x = x.reshape(b, c * block * block, h // block, w // block)
+    return x.transpose(0, 2, 3, 1)
+
+
+def cmajor_regroup_up(x: Array, block: int = 2) -> Array:
+    """(B, H, W, C) -> (B, H*b, W*b, C/(b*b)); inverse of
+    :func:`cmajor_regroup_down` (the reference's C-major reinterpretation
+    in the widening direction, e.g. ``decoder_x``'s Unflatten of the
+    ``y_to_z`` flat vector — ``cond_vae.py:110-118,270-272``)."""
+    b, h, w, c = x.shape
+    x = x.transpose(0, 3, 1, 2)  # NCHW
+    x = x.reshape(b, c // (block * block), h * block, w * block)
+    return x.transpose(0, 2, 3, 1)
+
+
 def flatten_map(x: Array) -> Array:
     """(B, H, W, C) -> (B, H*W*C). This framework's canonical latent order."""
     return x.reshape(x.shape[0], -1)

@@ -19,13 +19,15 @@ Fidelity notes:
   differs (HWC vs the reference's CHW) but is internal: our encoder and
   decoder agree with each other, and every parameterized op is a conv on
   the same feature maps.
-- **Cond_SRVAE**: all weights transfer, and the encoder/decoder paths are
-  exact. The conditional-prior regrouping (``u_to_z`` / prior-head
-  unflattens) uses structure-preserving pixel-shuffles where the reference
-  reinterprets C-major flat vectors (``cond_vae.py:167-231``), so the
-  prior heads see their input channels in a different (fixed) permutation
-  — converted models should be briefly fine-tuned. This is inherent to not
-  reproducing the reference's scrambling bijection.
+- **Cond_SRVAE**: conversion is *functionally exact* when the model is
+  built with ``CondSRVAEConfig(torch_regroup=True)``, which reproduces the
+  reference's C-major Flatten/Unflatten reinterpretations
+  (``cond_vae.py:167-231``) as explicit reshapes
+  (``ops/reshape.cmajor_regroup_{down,up}``) — proven end-to-end against a
+  torch re-derivation of the full 8-tuple in ``tests/test_torch_parity.py``.
+  With the default pixel-shuffle regrouping the encoder/decoder paths are
+  still exact but the prior heads see a different fixed permutation of
+  their inputs — fine-tune briefly after converting in that case.
 """
 
 from __future__ import annotations
