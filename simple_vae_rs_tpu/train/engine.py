@@ -538,30 +538,28 @@ class Trainer:
 
         if not lpips_available():
             return {}
-        sums = {"lpips_y": 0.0, "lpips_x": 0.0, "lpips_sr": 0.0}
-        count = 0
+        sums: Dict[str, float] = {}
+        counts: Dict[str, int] = {}
+
+        def acc(key, a, b):
+            vals = lpips_batch(a, b)
+            if vals is None:  # e.g. inputs below AlexNet's 11px footprint
+                return
+            sums[key] = sums.get(key, 0.0) + float(np.sum(vals))
+            counts[key] = counts.get(key, 0) + len(vals)
+
         for batch in val_loader:
             b = self._device_batch(batch)
             imgs = jax.device_get(self._eval_images_step(self.state, b))
             if self.kind == "vae":
-                vals = lpips_batch(imgs["Images/Input"], imgs["Images/Reconstruction"])
-                sums["lpips_x"] += float(np.sum(vals))
-                count += len(vals)
+                acc("Metrics/LPIPS",
+                    imgs["Images/Input"], imgs["Images/Reconstruction"])
                 continue
             y, x = imgs["Images/LR_Input"], imgs["Images/HR_Input"]
-            sums["lpips_y"] += float(np.sum(lpips_batch(y, imgs["Images/LR_Recon"])))
-            sums["lpips_x"] += float(np.sum(lpips_batch(x, imgs["Images/HR_Recon"])))
-            sums["lpips_sr"] += float(np.sum(lpips_batch(x, imgs["Images/SR_Output"])))
-            count += x.shape[0]
-        if count == 0:
-            return {}
-        if self.kind == "vae":
-            return {"Metrics/LPIPS": sums["lpips_x"] / count}
-        return {
-            "Metrics/LPIPS_LR": sums["lpips_y"] / count,
-            "Metrics/LPIPS_HR": sums["lpips_x"] / count,
-            "Metrics/LPIPS_SR": sums["lpips_sr"] / count,
-        }
+            acc("Metrics/LPIPS_LR", y, imgs["Images/LR_Recon"])
+            acc("Metrics/LPIPS_HR", x, imgs["Images/HR_Recon"])
+            acc("Metrics/LPIPS_SR", x, imgs["Images/SR_Output"])
+        return {k: sums[k] / counts[k] for k in sums if counts[k]}
 
     def _on_train_epoch_end(self, epoch: int) -> None:
         params = self.state.params

