@@ -285,13 +285,17 @@ class CondSRVAE(nn.Module):
         z = reparameterize(rng_z, mu_z_uy, logvar_z_uy)
         return self.decode_x_from_features(z, y_feat, train=False)
 
-    def sample(self, y: Array, rng: jax.Array, samples: int = 1000) -> Array:
+    def sample(
+        self, y: Array, rng: jax.Array, samples: int = 1000, chunk: int = 128
+    ) -> Array:
         """N posterior-prior draws decoded to HR (reference ``cond_vae.py:299-318``).
 
         ``y`` is (1, ps/2, ps/2, C); returns (samples, ps, ps, C). The prior
-        parameters are computed once from a single u draw; the N decodes are
-        a batched pass (chunk on the caller side via ``sample_chunked`` in
-        ``tasks.py`` when N*activations would exceed HBM).
+        parameters are computed once from a single u draw (reference
+        semantics); the N decodes run in fixed-size chunks under a lifted
+        ``nn.scan`` — only one chunk's decoder activations are live at a
+        time, so the canonical N=1000 call is HBM-safe from *any* entry
+        point (the decoder is traced once, not unrolled).
         """
         rng_u, rng_z = jax.random.split(rng)
         mu_u, logvar_u = self.encode_y(y, train=False)
@@ -302,8 +306,27 @@ class CondSRVAE(nn.Module):
         std = jnp.exp(0.5 * logvar_z_uy)
         eps = jax.random.normal(rng_z, (samples,) + mu_z_uy.shape[1:], jnp.float32)
         z = mu_z_uy + eps * std
-        y_feat_b = jnp.broadcast_to(y_feat, (samples,) + y_feat.shape[1:])
-        return self.decode_x_from_features(z, y_feat_b, train=False)
+
+        chunk = min(chunk, samples)
+        n_chunks = -(-samples // chunk)
+        total = n_chunks * chunk
+        if total != samples:  # pad the last chunk (trimmed below)
+            z = jnp.concatenate([z, z[: total - samples]], axis=0)
+        z = z.reshape((n_chunks, chunk) + z.shape[1:])
+        y_feat_b = jnp.broadcast_to(y_feat, (chunk,) + y_feat.shape[1:])
+
+        def body(mdl, carry, z_chunk):
+            return carry, mdl.decode_x_from_features(
+                z_chunk, y_feat_b, train=False
+            )
+
+        scan = nn.scan(
+            body,
+            variable_broadcast=["params", "batch_stats"],
+            split_rngs={"params": False},
+        )
+        _, outs = scan(self, None, z)
+        return outs.reshape((total,) + outs.shape[2:])[:samples]
 
     def generation(self, rng: jax.Array) -> Tuple[Array, Array]:
         """Unconditional generation: u ~ N(0, I) -> y_hat -> SR(x_hat).

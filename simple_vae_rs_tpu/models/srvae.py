@@ -65,15 +65,17 @@ class SRVAE(nn.Module):
             y = box_downsample_2x(y)
         return self.core.conditional_generation(y, rng)
 
-    def sample(self, y: Array, rng: jax.Array, samples: int = 1000) -> Array:
+    def sample(
+        self, y: Array, rng: jax.Array, samples: int = 1000, chunk: int = 128
+    ) -> Array:
         """Posterior-prior draws given an image (HR or LR).
 
         If given an HR image it is downsampled to the model's LR grid
-        first; then identical to ``Cond_SRVAE.sample``.
+        first; then identical to ``Cond_SRVAE.sample`` (chunked, HBM-safe).
         """
         if y.shape[1] == self.config.patch_size:
             y = box_downsample_2x(y)
-        return self.core.sample(y, rng, samples)
+        return self.core.sample(y, rng, samples, chunk)
 
     def generation(self, rng: jax.Array) -> Tuple[Array, Array]:
         """Unconditional: u ~ N(0,I) -> y_hat -> z ~ p(z|u, y_hat) -> x_hat."""

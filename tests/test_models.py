@@ -180,3 +180,28 @@ def test_forward_is_deterministic_given_rng(small_cond):
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
     c = model.apply(variables, x, y, jax.random.PRNGKey(10), train=False)
     assert not np.allclose(np.asarray(a[0]), np.asarray(c[0]))
+
+
+def test_sample_is_chunked_and_equivalent_at_n1000():
+    """VERDICT r1 #8: model.sample must be HBM-safe from any entry point.
+    The internal nn.scan chunking (one decoder trace, one chunk's
+    activations live) must equal the single-batch decode elementwise."""
+    import numpy as np
+
+    from simple_vae_rs_tpu.config import CondSRVAEConfig
+    from simple_vae_rs_tpu.models import CondSRVAE
+
+    model = CondSRVAE(CondSRVAEConfig(cr=2.0, patch_size=16))
+    y = jnp.asarray(np.random.default_rng(0).random((1, 8, 8, 4)), jnp.float32)
+    v = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 16, 16, 4)), y, jax.random.PRNGKey(1), train=False,
+    )
+    rng = jax.random.PRNGKey(2)
+    chunked = model.apply(v, y, rng, 1000, 128, method=CondSRVAE.sample)
+    assert chunked.shape == (1000, 16, 16, 4)
+    # chunk >= samples degenerates to the single-batch decode
+    whole = model.apply(v, y, rng, 1000, 1000, method=CondSRVAE.sample)
+    np.testing.assert_allclose(
+        np.asarray(chunked), np.asarray(whole), rtol=1e-5, atol=1e-6
+    )
