@@ -81,6 +81,10 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     parser.add_argument(
         "--mesh_model", type=int, default=1, help="Mesh model-axis size."
     )
+    parser.add_argument(
+        "--mesh_dcn", type=int, default=1,
+        help="Mesh dcn-axis size (number of slices, multi-slice over DCN).",
+    )
     parser.add_argument("--seed", type=int, default=0, help="Global RNG seed.")
     parser.add_argument(
         "--bf16", action="store_true", help="Compute convs in bfloat16 (MXU-native)."
@@ -143,7 +147,9 @@ def main(args: argparse.Namespace) -> None:
     job_id = os.environ.get(
         "SLURM_JOB_ID", f"local_{time.strftime('%Y%m%d-%H%M%S')}"
     )
-    mesh = make_mesh(MeshConfig(data=args.mesh_data, model=args.mesh_model))
+    mesh = make_mesh(
+        MeshConfig(data=args.mesh_data, model=args.mesh_model, dcn=args.mesh_dcn)
+    )
     print(f"Mesh: {dict(mesh.shape)} over {len(mesh.devices.flat)} device(s)")
 
     train_loader, val_loader = init_dataloader(

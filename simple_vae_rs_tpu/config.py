@@ -124,20 +124,27 @@ class CondSRVAEConfig:
 
 @dataclasses.dataclass(frozen=True)
 class MeshConfig:
-    """Device-mesh layout: ``data`` (batch) x ``model`` (channel) axes.
+    """Device-mesh layout: ``dcn`` (slice) x ``data`` (batch) x ``model``.
 
     The reference is single-device (reference ``train.py:51``); parallelism is
-    new here. Batch shards over ``data`` (ICI ring); the widest conv channel
-    dims may shard over ``model``.
+    new here. Batch shards over ``(dcn, data)`` — the ``data`` axis rides the
+    ICI ring within a slice; ``dcn`` spans slices over the data-center
+    network (multi-slice), carrying only the once-per-step gradient
+    all-reduce. The widest conv channel dims may shard over ``model``
+    (intra-slice: activations move every layer — keep it on ICI). The mesh
+    stays 2-axis unless ``dcn > 1``, so single-slice jobs see the familiar
+    ``(data, model)`` layout.
     """
 
-    data: int = -1  # -1: use all devices on the data axis
+    data: int = -1  # -1: use all remaining devices on the data axis
     model: int = 1
+    dcn: int = 1  # number of slices (multi-slice over DCN)
 
-    def axis_sizes(self, n_devices: int) -> Tuple[int, int]:
+    def axis_sizes(self, n_devices: int) -> Tuple[int, int, int]:
+        dcn = max(1, self.dcn)
         model = max(1, self.model)
-        data = self.data if self.data > 0 else n_devices // model
-        return data, model
+        data = self.data if self.data > 0 else n_devices // (model * dcn)
+        return dcn, data, model
 
 
 @dataclasses.dataclass(frozen=True)

@@ -35,20 +35,36 @@ from simple_vae_rs_tpu.config import MeshConfig
 def make_mesh(
     cfg: Optional[MeshConfig] = None, devices: Optional[Sequence[jax.Device]] = None
 ) -> Mesh:
-    """Build a ``(data, model)`` mesh over the available devices."""
+    """Build a ``(data, model)`` — or, when ``cfg.dcn > 1``,
+    ``(dcn, data, model)`` — mesh over the available devices.
+
+    ``jax.devices()`` orders devices slice-major on multi-slice TPU
+    deployments, so the leading ``dcn`` reshape axis lands on the DCN
+    boundary: only the gradient all-reduce crosses it, while ``data``/
+    ``model`` collectives ride the intra-slice ICI."""
     cfg = cfg or MeshConfig()
     devices = list(devices if devices is not None else jax.devices())
-    data, model = cfg.axis_sizes(len(devices))
-    if data * model > len(devices):
+    dcn, data, model = cfg.axis_sizes(len(devices))
+    need = dcn * data * model
+    if need > len(devices):
         raise ValueError(
-            f"mesh {data}x{model} needs {data * model} devices, have {len(devices)}"
+            f"mesh {dcn}x{data}x{model} needs {need} devices, have {len(devices)}"
         )
-    dev_array = np.asarray(devices[: data * model]).reshape(data, model)
+    if dcn > 1:
+        dev_array = np.asarray(devices[:need]).reshape(dcn, data, model)
+        return Mesh(dev_array, axis_names=("dcn", "data", "model"))
+    dev_array = np.asarray(devices[:need]).reshape(data, model)
     return Mesh(dev_array, axis_names=("data", "model"))
 
 
+def batch_axes(mesh: Mesh) -> Tuple[str, ...]:
+    """Mesh axes the batch dim shards over (dcn included when present)."""
+    return ("dcn", "data") if "dcn" in mesh.axis_names else ("data",)
+
+
 def shard_batch(mesh: Mesh, batch: Tuple[Any, ...]) -> Tuple[Any, ...]:
-    """Shard each (B, H, W, C) array's batch dim over the ``data`` axis.
+    """Shard each (B, H, W, C) array's batch dim over the batch axes
+    (``data``, plus ``dcn`` on a multi-slice mesh).
 
     Multi-host: each process passes its *local* slice of the global batch
     and ``jax.make_array_from_process_local_data`` assembles the global
@@ -56,8 +72,9 @@ def shard_batch(mesh: Mesh, batch: Tuple[Any, ...]) -> Tuple[Any, ...]:
     """
     out = []
     multihost = jax.process_count() > 1
+    axes = batch_axes(mesh)
     for arr in batch:
-        spec = P("data", *([None] * (arr.ndim - 1)))
+        spec = P(axes, *([None] * (arr.ndim - 1)))
         sharding = NamedSharding(mesh, spec)
         if multihost:
             out.append(jax.make_array_from_process_local_data(sharding, arr))
