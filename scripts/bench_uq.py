@@ -18,7 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench_ours(samples=1000, chunk=250, patch_size=64, cr=1.2):
+def bench_ours(samples=1000, chunk=250, patch_size=64, cr=1.2, int8=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -41,6 +41,27 @@ def bench_ours(samples=1000, chunk=250, patch_size=64, cr=1.2):
             jax.random.PRNGKey(1), train=False,
         )
     )(jax.random.PRNGKey(0))
+    impl = "tpu"
+    quality = None
+    if int8:
+        # W8A8 decoder serving: stochastic-round quantize the decoder convs
+        # once, route through the fused int8 Pallas kernels
+        from simple_vae_rs_tpu.ops import quantize as qz
+
+        float_out = sample_chunked(
+            model, variables, y, jax.random.PRNGKey(9), samples=8, chunk=8
+        )
+        qz.enable_int8(True)
+        variables = dict(variables)
+        variables["quant"] = qz.quantize_params_tree(
+            variables["params"], jax.random.PRNGKey(4)
+        )
+        impl = "tpu-int8"
+        int8_out = sample_chunked(
+            model, variables, y, jax.random.PRNGKey(9), samples=8, chunk=8
+        )
+        mse = float(jnp.mean((int8_out - float_out) ** 2))
+        quality = round(10 * np.log10(1.0 / max(mse, 1e-12)), 1)
 
     # warmup (compiles prep + chunk decode)
     out = sample_chunked(model, variables, y, jax.random.PRNGKey(2), samples=chunk,
@@ -53,13 +74,16 @@ def bench_ours(samples=1000, chunk=250, patch_size=64, cr=1.2):
                              samples=samples, chunk=chunk)
         float(jax.device_get(out[-1, 0, 0, 0]))
         dt = time.perf_counter() - t0
-        print(json.dumps({
+        rec = {
             "metric": "uq_posterior_draws_per_sec",
-            "impl": f"tpu-{label}",
+            "impl": f"{impl}-{label}",
             "samples": samples,
             "value": round(samples / dt, 1),
             "seconds_total": round(dt, 3),
-        }))
+        }
+        if quality is not None:
+            rec["int8_vs_float_psnr_db"] = quality
+        print(json.dumps(rec))
 
 
 def bench_reference(samples=1000, patch_size=64, cr=1.2):
@@ -94,4 +118,4 @@ if __name__ == "__main__":
     if "--reference" in sys.argv:
         bench_reference()
     else:
-        bench_ours()
+        bench_ours(int8="--int8" in sys.argv)

@@ -322,7 +322,7 @@ class CondSRVAE(nn.Module):
 
         scan = nn.scan(
             body,
-            variable_broadcast=["params", "batch_stats"],
+            variable_broadcast=["params", "batch_stats", "quant"],
             split_rngs={"params": False},
         )
         _, outs = scan(self, None, z)

@@ -9,6 +9,12 @@ from simple_vae_rs_tpu.ops.patchify import (
     grid_unpatchify,
     random_sr_crop_batch,
 )
+from simple_vae_rs_tpu.ops.quantize import (
+    dequantize,
+    quantize_params_tree,
+    quantize_rtn,
+    quantize_stochastic,
+)
 from simple_vae_rs_tpu.ops.resize import bicubic_upsample_2x
 from simple_vae_rs_tpu.ops.sequences import DownsampleSequence, UpsampleSequence
 
@@ -30,4 +36,8 @@ __all__ = [
     "grid_unpatchify",
     "grid_sr_batch",
     "random_sr_crop_batch",
+    "quantize_stochastic",
+    "quantize_rtn",
+    "quantize_params_tree",
+    "dequantize",
 ]

@@ -80,6 +80,7 @@ class PallasCapableConv3x3(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         from simple_vae_rs_tpu.ops import pallas_conv as pc
+        from simple_vae_rs_tpu.ops import quantize as qz
 
         fan_in = self.in_features * 9
         kernel = self.param(
@@ -89,6 +90,26 @@ class PallasCapableConv3x3(nn.Module):
             "bias", _uniform_init(1.0 / math.sqrt(fan_in)), (self.features,)
         )
         dt = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
+        # W8A8 serving path: quantized weights present in the ``quant``
+        # collection (serve.SuperResolver(int8=True)) + process switch on.
+        # Eval-only — training never routes here (batch_stats mutable).
+        if (
+            qz.is_int8_enabled()
+            and x.ndim == 4
+            and not self.is_mutable_collection("batch_stats")
+            and self.has_variable("quant", "kernel_q")
+        ):
+            from simple_vae_rs_tpu.ops import pallas_int8 as p8
+
+            out = p8.int8_conv3x3_bn_relu(
+                x.astype(dt),
+                self.get_variable("quant", "kernel_q"),
+                self.get_variable("quant", "kernel_s"),
+                jnp.ones((self.features,), jnp.float32),
+                bias.astype(jnp.float32),
+                relu=False,
+            )
+            return out.astype(dt)
         if (
             pc.is_enabled()
             and x.ndim == 4
@@ -237,6 +258,17 @@ class _FusedTailMixin:
             t = bias.astype(jnp.float32)
         return kernel.astype(dt), s, t
 
+    def _has_quant_tail(self) -> bool:
+        return self._tail_name in self.variables.get("quant", {})
+
+    def _int8_tail_params(self):
+        """(kernel_q, kernel_s, scale, shift): quantized tail conv weights
+        plus the same folded-BN affine the f32 fused path uses (the bias is
+        folded into shift — the int8 matmul runs bias-free)."""
+        _, s, t = self._fused_tail_params(jnp.float32)
+        qv = self.variables["quant"][self._tail_name]
+        return qv["kernel_q"], qv["kernel_s"], s, t
+
 
 class DownBlock(nn.Module, _FusedTailMixin):
     """conv3x3 -> strided conv4x4 (spatial /2) -> BN -> ReLU.
@@ -257,11 +289,24 @@ class DownBlock(nn.Module, _FusedTailMixin):
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
         from simple_vae_rs_tpu.ops import pallas_conv as pc
+        from simple_vae_rs_tpu.ops import quantize as qz
 
         x = torch_conv(
             self.in_features, self.in_features, 3, 1, 1, dtype=self.dtype, name="conv"
         )(x)
         dt = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
+        if (
+            qz.is_int8_enabled()
+            and not train
+            and not self.is_initializing()
+            and self._has_quant_tail()
+        ):
+            from simple_vae_rs_tpu.ops import pallas_int8 as p8
+
+            kq, ks, s, t = self._int8_tail_params()
+            return p8.int8_conv4x4s2_bn_relu(
+                x.astype(dt), kq, ks, s, t, self.with_relu
+            )
         if (
             pc.is_enabled()
             and not train
@@ -305,11 +350,24 @@ class UpBlock(nn.Module, _FusedTailMixin):
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
         from simple_vae_rs_tpu.ops import pallas_conv as pc
+        from simple_vae_rs_tpu.ops import quantize as qz
 
         x = torch_conv(
             self.in_features, self.in_features, 3, 1, 1, dtype=self.dtype, name="conv"
         )(x)
         dt = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
+        if (
+            qz.is_int8_enabled()
+            and not train
+            and not self.is_initializing()
+            and self._has_quant_tail()
+        ):
+            from simple_vae_rs_tpu.ops import pallas_int8 as p8
+
+            kq, ks, s, t = self._int8_tail_params()
+            return p8.int8_convT4x4s2_bn_relu(
+                x.astype(dt), kq, ks, s, t, self.with_relu
+            )
         if (
             pc.is_enabled()
             and not train

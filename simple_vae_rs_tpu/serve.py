@@ -10,6 +10,16 @@ speed — the 1000-draw uncertainty task runs in ~0.12 s on a v5e).
     sr = SuperResolver.from_checkpoint("ckpt/job", cr=1.2, patch_size=64)
     x_hat = sr.super_resolve(lr_batch)            # (B, ps, ps, C) in [0,1]
     maps = sr.uncertainty(lr_image, samples=32)   # mean/std/variance maps
+
+Two serving-scale options the reference has no analogue for:
+
+- ``int8=True`` — W8A8 decoder: decoder conv weights are stochastic-round
+  quantized once at load (``ops/quantize.py``) and the blocks dispatch the
+  fused int8 Pallas kernels (``ops/pallas_int8.py``; the v5e MXU runs int8
+  at 2x the bf16 rate).
+- ``mesh=make_mesh(...)`` — multi-chip serving: request batches shard over
+  the mesh's batch axes and ``uncertainty``'s posterior draws decode
+  data-parallel (N-draw UQ scales linearly in chips).
 """
 
 from __future__ import annotations
@@ -54,12 +64,46 @@ class SuperResolver:
         variables: Dict[str, Any],
         seed: int = 0,
         normalize: bool = True,
+        int8: bool = False,
+        mesh: Optional[Any] = None,
     ) -> None:
         if not isinstance(model, (CondSRVAE, SRVAE)):
             raise TypeError("SuperResolver serves CondSRVAE/SRVAE models")
         self.model = model
         self.variables = variables
         self.normalize = normalize
+        self.int8 = int8
+        # Multi-device serving: params replicate over the mesh; request
+        # batches shard over the batch axes and posterior draws shard over
+        # the same axes in ``uncertainty`` (each chip decodes its slice of
+        # the draws — the UQ task is embarrassingly parallel in N).
+        self.mesh = mesh
+        self._batch_sharding = None
+        self._n_shards = 1
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from simple_vae_rs_tpu.parallel.mesh import batch_axes, replicate
+
+            axes = batch_axes(mesh)
+            self._batch_sharding = NamedSharding(mesh, P(axes))
+            self._n_shards = int(np.prod([mesh.shape[a] for a in axes]))
+            self.variables = replicate(mesh, variables)
+        if int8:
+            # W8A8 decoder serving (beyond-parity; the v5e MXU runs int8 at
+            # 2x bf16). Decoder conv weights are stochastic-round quantized
+            # ONCE here; the conv blocks route through the fused int8
+            # kernels wherever their scope carries quant variables. Models
+            # without a ``quant`` collection are untouched even with the
+            # process switch on.
+            from simple_vae_rs_tpu.ops import quantize as qz
+
+            qz.enable_int8(True)
+            if "quant" not in self.variables:
+                self.variables = dict(self.variables)
+                self.variables["quant"] = qz.quantize_params_tree(
+                    self.variables["params"], jax.random.PRNGKey(seed)
+                )
         self._rng = jax.random.PRNGKey(seed)
         self._calls = 0
 
@@ -75,6 +119,8 @@ class SuperResolver:
         dtype: Optional[Any] = None,
         seed: int = 0,
         pallas_conv: bool = False,
+        int8: bool = False,
+        mesh: Optional[Any] = None,
     ) -> "SuperResolver":
         from simple_vae_rs_tpu.train.checkpoint import load_checkpoint
         from simple_vae_rs_tpu.train.state import create_train_state, make_optimizer
@@ -108,7 +154,7 @@ class SuperResolver:
         vars_ = {"params": state.params}
         if state.batch_stats:
             vars_["batch_stats"] = state.batch_stats
-        return cls(model, vars_, seed=seed)
+        return cls(model, vars_, seed=seed, int8=int8, mesh=mesh)
 
     # ---------------------------------------------------------- endpoints
     def _next_rng(self) -> jax.Array:
@@ -124,21 +170,39 @@ class SuperResolver:
         return y
 
     def super_resolve(self, y) -> Array:
-        """LR batch (B, ps/2, ps/2, C) -> single-draw SR (B, ps, ps, C)."""
+        """LR batch (B, ps/2, ps/2, C) -> single-draw SR (B, ps, ps, C).
+
+        On a meshed resolver the batch is padded to the shard count and
+        sharded over the batch axes; XLA partitions the whole compiled
+        request behind the input sharding.
+        """
         y = jnp.asarray(y)
         if y.ndim == 3:
             y = y[None]
+        b = y.shape[0]
+        pad = (-b) % self._n_shards
+        if self._batch_sharding is not None:
+            if pad:
+                y = jnp.pad(
+                    y, ((0, pad),) + ((0, 0),) * (y.ndim - 1), mode="edge"
+                )
+            y = jax.device_put(y, self._batch_sharding)
         self._rng, out = _sr_call(
             self.model, self.variables, y, self._rng, self.normalize
         )
-        return out
+        return out[:b] if (self._batch_sharding is not None and pad) else out
 
     def uncertainty(self, y, samples: int = 32, chunk: int = 32) -> Dict[str, Array]:
-        """Posterior SR statistics for one LR image: mean/std/variance maps."""
+        """Posterior SR statistics for one LR image: mean/std/variance maps.
+
+        On a meshed resolver the draws shard over the batch axes (chunk is
+        rounded up to the shard count) — N-draw UQ scales linearly in chips.
+        """
         y = self._prep(y)[:1]
+        chunk = -(-chunk // self._n_shards) * self._n_shards
         draws = sample_chunked(
             self.model, self.variables, y, self._next_rng(),
-            samples=samples, chunk=chunk,
+            samples=samples, chunk=chunk, sharding=self._batch_sharding,
         )
         return {
             "mean": jnp.mean(draws, axis=0),

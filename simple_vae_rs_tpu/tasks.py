@@ -42,33 +42,51 @@ def sample_chunked(
     rng: jax.Array,
     samples: int = 1000,
     chunk: int = 100,
+    sharding=None,
 ) -> Array:
     """N posterior draws decoded in fixed-size chunks.
 
     The conditioning pass (encoder_y / y_to_z / prior heads) runs once; only
     the decoder runs per chunk. Matches reference semantics (one ``u`` draw
     shared by all samples — ``cond_vae.py:299-318``).
+
+    ``sharding`` (a ``NamedSharding`` over the draw axis) spreads each
+    chunk's decodes across a device mesh: the noise is drawn once and
+    device_put with the sharding, and XLA's SPMD partitioner slices the
+    whole decoder batch-wise behind it — multi-chip uncertainty
+    quantification with zero model changes (``serve.SuperResolver(mesh=)``).
+    Draw values are sharding-independent (same key -> same draws), so
+    sharded and single-device results agree to float tolerance.
     """
-    chunk = min(chunk, samples)
+    if sharding is None:
+        chunk = min(chunk, samples)
+    # (sharded callers size chunk to the shard count; a chunk larger than
+    # samples just decodes once and trims)
     n_chunks = -(-samples // chunk)
+
+    def place(eps):
+        return eps if sharding is None else jax.device_put(eps, sharding)
 
     if isinstance(model, (CondSRVAE, SRVAE)):
         rng_u, rng_z = jax.random.split(rng)
         mu_p, lv_p, y_feat = _cond_prep(model, variables, y, rng_u)
         std = jnp.exp(0.5 * lv_p)
+        shape = (chunk,) + tuple(mu_p.shape[1:])
         outs = [
             _cond_decode_chunk(
                 model, variables, mu_p, std, y_feat,
-                jax.random.fold_in(rng_z, i), chunk,
+                place(_normal(jax.random.fold_in(rng_z, i), shape)),
             )
             for i in range(n_chunks)
         ]
     else:
         mu, logvar = _vae_encode(model, variables, y)
         std = jnp.exp(0.5 * logvar)
+        shape = (chunk, mu.shape[-1])
         outs = [
             _vae_decode_chunk(
-                model, variables, mu, std, jax.random.fold_in(rng, i), chunk
+                model, variables, mu, std,
+                place(_normal(jax.random.fold_in(rng, i), shape)),
             )
             for i in range(n_chunks)
         ]
@@ -103,11 +121,19 @@ def _cond_prep(model, variables, y, rng):
     return model.apply(variables, y, rng, method=_cond_prep_method)
 
 
-@partial(jax.jit, static_argnames=("model", "chunk"))
-def _cond_decode_chunk(model, variables, mu_p, std, y_feat, rng, chunk):
-    eps = jax.random.normal(rng, (chunk,) + mu_p.shape[1:], jnp.float32)
+@partial(jax.jit, static_argnames=("shape",))
+def _normal(rng, shape):
+    return jax.random.normal(rng, shape, jnp.float32)
+
+
+# The noise arrives as an argument (drawn once per chunk, optionally
+# device_put with a draw-axis sharding): the compiled decode inherits its
+# batch partitioning from eps, which is how the mesh-sharded serving path
+# spreads draws over chips.
+@partial(jax.jit, static_argnames=("model",))
+def _cond_decode_chunk(model, variables, mu_p, std, y_feat, eps):
     z = mu_p + eps * std
-    yf = jnp.broadcast_to(y_feat, (chunk,) + y_feat.shape[1:])
+    yf = jnp.broadcast_to(y_feat, (eps.shape[0],) + y_feat.shape[1:])
     return model.apply(variables, z, yf, method=_cond_decode_method)
 
 
@@ -116,9 +142,8 @@ def _vae_encode(model, variables, y):
     return model.apply(variables, y, train=False, method=VAE.encode)
 
 
-@partial(jax.jit, static_argnames=("model", "chunk"))
-def _vae_decode_chunk(model, variables, mu, std, rng, chunk):
-    eps = jax.random.normal(rng, (chunk, mu.shape[-1]), jnp.float32)
+@partial(jax.jit, static_argnames=("model",))
+def _vae_decode_chunk(model, variables, mu, std, eps):
     z = mu + eps * std
     return model.apply(variables, z, train=False, method=VAE.decode)
 

@@ -83,3 +83,78 @@ def test_from_checkpoint_srvae(tmp_path):
     assert out.shape == (2, 16, 16, 4)
     maps = sr.uncertainty(y[0], samples=4, chunk=2)
     assert maps["mean"].shape == (16, 16, 4)
+
+
+# ------------------------------------------------------- multi-device serving
+def _small_cond(seed=0):
+    cfg = CondSRVAEConfig(cr=2.0, patch_size=16)
+    model = CondSRVAE(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(seed)},
+        jnp.zeros((1, 16, 16, 4)),
+        jnp.zeros((1, 8, 8, 4)),
+        jax.random.PRNGKey(1),
+        train=False,
+    )
+    return model, variables
+
+
+def test_mesh_serving_matches_single_device():
+    """SuperResolver(mesh=...) on the 8-virtual-device CPU mesh: batch
+    shards over ``data``, results equal the single-device resolver."""
+    from simple_vae_rs_tpu.config import MeshConfig
+    from simple_vae_rs_tpu.parallel.mesh import make_mesh
+
+    model, variables = _small_cond()
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    y = np.random.default_rng(0).random((8, 8, 8, 4)).astype(np.float32)
+
+    single = SuperResolver(model, variables, seed=3)
+    meshed = SuperResolver(model, variables, seed=3, mesh=mesh)
+    a = single.super_resolve(y)
+    b = meshed.super_resolve(y)
+    assert b.shape == (8, 16, 16, 4)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_mesh_serving_pads_partial_batches():
+    from simple_vae_rs_tpu.config import MeshConfig
+    from simple_vae_rs_tpu.parallel.mesh import make_mesh
+
+    model, variables = _small_cond()
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    meshed = SuperResolver(model, variables, seed=3, mesh=mesh)
+    y = np.random.default_rng(1).random((3, 8, 8, 4)).astype(np.float32)
+    out = meshed.super_resolve(y)
+    assert out.shape == (3, 16, 16, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    # uncertainty rounds the chunk up to the shard count and trims draws
+    maps = meshed.uncertainty(y[0], samples=6, chunk=3)
+    assert maps["mean"].shape == (16, 16, 4)
+    assert np.isfinite(np.asarray(maps["std"])).all()
+
+
+def test_sample_chunked_sharded_draws_match_unsharded():
+    """Sharding the draw axis must not change the draws: same key, same
+    chunk geometry -> identical samples (XLA partitions, values invariant)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from simple_vae_rs_tpu.config import MeshConfig
+    from simple_vae_rs_tpu.parallel.mesh import make_mesh, replicate
+    from simple_vae_rs_tpu.tasks import sample_chunked
+
+    model, variables = _small_cond()
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    y = jnp.asarray(
+        np.random.default_rng(2).random((1, 8, 8, 4)).astype(np.float32)
+    )
+    key = jax.random.PRNGKey(11)
+    a = sample_chunked(model, variables, y, key, samples=8, chunk=8)
+    b = sample_chunked(
+        model, replicate(mesh, variables), y, key, samples=8, chunk=8,
+        sharding=NamedSharding(mesh, P("data")),
+    )
+    assert b.shape == (8, 16, 16, 4)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-5)
