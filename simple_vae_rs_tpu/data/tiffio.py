@@ -2,16 +2,19 @@
 
 The reference reads Sen2Venus GeoTIFF tiles with ``tifffile``
 (``dataset.py:151-152``); that package isn't a baked-in dependency here, so
-this module implements the small subset needed: uncompressed striped
-baseline TIFF, single-image, uint8/16/32, int16/32 and float32 samples,
-both planar configurations (band-interleaved ``(H, W, C)`` and
-band-sequential ``(C, H, W)``), little- and big-endian. If ``tifffile`` is
-importable it is preferred (it handles compressed variants).
+this module implements the subset real GeoTIFF tiles need: striped baseline
+TIFF, single-image, uint8/16/32, int16/32 and float32 samples, both planar
+configurations (band-interleaved ``(H, W, C)`` and band-sequential
+``(C, H, W)``), little- and big-endian, and the compressions GDAL commonly
+writes — **Deflate/zlib (8 and legacy 32946) and LZW (5)**, each with or
+without the horizontal-differencing predictor (tag 317 = 2). If
+``tifffile`` is importable it is preferred.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import Dict, List
 
 import numpy as np
@@ -32,7 +35,14 @@ _SAMPLES_PER_PIXEL = 277
 _ROWS_PER_STRIP = 278
 _STRIP_BYTE_COUNTS = 279
 _PLANAR_CONFIG = 284
+_PREDICTOR = 317
 _SAMPLE_FORMAT = 339
+
+# compression codes
+_COMP_NONE = 1
+_COMP_LZW = 5
+_COMP_DEFLATE = 8
+_COMP_DEFLATE_OLD = 32946
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
@@ -55,6 +65,140 @@ def _read_ifd_entries(data: bytes, offset: int, bo: str) -> Dict[int, List]:
             continue
         entries[tag] = list(struct.unpack(bo + fmt * n, raw))
     return entries
+
+
+# --------------------------------------------------------------- LZW codec
+# TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing, 9-bit initial
+# codes, ClearCode=256, EOI=257, and the "early change" quirk — the code
+# width bumps one entry *before* the table fills (at 510/1022/2046).
+_LZW_CLEAR = 256
+_LZW_EOI = 257
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    out = bytearray()
+    table: List[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    width = 9
+    reset()
+    bitbuf = 0
+    nbits = 0
+    prev: bytes | None = None
+    pos = 0
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)  # missing EOI: tolerate truncated strips
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == _LZW_EOI:
+            return bytes(out)
+        if code == _LZW_CLEAR:
+            reset()
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code}")
+        out += entry
+        prev = entry
+        # early change: width grows when the NEXT entry would not fit
+        if len(table) + 1 >= (1 << width) and width < 12:
+            width += 1
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(_LZW_CLEAR, width)
+    w = b""
+    for byte in data:
+        wk = w + bytes([byte])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        # width-bump mirror of the decoder: the decoder grows its width
+        # once its table reaches 511/1023/2047 entries (= next_code - 1
+        # here), verified against libtiff-written streams in the tests
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4094:  # table nearly full: reset
+            emit(_LZW_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([byte])
+    if w:
+        emit(table[w], width)
+    emit(_LZW_EOI, width)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _decompress_strip(raw: bytes, comp: int, path: str) -> bytes:
+    if comp == _COMP_NONE:
+        return raw
+    if comp in (_COMP_DEFLATE, _COMP_DEFLATE_OLD):
+        return zlib.decompress(raw)
+    if comp == _COMP_LZW:
+        return _lzw_decode(raw)
+    raise ValueError(
+        f"{path}: compression={comp} unsupported without tifffile"
+    )
+
+
+def _undo_predictor(strip: np.ndarray, rows: int, width: int, chans: int):
+    """Invert horizontal differencing (predictor 2) in place-ish.
+
+    ``strip`` is the decoded 1-D sample array of one strip; differencing is
+    per row, per channel, with wraparound in the sample dtype.
+    """
+    arr = strip.reshape(rows, width, chans)
+    # cumsum in a wide int then wrap back to the storage dtype
+    wide = np.cumsum(arr.astype(np.int64), axis=1)
+    info_bits = arr.dtype.itemsize * 8
+    wide &= (1 << info_bits) - 1
+    return wide.astype(arr.dtype).reshape(-1)
+
+
+def _apply_predictor(plane: np.ndarray) -> np.ndarray:
+    """Horizontal differencing for the writer: (rows, width, chans) ints."""
+    diffed = plane.copy()
+    diffed[:, 1:, :] = plane[:, 1:, :] - plane[:, :-1, :]
+    return diffed
 
 
 def read_tiff(path: str) -> np.ndarray:
@@ -87,17 +231,32 @@ def read_tiff(path: str) -> np.ndarray:
     comp = tags.get(_COMPRESSION, [1])[0]
     planar = tags.get(_PLANAR_CONFIG, [1])[0]
     sfmt = tags.get(_SAMPLE_FORMAT, [1])[0]
-    if comp != 1:
-        raise ValueError(f"{path}: compressed TIFF (compression={comp}) unsupported "
-                         "without tifffile")
+    pred = tags.get(_PREDICTOR, [1])[0]
 
     kind = {1: "u", 2: "i", 3: "f"}.get(sfmt, "u")
     dtype = np.dtype(f"{bo}{kind}{bits // 8}")
 
     offsets = tags[_STRIP_OFFSETS]
     counts = tags[_STRIP_BYTE_COUNTS]
-    raw = b"".join(data[o : o + c] for o, c in zip(offsets, counts))
-    arr = np.frombuffer(raw, dtype=dtype)
+    strips = [
+        _decompress_strip(data[o : o + c], comp, path)
+        for o, c in zip(offsets, counts)
+    ]
+    if pred == 2:
+        if kind == "f":
+            raise ValueError(f"{path}: predictor 2 on float samples")
+        chans = spp if planar == 1 else 1
+        row_samples = width * chans
+        parts = []
+        for sdata in strips:
+            s_arr = np.frombuffer(sdata, dtype=dtype)
+            rows = s_arr.size // row_samples
+            parts.append(_undo_predictor(s_arr, rows, width, chans))
+        arr = np.concatenate(parts)
+    elif pred != 1:
+        raise ValueError(f"{path}: predictor {pred} unsupported")
+    else:
+        arr = np.frombuffer(b"".join(strips), dtype=dtype)
 
     if spp == 1:
         return arr.reshape(height, width).astype(dtype.newbyteorder("="))
@@ -106,11 +265,23 @@ def read_tiff(path: str) -> np.ndarray:
     return arr.reshape(height, width, spp).astype(dtype.newbyteorder("="))
 
 
-def write_tiff(path: str, array: np.ndarray, planar_channels_first: bool = False) -> None:
-    """Write an uncompressed striped TIFF.
+_WRITE_COMP = {"none": _COMP_NONE, "deflate": _COMP_DEFLATE, "lzw": _COMP_LZW}
+
+
+def write_tiff(
+    path: str,
+    array: np.ndarray,
+    planar_channels_first: bool = False,
+    compression: str = "none",
+    predictor: bool = False,
+) -> None:
+    """Write a striped TIFF (one strip).
 
     ``array``: (H, W), (H, W, C) interleaved, or (C, H, W) when
     ``planar_channels_first`` — matching what ``read_tiff`` returns.
+    ``compression``: "none" | "deflate" | "lzw"; ``predictor`` applies
+    horizontal differencing (integer samples only) before compression —
+    the combination GDAL typically writes for satellite tiles.
     """
     arr = np.ascontiguousarray(array)
     if arr.ndim == 2:
@@ -125,19 +296,32 @@ def write_tiff(path: str, array: np.ndarray, planar_channels_first: bool = False
     kind_map = {"u": 1, "i": 2, "f": 3}
     sfmt = kind_map[arr.dtype.kind]
     bits = arr.dtype.itemsize * 8
-    payload = arr.astype(arr.dtype.newbyteorder("<")).tobytes()
+    le = arr.astype(arr.dtype.newbyteorder("<"))
+    if predictor:
+        if arr.dtype.kind == "f":
+            raise ValueError("predictor requires integer samples")
+        chans = c if planar == 1 else 1
+        rows = h if planar == 1 else h * c
+        le = _apply_predictor(le.reshape(rows, w, chans)).reshape(le.shape)
+    payload = le.tobytes()
+    comp = _WRITE_COMP[compression]
+    if comp == _COMP_DEFLATE:
+        payload = zlib.compress(payload, 6)
+    elif comp == _COMP_LZW:
+        payload = _lzw_encode(payload)
 
     tags = [
         (_IMAGE_WIDTH, 3, 1, w),
         (_IMAGE_LENGTH, 3, 1, h),
         (_BITS_PER_SAMPLE, 3, c, [bits] * c),
-        (_COMPRESSION, 3, 1, 1),
+        (_COMPRESSION, 3, 1, comp),
         (_PHOTOMETRIC, 3, 1, 1),
         (_STRIP_OFFSETS, 4, 1, None),  # patched below
         (_SAMPLES_PER_PIXEL, 3, 1, c),
         (_ROWS_PER_STRIP, 3, 1, h if planar == 1 else h * c),
         (_STRIP_BYTE_COUNTS, 4, 1, len(payload)),
         (_PLANAR_CONFIG, 3, 1, planar),
+        (_PREDICTOR, 3, 1, 2 if predictor else 1),
         (_SAMPLE_FORMAT, 3, c, [sfmt] * c),
     ]
 
