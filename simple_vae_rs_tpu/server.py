@@ -1,0 +1,208 @@
+"""HTTP model server: SuperResolver behind a stdlib HTTP front end.
+
+The reference's only inference story is a one-off script inside training
+(`/root/reference/train.py:54-59` + ``model.task``); this module is the
+deployable serving runtime the rebuild adds: load a checkpoint once, keep
+the compiled endpoints resident on the TPU, and answer requests over HTTP.
+Zero dependencies beyond the standard library — ``ThreadingHTTPServer``
+accepts concurrent connections while a lock serializes device dispatch
+(one model, one chip-queue; JAX dispatch is already async so the lock only
+covers enqueue + RNG-state advance).
+
+Endpoints (all arrays NHWC, channels last):
+
+- ``GET /healthz`` -> ``{"status": "ok", "model": ..., "patch_size": ...}``
+- ``POST /v1/super_resolve`` -> single-draw SR of an LR batch.
+- ``POST /v1/uncertainty``  -> posterior mean/std/variance maps (+ MMSE
+  estimate) for one LR image; body fields ``samples``/``chunk`` optional.
+
+Two body encodings, negotiated by Content-Type:
+
+- ``application/json``: ``{"lr": [[...]], ...}`` nested lists; response is
+  JSON with nested lists.
+- ``application/x-npy``: the raw ``.npy`` bytes of the LR array (faster —
+  no float text round trip); response is ``.npy`` bytes (super_resolve) or
+  a multi-array ``.npz`` (uncertainty).
+
+Launch::
+
+    python -m simple_vae_rs_tpu.server --model_ckpt ckpt/job -cr 1.2 \
+        --patch_size 64 --port 8471 [--int8] [--pallas_conv]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from simple_vae_rs_tpu.serve import SuperResolver, warmup
+
+_JSON = "application/json"
+_NPY = "application/x-npy"
+_NPZ = "application/x-npz"
+
+
+class ModelService:
+    """Request-level wrapper: decode body -> resolver call -> encode body."""
+
+    def __init__(self, resolver: SuperResolver) -> None:
+        self.resolver = resolver
+        self.lock = threading.Lock()
+
+    # ------------------------------------------------------------- decoding
+    @staticmethod
+    def _decode(body: bytes, ctype: str) -> Tuple[np.ndarray, Dict[str, Any]]:
+        if ctype.startswith(_NPY):
+            arr = np.load(io.BytesIO(body), allow_pickle=False)
+            return np.asarray(arr, np.float32), {}
+        payload = json.loads(body.decode("utf-8"))
+        if "lr" not in payload:
+            raise ValueError("missing 'lr' field")
+        return np.asarray(payload["lr"], np.float32), payload
+
+    @staticmethod
+    def _encode(arrays: Dict[str, np.ndarray], ctype: str) -> Tuple[bytes, str]:
+        if ctype.startswith(_NPY):
+            buf = io.BytesIO()
+            if len(arrays) == 1:
+                np.save(buf, next(iter(arrays.values())))
+                return buf.getvalue(), _NPY
+            np.savez(buf, **arrays)
+            return buf.getvalue(), _NPZ
+        return (
+            json.dumps({k: v.tolist() for k, v in arrays.items()}).encode(),
+            _JSON,
+        )
+
+    # ------------------------------------------------------------ endpoints
+    def health(self) -> Dict[str, Any]:
+        r = self.resolver
+        return {
+            "status": "ok",
+            "model": type(r.model).__name__,
+            "patch_size": int(r.model.config.patch_size),
+            "channels": int(r.model.config.channels),
+            "int8": bool(r.int8),
+            "mesh": dict(r.mesh.shape) if r.mesh is not None else None,
+        }
+
+    def super_resolve(self, body: bytes, ctype: str) -> Tuple[bytes, str]:
+        lr, _ = self._decode(body, ctype)
+        with self.lock:
+            out = np.asarray(self.resolver.super_resolve(lr))
+        return self._encode({"sr": out}, ctype)
+
+    def uncertainty(self, body: bytes, ctype: str) -> Tuple[bytes, str]:
+        lr, payload = self._decode(body, ctype)
+        samples = int(payload.get("samples", 32))
+        chunk = int(payload.get("chunk", min(samples, 32)))
+        with self.lock:
+            maps = self.resolver.uncertainty(lr, samples=samples, chunk=chunk)
+        return self._encode(
+            {k: np.asarray(v) for k, v in maps.items()}, ctype
+        )
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service: ModelService  # injected by make_server
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    def _reply(self, code: int, body: bytes, ctype: str) -> None:
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _fail(self, code: int, message: str) -> None:
+        self._reply(code, json.dumps({"error": message}).encode(), _JSON)
+
+    def do_GET(self):  # noqa: N802 (stdlib handler API)
+        if self.path == "/healthz":
+            self._reply(200, json.dumps(self.service.health()).encode(), _JSON)
+        else:
+            self._fail(404, f"unknown path {self.path}")
+
+    def do_POST(self):  # noqa: N802
+        routes = {
+            "/v1/super_resolve": self.service.super_resolve,
+            "/v1/uncertainty": self.service.uncertainty,
+        }
+        handler = routes.get(self.path)
+        if handler is None:
+            self._fail(404, f"unknown path {self.path}")
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            ctype = self.headers.get("Content-Type", _JSON)
+            out, out_type = handler(body, ctype)
+            self._reply(200, out, out_type)
+        except (ValueError, KeyError, json.JSONDecodeError) as e:
+            self._fail(400, str(e))
+        except Exception as e:  # pragma: no cover - defensive 500
+            self._fail(500, f"{type(e).__name__}: {e}")
+
+
+def make_server(
+    resolver: SuperResolver, host: str = "127.0.0.1", port: int = 8471
+) -> ThreadingHTTPServer:
+    """Build (but don't start) the HTTP server around a resolver."""
+    service = ModelService(resolver)
+    handler = type("BoundHandler", (_Handler,), {"service": service})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def main(argv: Optional[list] = None) -> None:
+    p = argparse.ArgumentParser(description="simple-vae-rs-tpu model server")
+    p.add_argument("--model_ckpt", required=True)
+    p.add_argument("-cr", "--compression_ratio", type=float, default=1.2)
+    p.add_argument("--patch_size", type=int, default=64)
+    p.add_argument("--channels", type=int, default=4)
+    p.add_argument("--model_type", default="Cond_SRVAE",
+                   choices=["Cond_SRVAE", "SRVAE"])
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8471)
+    p.add_argument("--int8", action="store_true",
+                   help="serve the W8A8 quantized decoder")
+    p.add_argument("--pallas_conv", action="store_true",
+                   help="fused conv+BN+ReLU eval kernels")
+    p.add_argument("--mesh_data", type=int, default=1,
+                   help="shard batches/draws over this many devices")
+    p.add_argument("--no_warmup", action="store_true")
+    args = p.parse_args(argv)
+
+    mesh = None
+    if args.mesh_data > 1:
+        from simple_vae_rs_tpu.config import MeshConfig
+        from simple_vae_rs_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(MeshConfig(data=args.mesh_data, model=1))
+    resolver = SuperResolver.from_checkpoint(
+        args.model_ckpt,
+        cr=args.compression_ratio,
+        patch_size=args.patch_size,
+        channels=args.channels,
+        model_type=args.model_type,
+        pallas_conv=args.pallas_conv,
+        int8=args.int8,
+        mesh=mesh,
+    )
+    if not args.no_warmup:
+        lr_side = args.patch_size // 2
+        warmup(resolver, lr_shape=(1, lr_side, lr_side, args.channels))
+    server = make_server(resolver, args.host, args.port)
+    print(f"serving {args.model_type} on http://{args.host}:{server.server_address[1]}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""HTTP model server: endpoints, both body encodings, error paths."""
+
+import io
+import json
+import threading
+import urllib.request
+import urllib.error
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from simple_vae_rs_tpu.config import CondSRVAEConfig
+from simple_vae_rs_tpu.models import CondSRVAE
+from simple_vae_rs_tpu.serve import SuperResolver
+from simple_vae_rs_tpu.server import make_server
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    cfg = CondSRVAEConfig(cr=2.0, patch_size=16)
+    model = CondSRVAE(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 16, 16, 4)),
+        jnp.zeros((1, 8, 8, 4)),
+        jax.random.PRNGKey(1),
+        train=False,
+    )
+    resolver = SuperResolver(model, variables, seed=4)
+    srv = make_server(resolver, port=0)  # ephemeral port
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _post(url, body, ctype):
+    req = urllib.request.Request(url, data=body, method="POST",
+                                 headers={"Content-Type": ctype})
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        return resp.read(), resp.headers.get("Content-Type")
+
+
+def test_healthz(server_url):
+    with urllib.request.urlopen(server_url + "/healthz", timeout=30) as resp:
+        info = json.loads(resp.read())
+    assert info["status"] == "ok"
+    assert info["model"] == "CondSRVAE"
+    assert info["patch_size"] == 16
+    assert info["int8"] is False
+
+
+def test_super_resolve_json(server_url):
+    lr = np.random.default_rng(0).random((2, 8, 8, 4)).tolist()
+    out, ctype = _post(
+        server_url + "/v1/super_resolve",
+        json.dumps({"lr": lr}).encode(),
+        "application/json",
+    )
+    assert ctype.startswith("application/json")
+    sr = np.asarray(json.loads(out)["sr"])
+    assert sr.shape == (2, 16, 16, 4)
+    assert (sr >= 0).all() and (sr <= 1).all()
+
+
+def test_super_resolve_npy(server_url):
+    lr = np.random.default_rng(1).random((3, 8, 8, 4)).astype(np.float32)
+    buf = io.BytesIO()
+    np.save(buf, lr)
+    out, ctype = _post(
+        server_url + "/v1/super_resolve", buf.getvalue(), "application/x-npy"
+    )
+    assert ctype.startswith("application/x-npy")
+    sr = np.load(io.BytesIO(out))
+    assert sr.shape == (3, 16, 16, 4)
+
+
+def test_uncertainty_json(server_url):
+    lr = np.random.default_rng(2).random((8, 8, 4)).tolist()
+    out, _ = _post(
+        server_url + "/v1/uncertainty",
+        json.dumps({"lr": lr, "samples": 4, "chunk": 2}).encode(),
+        "application/json",
+    )
+    maps = json.loads(out)
+    assert set(maps) == {"mean", "std", "variance"}
+    assert np.asarray(maps["mean"]).shape == (16, 16, 4)
+    assert (np.asarray(maps["variance"]) >= 0).all()
+
+
+def test_uncertainty_npz(server_url):
+    lr = np.random.default_rng(3).random((8, 8, 4)).astype(np.float32)
+    buf = io.BytesIO()
+    np.save(buf, lr)
+    out, ctype = _post(
+        server_url + "/v1/uncertainty", buf.getvalue(), "application/x-npy"
+    )
+    assert ctype.startswith("application/x-npz")
+    maps = np.load(io.BytesIO(out))
+    assert maps["std"].shape == (16, 16, 4)
+
+
+def test_error_paths(server_url):
+    # bad JSON
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server_url + "/v1/super_resolve", b"{not json", "application/json")
+    assert e.value.code == 400
+    # missing field
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server_url + "/v1/super_resolve", b"{}", "application/json")
+    assert e.value.code == 400
+    # unknown route
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server_url + "/v1/nope", b"{}", "application/json")
+    assert e.value.code == 404
+
+
+def test_concurrent_requests_serialize_cleanly(server_url):
+    lr = json.dumps(
+        {"lr": np.random.default_rng(4).random((1, 8, 8, 4)).tolist()}
+    ).encode()
+    results = []
+
+    def hit():
+        out, _ = _post(server_url + "/v1/super_resolve", lr, "application/json")
+        results.append(np.asarray(json.loads(out)["sr"]).shape)
+
+    threads = [threading.Thread(target=hit) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results == [(1, 16, 16, 4)] * 4
