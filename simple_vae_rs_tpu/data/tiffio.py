@@ -162,6 +162,12 @@ def _lzw_encode(data: bytes) -> bytes:
         w = bytes([byte])
     if w:
         emit(table[w], width)
+        # the decoder appends a table entry for this final code too, and
+        # may bump its width before reading EOI — mirror that bump here or
+        # the EOI (and the stream end) desync when the final entry lands
+        # exactly on a 511/1023/2047 boundary
+        if next_code + 1 >= (1 << width) and width < 12:
+            width += 1
     emit(_LZW_EOI, width)
     if nbits:
         out.append((bitbuf << (8 - nbits)) & 0xFF)

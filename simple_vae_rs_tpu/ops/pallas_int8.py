@@ -35,6 +35,7 @@ from simple_vae_rs_tpu.ops.pallas_conv import (
     _HAVE_PLTPU,
     _VMEM,
     _VMEM_BUDGET,
+    _batch_tile,
     _rnd,
     _T_TAPS,
 )
@@ -65,14 +66,6 @@ def _tile_bytes_int8(h, w, c, o, ho=None, wo=None, out_mult=1, itemsize=4):
     patch = _rnd(ho * wo, 32) * _rnd(c, 128)
     out = ho * _rnd(wo, 32 // itemsize) * _rnd(o * out_mult, 128) * itemsize
     return 2 * xin + xq + 4 * acc + patch + 2 * out
-
-
-def _batch_tile(b: int, per_image: int, weights: int) -> int:
-    bt = 1
-    for cand in (2, 4, 8, 16):
-        if b % cand == 0 and cand * per_image + weights < _VMEM_BUDGET:
-            bt = cand
-    return bt
 
 
 def _wbytes(taps: int, c: int, o: int) -> int:

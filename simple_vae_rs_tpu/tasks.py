@@ -64,8 +64,15 @@ def sample_chunked(
     # samples just decodes once and trims)
     n_chunks = -(-samples // chunk)
 
-    def place(eps):
-        return eps if sharding is None else jax.device_put(eps, sharding)
+    def draw(rng_i, shape):
+        """Per-chunk noise. Unsharded: drawn INSIDE the decode jit (one
+        dispatch per chunk — the latency contract serve.py documents).
+        Sharded: drawn in its own dispatch and device_put with the draw
+        sharding so XLA partitions the decode behind it. Same key + shape
+        -> identical draws either way."""
+        if sharding is None:
+            return None
+        return jax.device_put(_normal(rng_i, shape), sharding)
 
     if isinstance(model, (CondSRVAE, SRVAE)):
         rng_u, rng_z = jax.random.split(rng)
@@ -75,7 +82,8 @@ def sample_chunked(
         outs = [
             _cond_decode_chunk(
                 model, variables, mu_p, std, y_feat,
-                place(_normal(jax.random.fold_in(rng_z, i), shape)),
+                jax.random.fold_in(rng_z, i), chunk,
+                draw(jax.random.fold_in(rng_z, i), shape),
             )
             for i in range(n_chunks)
         ]
@@ -86,7 +94,8 @@ def sample_chunked(
         outs = [
             _vae_decode_chunk(
                 model, variables, mu, std,
-                place(_normal(jax.random.fold_in(rng, i), shape)),
+                jax.random.fold_in(rng, i), chunk,
+                draw(jax.random.fold_in(rng, i), shape),
             )
             for i in range(n_chunks)
         ]
@@ -126,14 +135,17 @@ def _normal(rng, shape):
     return jax.random.normal(rng, shape, jnp.float32)
 
 
-# The noise arrives as an argument (drawn once per chunk, optionally
-# device_put with a draw-axis sharding): the compiled decode inherits its
-# batch partitioning from eps, which is how the mesh-sharded serving path
-# spreads draws over chips.
-@partial(jax.jit, static_argnames=("model",))
-def _cond_decode_chunk(model, variables, mu_p, std, y_feat, eps):
+# ``eps=None`` (default): noise drawn inside the jit — one dispatch per
+# chunk, the serving latency contract. With a pre-sharded ``eps`` the
+# compiled decode inherits its batch partitioning from it, which is how
+# the mesh-sharded serving path spreads draws over chips.
+@partial(jax.jit, static_argnames=("model", "chunk"))
+def _cond_decode_chunk(model, variables, mu_p, std, y_feat, rng, chunk,
+                       eps=None):
+    if eps is None:
+        eps = jax.random.normal(rng, (chunk,) + mu_p.shape[1:], jnp.float32)
     z = mu_p + eps * std
-    yf = jnp.broadcast_to(y_feat, (eps.shape[0],) + y_feat.shape[1:])
+    yf = jnp.broadcast_to(y_feat, (chunk,) + y_feat.shape[1:])
     return model.apply(variables, z, yf, method=_cond_decode_method)
 
 
@@ -142,8 +154,10 @@ def _vae_encode(model, variables, y):
     return model.apply(variables, y, train=False, method=VAE.encode)
 
 
-@partial(jax.jit, static_argnames=("model",))
-def _vae_decode_chunk(model, variables, mu, std, eps):
+@partial(jax.jit, static_argnames=("model", "chunk"))
+def _vae_decode_chunk(model, variables, mu, std, rng, chunk, eps=None):
+    if eps is None:
+        eps = jax.random.normal(rng, (chunk, mu.shape[-1]), jnp.float32)
     z = mu + eps * std
     return model.apply(variables, z, train=False, method=VAE.decode)
 

@@ -95,6 +95,27 @@ def test_tiff_lzw_codec_exercises_width_growth_and_reset():
     assert len(enc) < len(data)  # the smooth half must compress
 
 
+def test_tiff_lzw_final_code_on_width_boundary(tmp_path):
+    """Regression: the encoder must mirror the decoder's width bump for
+    the FINAL flushed code (the decoder appends a table entry for it and
+    may widen before reading EOI) — desync corrupted streams whose last
+    entry landed exactly on a 511/1023/2047 table-size boundary."""
+    from simple_vae_rs_tpu.data.tiffio import _lzw_decode, _lzw_encode
+
+    rng = np.random.default_rng(7)
+    # incompressible payload sweep across the 511 and 1023 boundaries:
+    # every length must round-trip exactly (the bug truncated/extended)
+    for n in list(range(240, 280)) + list(range(740, 790)):
+        data = rng.integers(0, 256, n).astype(np.uint8).tobytes()
+        enc = _lzw_encode(data)
+        assert _lzw_decode(enc) == data, f"len={n}"
+    # the originally-reproduced end-to-end failure shape
+    arr = rng.integers(0, 256, (59, 13)).astype(np.uint8)
+    path = str(tmp_path / "boundary.tif")
+    write_tiff(path, arr, compression="lzw")
+    np.testing.assert_array_equal(read_tiff(path), arr)
+
+
 def test_tiff_lzw_decodes_libtiff_streams(tmp_path):
     """Conformance against a real libtiff encoder: Pillow writes a
     multi-strip LZW TIFF; our reader must reproduce the pixels (this is

@@ -68,3 +68,47 @@ def test_random_mode_from_tiffs(tmp_path):
     lr, hr = next(iter(train_loader))
     assert hr.shape == (2, 16, 16, 4)
     assert lr.shape == (2, 8, 8, 4)
+
+
+def test_compressed_tiffs_to_training_to_int8_task(tmp_path):
+    """Real-data shape of round 2's additions: LZW/deflate+predictor tiles
+    (what GDAL writes) through the loader and engine, then the task report
+    decoded through the W8A8 int8 path (CLI surface: --int8)."""
+    from simple_vae_rs_tpu.ops import quantize as qz
+
+    root = str(tmp_path / "ARM")
+    os.makedirs(root)
+    rng = np.random.default_rng(3)
+    rows = ["b2b3b4b8_10m\tb2b3b4b8_05m"]
+    for i in range(6):
+        hr_img = (rng.random((4, 32, 32)) * 10000).astype(np.int16)
+        lr_img = hr_img.reshape(4, 16, 2, 16, 2).mean(axis=(2, 4)).astype(np.int16)
+        write_tiff(os.path.join(root, f"lr_{i}.tif"), lr_img,
+                   planar_channels_first=True, compression="lzw", predictor=True)
+        write_tiff(os.path.join(root, f"hr_{i}.tif"), hr_img,
+                   planar_channels_first=True, compression="deflate",
+                   predictor=True)
+        rows.append(f"lr_{i}.tif\thr_{i}.tif")
+    with open(os.path.join(root, "index.csv"), "w") as fh:
+        fh.write("\n".join(rows))
+
+    train_loader, val_loader = init_dataloader(
+        "s2v", batch_size=2, patch_size=16, crop="grid", data_root=root
+    )
+    model = CondSRVAE(CondSRVAEConfig(cr=2.0, patch_size=16))
+    trainer = Trainer(model, TrainConfig(epochs=1, learning_rate=1e-3))
+    state = trainer.fit(train_loader, val_loader, epochs=1, val_metrics_every=1)
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats,
+                 "quant": qz.quantize_params_tree(state.params,
+                                                  jax.random.PRNGKey(0))}
+    qz.enable_int8(True)
+    try:
+        out = run_task(model, variables, val_loader, "int8-task", 2.0,
+                       samples=4, chunk=4,
+                       results_root=str(tmp_path / "results"))
+    finally:
+        qz.enable_int8(False)
+    assert np.isfinite(out["mmse"])
+    assert os.path.exists(os.path.join(out["results_dir"],
+                                       "error_mean_std_maps.png"))
