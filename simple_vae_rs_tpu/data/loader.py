@@ -196,4 +196,17 @@ def init_dataloader(
         seed=seed + 1,
         mesh=mesh,
     )
+    # static-shape batches drop ragged tails, so a split smaller than one
+    # batch would silently yield ZERO batches and crash the epoch averages
+    # downstream — fail here with an actionable message instead
+    for split, ldr, n_items in (
+        ("train", train_loader, len(train_ds)),
+        ("val", val_loader, len(val_ds)),
+    ):
+        if len(ldr) == 0:
+            raise ValueError(
+                f"{split} split has {n_items} tiles — fewer than one "
+                f"batch of {batch_size} (static shapes drop the ragged "
+                f"tail). Reduce --batch_size or add data."
+            )
     return train_loader, val_loader

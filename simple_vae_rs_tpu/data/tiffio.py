@@ -174,12 +174,19 @@ def _lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _decompress_strip(raw: bytes, comp: int, path: str) -> bytes:
+def _decompress_strip(raw: bytes, comp: int, path: str, size_hint: int = 0) -> bytes:
     if comp == _COMP_NONE:
         return raw
     if comp in (_COMP_DEFLATE, _COMP_DEFLATE_OLD):
         return zlib.decompress(raw)
     if comp == _COMP_LZW:
+        # prefer the native decoder (data/lzw.c, ~memory speed); the Python
+        # loop below stays the semantic reference and the fallback
+        from .lzw_native import lzw_decode_native
+
+        out = lzw_decode_native(raw, size_hint)
+        if out is not None:
+            return out
         return _lzw_decode(raw)
     raise ValueError(
         f"{path}: compression={comp} unsupported without tifffile"
@@ -244,8 +251,11 @@ def read_tiff(path: str) -> np.ndarray:
 
     offsets = tags[_STRIP_OFFSETS]
     counts = tags[_STRIP_BYTE_COUNTS]
+    rps = tags.get(_ROWS_PER_STRIP, [height])[0]
+    strip_chans = spp if planar == 1 else 1
+    strip_hint = min(rps, height * (spp if planar == 2 else 1)) * width * strip_chans * (bits // 8)
     strips = [
-        _decompress_strip(data[o : o + c], comp, path)
+        _decompress_strip(data[o : o + c], comp, path, strip_hint)
         for o, c in zip(offsets, counts)
     ]
     if pred == 2:

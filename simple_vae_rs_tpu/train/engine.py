@@ -281,6 +281,8 @@ class Trainer:
             y, x = self._device_batch(batch)[:2]
             part = self._baseline_metrics_step(y, x)
             sums = part if not sums else _tree_add(sums, part)
+        if not sums:  # empty loader (custom loaders can bypass the
+            return {}  # init_dataloader guard); baseline rows just absent
         out = jax.device_get(sums)
         n = max(float(out["count"]), 1.0)
         return {"ssim_base": float(out["ssim"]) / n, "psnr_base": float(out["psnr"]) / n}
@@ -497,6 +499,8 @@ class Trainer:
             for batch in val_loader:
                 part = self._eval_metrics_step(self.state, self._device_batch(batch))
                 sums = part if not sums else _tree_add(sums, part)
+            if not sums:  # empty loader: no metrics to log
+                return
             out = jax.device_get(sums)
             n = max(float(out.pop("count")), 1.0)
             if self.kind in ("vae", "srvae"):

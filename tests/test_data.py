@@ -116,6 +116,47 @@ def test_tiff_lzw_final_code_on_width_boundary(tmp_path):
     np.testing.assert_array_equal(read_tiff(path), arr)
 
 
+def test_native_lzw_matches_python_decoder():
+    """The C decoder (data/lzw.c) is pinned byte-for-byte to the Python
+    reference decoder across compressible, incompressible, and
+    table-reset-sized streams (plus the regrow path via a tiny hint)."""
+    from simple_vae_rs_tpu.data.lzw_native import get_lib, lzw_decode_native
+    from simple_vae_rs_tpu.data.tiffio import _lzw_decode, _lzw_encode
+
+    if get_lib() is None:
+        pytest.skip("no C toolchain available")
+    rng = np.random.default_rng(11)
+    payloads = [
+        b"",
+        b"a",
+        b"abcabcabcabd" * 40,
+        rng.integers(0, 256, 5_000).astype(np.uint8).tobytes(),
+        np.repeat(rng.integers(0, 255, 20_000), 3).astype(np.uint8).tobytes()
+        + rng.integers(0, 256, 40_000).astype(np.uint8).tobytes(),
+    ]
+    for data in payloads:
+        enc = _lzw_encode(data)
+        assert lzw_decode_native(enc, len(data)) == _lzw_decode(enc) == data
+        # size_hint=1 forces the -2 regrow-and-retry path
+        assert lzw_decode_native(enc, 1) == data
+    # corrupt stream: native refuses (None) so Python defines the behavior
+    assert lzw_decode_native(b"\xff\xff\xff\xff\xff\xff", 16) is None
+
+
+def test_native_lzw_decodes_truncated_strip():
+    """Streams that end without an EOI decode to their intact prefix in
+    both decoders (GDAL occasionally writes such strips)."""
+    from simple_vae_rs_tpu.data.lzw_native import get_lib, lzw_decode_native
+    from simple_vae_rs_tpu.data.tiffio import _lzw_decode, _lzw_encode
+
+    if get_lib() is None:
+        pytest.skip("no C toolchain available")
+    data = b"the quick brown fox " * 64
+    enc = _lzw_encode(data)
+    cut = enc[: len(enc) - 4]
+    assert lzw_decode_native(cut, len(data)) == _lzw_decode(cut)
+
+
 def test_tiff_lzw_decodes_libtiff_streams(tmp_path):
     """Conformance against a real libtiff encoder: Pillow writes a
     multi-strip LZW TIFF; our reader must reproduce the pixels (this is
@@ -338,3 +379,11 @@ def test_init_dataloader_split_and_synthetic():
     assert len(val.dataset) == 13
     with pytest.raises(ValueError):
         init_dataloader("nope", 1, 64)
+
+
+def test_init_dataloader_rejects_zero_batch_split():
+    """A split smaller than one (static-shape, drop_last) batch must fail
+    loudly at construction — silently yielding zero val batches crashed
+    the epoch averages deep inside the engine (found live on TPU)."""
+    with pytest.raises(ValueError, match="val split has 13 tiles"):
+        init_dataloader("synthetic", batch_size=16, patch_size=64)
