@@ -61,7 +61,7 @@ def test_tiff_to_training_to_task(tmp_path):
 
 def test_random_mode_from_tiffs(tmp_path):
     root = str(tmp_path / "ARM")
-    _make_arm_tree(root, n_tiles=5, hr=32)
+    _make_arm_tree(root, n_tiles=6, hr=32)
     train_loader, _ = init_dataloader(
         "s2v", batch_size=2, patch_size=16, crop="random", data_root=root
     )
