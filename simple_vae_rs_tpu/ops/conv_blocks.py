@@ -142,6 +142,101 @@ class PallasCapableConv3x3(nn.Module):
         return out + bias.astype(dt)
 
 
+class PallasGradConv4x4s2(nn.Module):
+    """4x4/s2/p1 conv, drop-in for the ``nn.Conv`` from :func:`torch_conv`
+    (identical param tree/init). Per-pass algorithm selection behind the
+    global switch: the forward keeps XLA's strong batched conv, but the
+    input-gradient — an input-dilated pattern XLA lowers poorly — rides the
+    Pallas convT kernel (``pallas_conv.conv4x4s2_dx``). This is the
+    training-path complement of the eval-mode fused tails: the DownBlock
+    backward is where the dilated convs live in a training step.
+    """
+
+    features: int
+    in_features: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from simple_vae_rs_tpu.ops import pallas_conv as pc
+
+        fan_in = self.in_features * 16
+        kernel = self.param(
+            "kernel", _torch_kernel_init, (4, 4, self.in_features, self.features)
+        )
+        bias = self.param(
+            "bias", _uniform_init(1.0 / math.sqrt(fan_in)), (self.features,)
+        )
+        dt = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
+        # small-channel inputs (the image-facing convs) keep plain XLA:
+        # their dx lanes (2*C) are too narrow to feed the MXU well
+        if pc.is_enabled() and x.ndim == 4 and x.shape[-1] >= 16:
+            return pc.conv4x4s2_pdx(
+                x.astype(dt), kernel.astype(dt), bias.astype(jnp.float32)
+            ).astype(dt)
+        out = jax.lax.conv_general_dilated(
+            x.astype(dt),
+            kernel.astype(dt),
+            window_strides=(2, 2),
+            padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out + bias.astype(dt)
+
+
+class PallasCapableConvT4x4s2(nn.Module):
+    """convT4x4/s2/p1, drop-in for :func:`torch_conv_transpose`'s
+    ``nn.Conv`` (same param tree, init, and fractionally-strided-conv
+    geometry). Behind the global switch the forward rides the
+    phase-decomposed Pallas kernel — the input-dilated pattern stays ahead
+    of XLA deep into training-scale batches (BASELINE.md) — via the
+    existing custom VJP, so it is differentiable and serves both training
+    (bias only; BN stays separate) and large-batch eval.
+    """
+
+    features: int
+    in_features: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from simple_vae_rs_tpu.ops import pallas_conv as pc
+
+        fan = self.features * 16  # torch fan for ConvT: out * kh * kw
+        bound = 1.0 / math.sqrt(fan)
+        kernel = self.param(
+            "kernel", _uniform_init(bound), (4, 4, self.in_features, self.features)
+        )
+        bias = self.param("bias", _uniform_init(bound), (self.features,))
+        dt = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
+        if (
+            pc.is_enabled()
+            and x.ndim == 4
+            and pc.wins_over_xla_T(x.shape[0], 2 * x.shape[1], 2 * x.shape[2])
+            and pc.fits_vmemT(
+                x.shape[1], x.shape[2], x.shape[3], self.features,
+                jnp.dtype(dt).itemsize,
+            )
+        ):
+            out = pc.fused_convT4x4s2_bn_relu_grad(
+                x.astype(dt),
+                kernel.astype(dt),
+                jnp.ones((self.features,), jnp.float32),
+                bias.astype(jnp.float32),
+                False,
+            )
+            return out.astype(dt)
+        out = jax.lax.conv_general_dilated(
+            x.astype(dt),
+            kernel.astype(dt),
+            window_strides=(1, 1),
+            padding=[(2, 2), (2, 2)],
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out + bias.astype(dt)
+
+
 def torch_conv(
     features: int,
     in_features: int,
@@ -153,12 +248,15 @@ def torch_conv(
 ) -> nn.Module:
     """Conv with torch-default initialization (NHWC).
 
-    The 3x3/s1 case returns :class:`PallasCapableConv3x3` (same parameter
-    tree as ``nn.Conv``) so every plain conv in the models can ride the
-    fused Pallas kernel behind the global switch.
+    The 3x3/s1 case returns :class:`PallasCapableConv3x3` and the 4x4/s2/p1
+    case :class:`PallasGradConv4x4s2` (same parameter trees as ``nn.Conv``)
+    so every conv in the models can ride the Pallas kernels behind the
+    global switch.
     """
     if kernel_size == 3 and stride == 1 and padding == 1:
         return PallasCapableConv3x3(features, in_features, dtype=dtype, name=name)
+    if kernel_size == 4 and stride == 2 and padding == 1:
+        return PallasGradConv4x4s2(features, in_features, dtype=dtype, name=name)
     fan_in = in_features * kernel_size * kernel_size
     return nn.Conv(
         features,
@@ -181,7 +279,7 @@ def torch_conv_transpose(
     padding: int = 1,
     dtype: Optional[Dtype] = None,
     name: Optional[str] = None,
-) -> nn.Conv:
+) -> nn.Module:
     """Transposed conv matching torch ConvT(k, s, p) geometry exactly.
 
     Implemented as a fractionally-strided regular conv — input dilation
@@ -193,6 +291,8 @@ def torch_conv_transpose(
     Torch's init fan for the transposed weight ``(in, out, kh, kw)`` is
     ``out * kh * kw`` — reproduced here for matched learning dynamics.
     """
+    if kernel_size == 4 and stride == 2 and padding == 1:
+        return PallasCapableConvT4x4s2(features, in_features, dtype=dtype, name=name)
     del in_features  # torch fan for ConvT depends on out channels only
     fan = features * kernel_size * kernel_size
     bound = 1.0 / math.sqrt(fan)

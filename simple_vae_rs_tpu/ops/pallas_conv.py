@@ -393,7 +393,7 @@ def _referenceT(x, kernel, scale, shift, relu):
 # jax.linear_transpose of the (linear-in-each-argument) conv — so, unlike a
 # jax.vjp of the reference expression, the forward conv is never recomputed
 # in the backward pass.
-def _make_grad(fused_fn, conv_fn):
+def _make_grad(fused_fn, conv_fn, dx_fn=None):
     @partial(jax.custom_vjp, nondiff_argnums=(4,))
     def fwd_op(x, kernel, scale, shift, relu=True):
         return fused_fn(x, kernel, scale, shift, relu=relu)
@@ -416,7 +416,10 @@ def _make_grad(fused_fn, conv_fn):
         dscale = jnp.sum(g32 * conv_raw, axis=(0, 1, 2))
         dshift = jnp.sum(g32, axis=(0, 1, 2))
         g_conv = (g32 * scale).astype(x.dtype)
-        dx = jax.linear_transpose(lambda x_: conv_fn(x_, kernel), x)(g_conv)[0]
+        if dx_fn is not None:
+            dx = dx_fn(g_conv, kernel)
+        else:
+            dx = jax.linear_transpose(lambda x_: conv_fn(x_, kernel), x)(g_conv)[0]
         dk = jax.linear_transpose(lambda k_: conv_fn(x, k_), kernel)(g_conv)[0]
         return dx, dk, dscale.astype(scale.dtype), dshift.astype(shift.dtype)
 
@@ -444,9 +447,73 @@ def _convT_samedtype(x, k):
     ).astype(x.dtype)
 
 
+def _flip_swap(kernel: Array) -> Array:
+    """(4,4,C,O) -> the transposed-conv weight of the adjoint: spatial flip
+    + in/out swap (k'[i,j,o,c] = k[3-i,3-j,c,o])."""
+    return jnp.flip(kernel, (0, 1)).swapaxes(2, 3)
+
+
+def conv4x4s2_dx(g: Array, kernel: Array, interpret: bool = False) -> Array:
+    """Input-gradient of ``y = conv4x4/s2/p1(x, kernel)``.
+
+    Mathematically a convT4x4/s2/p1 of ``g`` with the flipped/swapped
+    kernel — the input-dilated pattern XLA lowers poorly (it materializes
+    the dilation zeros; the Pallas kernel computes only the 4 live taps per
+    output phase, measured 5.7x on v5e, BASELINE.md). Routed through
+    :func:`fused_convT4x4s2_bn_relu` when it fits VMEM; XLA transpose
+    otherwise. Same-dtype contract: returns ``g.dtype``.
+    """
+    b, ho, wo, o = g.shape
+    c = kernel.shape[2]
+    itemsize = jnp.dtype(g.dtype).itemsize
+    use_pallas = interpret or (
+        _HAVE_PLTPU
+        and jax.default_backend() == "tpu"
+        and wins_over_xla_T(b, 2 * ho, 2 * wo)
+        and fits_vmemT(ho, wo, o, c, itemsize)
+    )
+    if use_pallas:
+        return fused_convT4x4s2_bn_relu(
+            g,
+            _flip_swap(kernel).astype(g.dtype),
+            jnp.ones((c,), jnp.float32),
+            jnp.zeros((c,), jnp.float32),
+            relu=False,
+            interpret=interpret,
+        )
+    x_like = jax.ShapeDtypeStruct((b, 2 * ho, 2 * wo, c), g.dtype)
+    return jax.linear_transpose(lambda x_: _conv4_samedtype(x_, kernel), x_like)(g)[0]
+
+
 fused_conv3x3_bn_relu_grad = _make_grad(fused_conv3x3_bn_relu, _conv3_samedtype)
-fused_conv4x4s2_bn_relu_grad = _make_grad(fused_conv4x4s2_bn_relu, _conv4_samedtype)
+fused_conv4x4s2_bn_relu_grad = _make_grad(
+    fused_conv4x4s2_bn_relu, _conv4_samedtype, dx_fn=conv4x4s2_dx
+)
 fused_convT4x4s2_bn_relu_grad = _make_grad(fused_convT4x4s2_bn_relu, _convT_samedtype)
+
+
+# Plain strided conv with per-pass algorithm selection (cuDNN-style): the
+# forward rides XLA's strong batched conv, but the input-gradient — the
+# weak dilated pattern — rides the Pallas convT kernel when it fits. This
+# is the training-path complement of the fused eval ops above.
+@partial(jax.custom_vjp, nondiff_argnums=())
+def conv4x4s2_pdx(x: Array, kernel: Array, bias: Array) -> Array:
+    return _conv4_samedtype(x, kernel) + bias.astype(x.dtype)
+
+
+def _conv4_pdx_fwd(x, kernel, bias):
+    return conv4x4s2_pdx(x, kernel, bias), (x, kernel)
+
+
+def _conv4_pdx_bwd(res, g):
+    x, kernel = res
+    dx = conv4x4s2_dx(g, kernel)
+    dk = jax.linear_transpose(lambda k_: _conv4_samedtype(x, k_), kernel)(g)[0]
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
+    return dx, dk.astype(kernel.dtype), db
+
+
+conv4x4s2_pdx.defvjp(_conv4_pdx_fwd, _conv4_pdx_bwd)
 
 
 def fold_conv_bn(
@@ -500,3 +567,16 @@ def is_enabled() -> bool:
 def wins_over_xla(batch: int, out_h: int, out_w: int) -> bool:
     """True when the fused kernels beat XLA at this output-row count."""
     return batch * out_h * out_w <= _MAX_ROWS
+
+
+# The convT (input-dilated) pattern has its own, far higher crossover: XLA
+# materializes the dilation zeros (4x the MACs + the scatter), so the
+# phase-decomposed Pallas kernel stays ahead deep into training-scale
+# batches (5.7x at 262k output rows, BASELINE.md). Applies to the UpBlock
+# forward and to conv4x4s2's input-gradient (the same pattern transposed).
+_MAX_ROWS_T = int(_os.environ.get("SVRS_PALLAS_CONVT_MAX_ROWS", 4 << 20))
+
+
+def wins_over_xla_T(batch: int, out_h: int, out_w: int) -> bool:
+    """Crossover test for the transposed/dilated-conv pattern."""
+    return batch * out_h * out_w <= _MAX_ROWS_T
