@@ -146,10 +146,11 @@ class PallasGradConv4x4s2(nn.Module):
     """4x4/s2/p1 conv, drop-in for the ``nn.Conv`` from :func:`torch_conv`
     (identical param tree/init). Per-pass algorithm selection behind the
     global switch: the forward keeps XLA's strong batched conv, but the
-    input-gradient — an input-dilated pattern XLA lowers poorly — rides the
-    Pallas convT kernel (``pallas_conv.conv4x4s2_dx``). This is the
-    training-path complement of the eval-mode fused tails: the DownBlock
-    backward is where the dilated convs live in a training step.
+    input-gradient — an input-dilated pattern — can ride the Pallas convT
+    kernel (``pallas_conv.conv4x4s2_dx``) where measurement favors it
+    (small-batch regime; XLA wins at training scale — see
+    ``wins_over_xla_T`` and the BASELINE.md sweep). The forward/backward
+    split keeps both passes on their best implementation per shape.
     """
 
     features: int
@@ -188,10 +189,11 @@ class PallasCapableConvT4x4s2(nn.Module):
     """convT4x4/s2/p1, drop-in for :func:`torch_conv_transpose`'s
     ``nn.Conv`` (same param tree, init, and fractionally-strided-conv
     geometry). Behind the global switch the forward rides the
-    phase-decomposed Pallas kernel — the input-dilated pattern stays ahead
-    of XLA deep into training-scale batches (BASELINE.md) — via the
-    existing custom VJP, so it is differentiable and serves both training
-    (bias only; BN stays separate) and large-batch eval.
+    phase-decomposed Pallas kernel below the measured crossover
+    (``wins_over_xla_T``; XLA wins at compute-bound training shapes —
+    BASELINE.md sweep) via the existing custom VJP, so it is
+    differentiable and serves training (bias only; BN stays separate) and
+    eval alike.
     """
 
     features: int

@@ -457,11 +457,12 @@ def conv4x4s2_dx(g: Array, kernel: Array, interpret: bool = False) -> Array:
     """Input-gradient of ``y = conv4x4/s2/p1(x, kernel)``.
 
     Mathematically a convT4x4/s2/p1 of ``g`` with the flipped/swapped
-    kernel — the input-dilated pattern XLA lowers poorly (it materializes
-    the dilation zeros; the Pallas kernel computes only the 4 live taps per
-    output phase, measured 5.7x on v5e, BASELINE.md). Routed through
-    :func:`fused_convT4x4s2_bn_relu` when it fits VMEM; XLA transpose
-    otherwise. Same-dtype contract: returns ``g.dtype``.
+    kernel — an input-dilated pattern the Pallas kernel computes with only
+    the 4 live taps per output phase. Routed through
+    :func:`fused_convT4x4s2_bn_relu` below the measured crossover
+    (``wins_over_xla_T`` — XLA wins at compute-bound training shapes,
+    BASELINE.md sweep) and when it fits VMEM; XLA transpose otherwise.
+    Same-dtype contract: returns ``g.dtype``.
     """
     b, ho, wo, o = g.shape
     c = kernel.shape[2]
@@ -569,12 +570,15 @@ def wins_over_xla(batch: int, out_h: int, out_w: int) -> bool:
     return batch * out_h * out_w <= _MAX_ROWS
 
 
-# The convT (input-dilated) pattern has its own, far higher crossover: XLA
-# materializes the dilation zeros (4x the MACs + the scatter), so the
-# phase-decomposed Pallas kernel stays ahead deep into training-scale
-# batches (5.7x at 262k output rows, BASELINE.md). Applies to the UpBlock
-# forward and to conv4x4s2's input-gradient (the same pattern transposed).
-_MAX_ROWS_T = int(_os.environ.get("SVRS_PALLAS_CONVT_MAX_ROWS", 4 << 20))
+# The convT (input-dilated) pattern gets its own tunable crossover for the
+# UpBlock forward and conv4x4s2's input-gradient (the same pattern
+# transposed). Measured on v5e (scripts/bench_conv_sweep.py, 2026-08-16):
+# XLA lowers the dilated pattern well at compute-bound shapes — Pallas is
+# 0.6-0.9x at 512-patch training steps and ~1.1x only below ~8k output
+# rows — so the default matches the generic threshold and training shapes
+# ride XLA. (Round 1's 7.5 ms XLA figure for this pattern did not
+# reproduce — 1.3 ms on a healthy tunnel — and is superseded.)
+_MAX_ROWS_T = int(_os.environ.get("SVRS_PALLAS_CONVT_MAX_ROWS", _MAX_ROWS))
 
 
 def wins_over_xla_T(batch: int, out_h: int, out_w: int) -> bool:
