@@ -44,6 +44,20 @@ Array = jnp.ndarray
 
 _QMAX = 127.0
 
+# Process-wide "use the XLA reference path instead of the Pallas kernels"
+# override. Meshed serving sets this when the request shards over >1
+# device: GSPMD cannot partition the Pallas custom call (it would
+# conservatively replicate the full batch onto every chip), while the
+# dequantize+conv reference path shards like any XLA graph. Single-chip
+# serving keeps the fused kernels. Revisit with shard_map wiring when
+# multi-chip hardware is available to validate against.
+_FORCE_REF = False
+
+
+def force_reference(value: bool = True) -> None:
+    global _FORCE_REF
+    _FORCE_REF = bool(value)
+
 
 # ----------------------------------------------------------- in-kernel quant
 def _quant_act(x):
@@ -122,7 +136,7 @@ def int8_conv3x3_bn_relu(
     b, h, w, c = x.shape
     o = kernel_q.shape[-1]
     itemsize = jnp.dtype(x.dtype).itemsize
-    if not _HAVE_PLTPU or (not interpret and jax.default_backend() != "tpu"):
+    if not _HAVE_PLTPU or (not interpret and (_FORCE_REF or jax.default_backend() != "tpu")):
         return int8_reference3(x, kernel_q, kernel_s, scale, shift, relu)
     if not fits_vmem3_int8(h, w, c, o, itemsize):
         return int8_reference3(x, kernel_q, kernel_s, scale, shift, relu)
@@ -228,7 +242,7 @@ def int8_conv4x4s2_bn_relu(
     b, h, w, c = x.shape
     o = kernel_q.shape[-1]
     itemsize = jnp.dtype(x.dtype).itemsize
-    if not _HAVE_PLTPU or (not interpret and jax.default_backend() != "tpu"):
+    if not _HAVE_PLTPU or (not interpret and (_FORCE_REF or jax.default_backend() != "tpu")):
         return int8_reference4(x, kernel_q, kernel_s, scale, shift, relu)
     if not fits_vmem4_int8(h, w, c, o, itemsize):
         return int8_reference4(x, kernel_q, kernel_s, scale, shift, relu)
@@ -341,7 +355,7 @@ def int8_convT4x4s2_bn_relu(
     b, h, w, c = x.shape
     o = kernel_q.shape[-1]
     itemsize = jnp.dtype(x.dtype).itemsize
-    if not _HAVE_PLTPU or (not interpret and jax.default_backend() != "tpu"):
+    if not _HAVE_PLTPU or (not interpret and (_FORCE_REF or jax.default_backend() != "tpu")):
         return int8_referenceT(x, kernel_q, kernel_s, scale, shift, relu)
     if not fits_vmemT_int8(h, w, c, o, itemsize):
         return int8_referenceT(x, kernel_q, kernel_s, scale, shift, relu)

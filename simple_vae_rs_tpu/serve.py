@@ -89,6 +89,17 @@ class SuperResolver:
             self._batch_sharding = NamedSharding(mesh, P(axes))
             self._n_shards = int(np.prod([mesh.shape[a] for a in axes]))
             self.variables = replicate(mesh, variables)
+        if self._n_shards > 1:
+            # Sharded requests partition through GSPMD, which cannot split
+            # a Pallas custom call (it would replicate the full batch onto
+            # every chip). Route the int8 path through its XLA reference
+            # impl and keep the bf16 fused kernels off so the whole graph
+            # shards; single-chip serving keeps the fused kernels.
+            from simple_vae_rs_tpu.ops import pallas_conv as pc
+            from simple_vae_rs_tpu.ops import pallas_int8 as p8
+
+            p8.force_reference(True)
+            pc.enable(False)
         if int8:
             # W8A8 decoder serving (beyond-parity; the v5e MXU runs int8 at
             # 2x bf16). Decoder conv weights are stochastic-round quantized

@@ -158,3 +158,28 @@ def test_sample_chunked_sharded_draws_match_unsharded():
     assert b.shape == (8, 16, 16, 4)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_mesh_serving_forces_int8_reference_path():
+    """A >1-shard resolver must route the int8 decode through the XLA
+    reference path (GSPMD cannot partition the Pallas custom call) and
+    still produce identical results to the single-device int8 resolver."""
+    from simple_vae_rs_tpu.config import MeshConfig
+    from simple_vae_rs_tpu.ops import pallas_int8 as p8
+    from simple_vae_rs_tpu.ops import quantize as qz
+    from simple_vae_rs_tpu.parallel.mesh import make_mesh
+
+    model, variables = _small_cond()
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    y = np.random.default_rng(2).random((8, 8, 8, 4)).astype(np.float32)
+    try:
+        single = SuperResolver(model, variables, seed=5, int8=True)
+        a = single.super_resolve(y)
+        meshed = SuperResolver(model, variables, seed=5, int8=True, mesh=mesh)
+        assert p8._FORCE_REF, "meshed int8 serving must force the XLA path"
+        b = meshed.super_resolve(y)
+    finally:
+        p8.force_reference(False)
+        qz.enable_int8(False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-5)
