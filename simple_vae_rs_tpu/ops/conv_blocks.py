@@ -118,7 +118,7 @@ class PallasCapableConv3x3(nn.Module):
             # Training batches ride XLA's ~63%-MFU batched conv; the fused
             # kernel serves the latency-bound eval path.
             and not self.is_mutable_collection("batch_stats")
-            and pc.wins_over_xla(x.shape[0], x.shape[1], x.shape[2])
+            and pc.wins_over_xla(x.shape[0], x.shape[1], x.shape[2], x.shape[3])
             and pc.fits_vmem(
                 x.shape[1], x.shape[2], x.shape[3], self.features,
                 jnp.dtype(dt).itemsize,
@@ -214,7 +214,7 @@ class PallasCapableConvT4x4s2(nn.Module):
         if (
             pc.is_enabled()
             and x.ndim == 4
-            and pc.wins_over_xla_T(x.shape[0], 2 * x.shape[1], 2 * x.shape[2])
+            and pc.wins_over_xla_T(x.shape[0], 2 * x.shape[1], 2 * x.shape[2], x.shape[3])
             and pc.fits_vmemT(
                 x.shape[1], x.shape[2], x.shape[3], self.features,
                 jnp.dtype(dt).itemsize,
@@ -413,7 +413,7 @@ class DownBlock(nn.Module, _FusedTailMixin):
             pc.is_enabled()
             and not train
             and not self.is_initializing()
-            and pc.wins_over_xla(x.shape[0], x.shape[1] // 2, x.shape[2] // 2)
+            and pc.wins_over_xla(x.shape[0], x.shape[1] // 2, x.shape[2] // 2, x.shape[3])
             and pc.fits_vmem4(
                 x.shape[1], x.shape[2], x.shape[3], self.features,
                 jnp.dtype(dt).itemsize,
@@ -474,7 +474,7 @@ class UpBlock(nn.Module, _FusedTailMixin):
             pc.is_enabled()
             and not train
             and not self.is_initializing()
-            and pc.wins_over_xla(x.shape[0], 2 * x.shape[1], 2 * x.shape[2])
+            and pc.wins_over_xla(x.shape[0], 2 * x.shape[1], 2 * x.shape[2], x.shape[3])
             and pc.fits_vmemT(
                 x.shape[1], x.shape[2], x.shape[3], self.features,
                 jnp.dtype(dt).itemsize,

@@ -470,7 +470,7 @@ def conv4x4s2_dx(g: Array, kernel: Array, interpret: bool = False) -> Array:
     use_pallas = interpret or (
         _HAVE_PLTPU
         and jax.default_backend() == "tpu"
-        and wins_over_xla_T(b, 2 * ho, 2 * wo)
+        and wins_over_xla_T(b, 2 * ho, 2 * wo, o)
         and fits_vmemT(ho, wo, o, c, itemsize)
     )
     if use_pallas:
@@ -565,9 +565,24 @@ def is_enabled() -> bool:
     return _ENABLED
 
 
-def wins_over_xla(batch: int, out_h: int, out_w: int) -> bool:
-    """True when the fused kernels beat XLA at this output-row count."""
-    return batch * out_h * out_w <= _MAX_ROWS
+# Channel-aware refinement (v5e, scripts/bench_int8_kernels.py --batch 250,
+# 2026-08-17): deep-channel layers lose even under the row threshold — the
+# bf16 kernel measured 1.65 vs 1.02 ms (XLA) at 64k rows x 256ch and
+# 1.48 vs 0.98 at 16k rows x 424ch, while all B=32 shapes and the 16-image
+# serving regime stay at parity-or-better. rows*channels caps the regime:
+# _MAX_ROWS x 64ch calibrates to the shapes Pallas measurably wins.
+_MAX_ROWS_X_CH = _MAX_ROWS * 64
+
+
+def wins_over_xla(
+    batch: int, out_h: int, out_w: int, channels: Optional[int] = None
+) -> bool:
+    """True when the fused kernels beat XLA at this output-row count
+    (``channels`` = input channel count, when known)."""
+    rows = batch * out_h * out_w
+    if channels is not None and rows * channels > _MAX_ROWS_X_CH:
+        return False
+    return rows <= _MAX_ROWS
 
 
 # The convT (input-dilated) pattern gets its own tunable crossover for the
@@ -581,6 +596,11 @@ def wins_over_xla(batch: int, out_h: int, out_w: int) -> bool:
 _MAX_ROWS_T = int(_os.environ.get("SVRS_PALLAS_CONVT_MAX_ROWS", _MAX_ROWS))
 
 
-def wins_over_xla_T(batch: int, out_h: int, out_w: int) -> bool:
+def wins_over_xla_T(
+    batch: int, out_h: int, out_w: int, channels: Optional[int] = None
+) -> bool:
     """Crossover test for the transposed/dilated-conv pattern."""
-    return batch * out_h * out_w <= _MAX_ROWS_T
+    rows = batch * out_h * out_w
+    if channels is not None and rows * channels > _MAX_ROWS_X_CH:
+        return False
+    return rows <= _MAX_ROWS_T
