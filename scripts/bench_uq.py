@@ -118,4 +118,7 @@ if __name__ == "__main__":
     if "--reference" in sys.argv:
         bench_reference()
     else:
-        bench_ours(int8="--int8" in sys.argv)
+        chunk = 250
+        if "--chunk" in sys.argv:
+            chunk = int(sys.argv[sys.argv.index("--chunk") + 1])
+        bench_ours(chunk=chunk, int8="--int8" in sys.argv)

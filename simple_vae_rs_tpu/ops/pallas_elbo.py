@@ -39,8 +39,23 @@ except ImportError:  # pragma: no cover
 Array = jnp.ndarray
 
 
+# Process-wide "use the XLA reference formulas" override. The training
+# engine sets it when the device mesh spans more than one chip: GSPMD
+# cannot partition a Pallas custom call over the sharded batch (it would
+# gather the full per-row loss inputs onto every chip), while the
+# ops/losses XLA reductions shard and fuse cleanly. Single-chip training
+# keeps the fused kernels. Revisit with shard_map when multi-chip
+# hardware is available to validate against.
+_FORCE_REF = False
+
+
+def force_reference(value: bool = True) -> None:
+    global _FORCE_REF
+    _FORCE_REF = bool(value)
+
+
 def _use_pallas() -> bool:
-    return _HAVE_PLTPU and jax.default_backend() == "tpu"
+    return _HAVE_PLTPU and not _FORCE_REF and jax.default_backend() == "tpu"
 
 
 # Mosaic requires the sublane (second-to-last) block dim to be a multiple

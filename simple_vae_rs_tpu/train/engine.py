@@ -64,6 +64,14 @@ class Trainer:
         self.logger = logger or NullLogger()
         self.mesh = mesh
         self.job_id = job_id
+        if mesh is not None and mesh.size > 1:
+            # Sharded batches partition through GSPMD, which cannot split
+            # a Pallas custom call — the fused ELBO kernels would gather
+            # the full per-row loss inputs onto every chip. The XLA
+            # reference reductions shard and fuse cleanly; single-chip
+            # training keeps the fused kernels. (Trace-time switch: set
+            # before the first train-step jit.)
+            L.force_reference(True)
         from simple_vae_rs_tpu.models.srvae import SRVAE
 
         if isinstance(model, CondSRVAE):

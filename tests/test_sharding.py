@@ -148,3 +148,21 @@ def test_shard_batch_multihost_branch(monkeypatch):
     for a, b in zip(single, multi):
         assert b.sharding.spec == a.sharding.spec
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multichip_trainer_pins_elbo_to_xla_reference():
+    """A >1-device mesh must flip the ELBO to its XLA reference formulas
+    (GSPMD cannot partition the Pallas custom call); a fresh single-chip
+    trainer leaves the switch wherever the process set it."""
+    from simple_vae_rs_tpu.config import CondSRVAEConfig
+    from simple_vae_rs_tpu.models import CondSRVAE
+    from simple_vae_rs_tpu.ops import pallas_elbo as L
+
+    model = CondSRVAE(CondSRVAEConfig(cr=2.0, patch_size=16))
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    try:
+        L.force_reference(False)
+        Trainer(model, TrainConfig(), mesh=mesh)
+        assert L._FORCE_REF, "meshed trainer must pin the XLA loss path"
+    finally:
+        L.force_reference(False)
