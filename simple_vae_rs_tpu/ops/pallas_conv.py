@@ -565,13 +565,17 @@ def is_enabled() -> bool:
     return _ENABLED
 
 
-# Channel-aware refinement (v5e, scripts/bench_int8_kernels.py --batch 250,
-# 2026-08-17): deep-channel layers lose even under the row threshold — the
-# bf16 kernel measured 1.65 vs 1.02 ms (XLA) at 64k rows x 256ch and
-# 1.48 vs 0.98 at 16k rows x 424ch, while all B=32 shapes and the 16-image
-# serving regime stay at parity-or-better. rows*channels caps the regime:
-# _MAX_ROWS x 64ch calibrates to the shapes Pallas measurably wins.
+# Channel- and spatial-aware refinements (v5e, 2026-08-17 healthy-tunnel
+# measurements — scripts/bench_int8_kernels.py --batch 250 and the chained
+# re-verification of the round-1 claims):
+# - deep channels lose even under the row threshold (bf16 1.65 vs 1.02 ms
+#   XLA at 64k rows x 256ch; 1.48 vs 0.98 at 16k rows x 424ch) →
+#   rows*channels cap at _MAX_ROWS x 64ch.
+# - large per-image tiles lose at identical row counts (B4/64px/64ch:
+#   0.875 vs 0.605 ms XLA; B16/32px/64ch at the same 16k rows: 1.1x WIN)
+#   → per-image spatial cap at 32px tiles (1024 px).
 _MAX_ROWS_X_CH = _MAX_ROWS * 64
+_MAX_HW = int(_os.environ.get("SVRS_PALLAS_CONV_MAX_HW", 1024))
 
 
 def wins_over_xla(
@@ -580,6 +584,8 @@ def wins_over_xla(
     """True when the fused kernels beat XLA at this output-row count
     (``channels`` = input channel count, when known)."""
     rows = batch * out_h * out_w
+    if out_h * out_w > _MAX_HW:
+        return False
     if channels is not None and rows * channels > _MAX_ROWS_X_CH:
         return False
     return rows <= _MAX_ROWS
@@ -601,6 +607,8 @@ def wins_over_xla_T(
 ) -> bool:
     """Crossover test for the transposed/dilated-conv pattern."""
     rows = batch * out_h * out_w
+    if out_h * out_w > _MAX_HW:
+        return False
     if channels is not None and rows * channels > _MAX_ROWS_X_CH:
         return False
     return rows <= _MAX_ROWS_T
