@@ -37,6 +37,7 @@ def main(
     steps: int = 20,
     bf16: bool = True,
     pallas_conv: bool = False,
+    bf16_moments: bool = False,
 ) -> None:
     from simple_vae_rs_tpu.config import CondSRVAEConfig, MeshConfig, TrainConfig
     from simple_vae_rs_tpu.utils.cache import enable_compilation_cache
@@ -58,7 +59,11 @@ def main(
     cfg = CondSRVAEConfig(cr=cr, patch_size=patch_size)
     dtype = jnp.bfloat16 if bf16 else None
     model = CondSRVAE(cfg, dtype=dtype)
-    trainer = Trainer(model, TrainConfig(use_bfloat16=bf16), mesh=mesh)
+    trainer = Trainer(
+        model,
+        TrainConfig(use_bfloat16=bf16, bf16_moments=bf16_moments),
+        mesh=mesh,
+    )
 
     # synthetic 256px tile batch -> on-device grid patchify (the real data
     # path: 1 tile -> 16 patches, crop+normalize inside jit)
@@ -136,4 +141,7 @@ if __name__ == "__main__":
     if "--sweep" in sys.argv:
         sweep()
     else:
-        main(pallas_conv="--pallas_conv" in sys.argv)
+        main(
+            pallas_conv="--pallas_conv" in sys.argv,
+            bf16_moments="--bf16_moments" in sys.argv,
+        )

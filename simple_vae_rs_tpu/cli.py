@@ -106,10 +106,15 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
         help="Rematerialize the forward in backward (activation memory ↓).",
     )
     parser.add_argument(
+        "--bf16_moments", action="store_true",
+        help="Keep Adam's first moment in bf16 (halves that state's HBM "
+        "traffic; optimizer numerics change slightly).",
+    )
+    parser.add_argument(
         "--pallas_conv", action="store_true",
-        help="Fuse eval-mode conv+BN+ReLU block tails into Pallas kernels "
-        "(adaptive dispatch; wins the latency-bound small-batch regime, "
-        "convT kernel 5.7x over XLA's dilated conv).",
+        help="Route conv blocks through the fused Pallas kernels where the "
+        "measured per-shape thresholds favor them (adaptive per-pass "
+        "dispatch; see BASELINE.md for the audited win regions).",
     )
     parser.add_argument(
         "--int8", action="store_true",
@@ -222,6 +227,7 @@ def main(args: argparse.Namespace) -> None:
         use_bfloat16=args.bf16,
         profile_dir=args.profile_dir,
         remat=args.remat,
+        bf16_moments=args.bf16_moments,
     )
     trainer = Trainer(
         model, train_cfg, callbacks=callbacks, logger=logger, mesh=mesh, job_id=job_id

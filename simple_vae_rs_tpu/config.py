@@ -165,6 +165,11 @@ class TrainConfig:
     seed: int = 0
     # Numerical policy: compute convs in bf16 on TPU, accumulate/loss in f32.
     use_bfloat16: bool = False
+    # Keep Adam's first moment in bf16 (optax mu_dtype): halves that
+    # state's HBM traffic in the (bandwidth-bound) optimizer fusion.
+    # Profiled headroom is ~2% of the step (BASELINE.md); opt-in because
+    # it changes optimizer numerics (second moment stays f32).
+    bf16_moments: bool = False
     # jax.profiler trace of the second trained epoch is written here
     # (SURVEY §5.a: the reference has no tracing at all).
     profile_dir: str = ""

@@ -26,9 +26,14 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     ``apply_updates_with_lr``) so the host-side plateau scheduler can change
     it without rebuilding optimizer state.
     """
+    import jax.numpy as jnp
+
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip_norm),
-        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale_by_adam(
+            b1=0.9, b2=0.999, eps=1e-8,
+            mu_dtype=jnp.bfloat16 if cfg.bf16_moments else None,
+        ),
     )
 
 

@@ -278,3 +278,32 @@ def test_checkpoint_roundtrip_exact_resume(tmp_path):
     for a, b in zip(jax.tree.leaves(state.opt_state), jax.tree.leaves(restored.opt_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(restored.step) == int(state.step)
+
+
+def test_bf16_moments_flag_changes_mu_dtype_and_trains():
+    """TrainConfig(bf16_moments=True) keeps Adam's first moment in bf16
+    (second stays f32) and a train step still runs and updates params."""
+    import jax
+    import jax.numpy as jnp
+
+    from simple_vae_rs_tpu.config import TrainConfig, VAEConfig
+    from simple_vae_rs_tpu.models import VAE
+    from simple_vae_rs_tpu.train.engine import Trainer
+
+    model = VAE(VAEConfig(cr=2.0, patch_size=16))
+    trainer = Trainer(model, TrainConfig(bf16_moments=True))
+    # vae trains on batch[0]; the model patch size is 16
+    lr = jnp.ones((2, 16, 16, 4), jnp.float32)
+    hr = jnp.ones((2, 32, 32, 4), jnp.float32)
+    trainer.init_state(next(iter([(lr, hr)])))
+    mus = jax.tree_util.tree_leaves(trainer.state.opt_state[1].mu)
+    nus = jax.tree_util.tree_leaves(trainer.state.opt_state[1].nu)
+    assert all(m.dtype == jnp.bfloat16 for m in mus)
+    assert all(n.dtype == jnp.float32 for n in nus)
+    before = jax.tree_util.tree_leaves(trainer.state.params)[0].copy()
+    trainer.state, terms = trainer._train_step(
+        trainer.state, (lr, hr), jnp.float32(1e-3)
+    )
+    assert float(terms["loss"]) == float(terms["loss"])  # finite
+    after = jax.tree_util.tree_leaves(trainer.state.params)[0]
+    assert not jnp.array_equal(before, after)
