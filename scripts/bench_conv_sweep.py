@@ -53,22 +53,10 @@ def main() -> None:
     shapes = [(8, 426, 256), (16, 256, 128), (32, 128, 64)]
     batches = args.batches
 
-    def chain(f, x0, n):
-        def body(carry, _):
-            x, acc = carry
-            y = f(x)
-            acc = acc + jnp.sum(y, dtype=jnp.float32)
-            return (x0 * (1.0 + 1e-12 * acc.astype(x0.dtype)), acc), None
-
-        (_, acc), _ = jax.lax.scan(body, (x0, jnp.float32(0.0)), None, length=n)
-        return acc
+    from simple_vae_rs_tpu.utils.benchtime import timeit as _timeit
 
     def timeit(f, x0):
-        g = jax.jit(lambda x: chain(f, x, args.iters))
-        float(jax.device_get(g(x0)))
-        t0 = time.perf_counter()
-        float(jax.device_get(g(x0)))
-        return (time.perf_counter() - t0) / args.iters
+        return _timeit(f, x0, args.iters)
 
     for h, c, o in shapes:
         kern = jnp.asarray(

@@ -15,9 +15,10 @@ per-dispatch latency is paid once and ms/call = total/N. Sync is by value
 fetch (``float(device_get)``) — block_until_ready is unreliable through
 the relay (CLAUDE.md). One JSON line per (layer, impl).
 
-End-to-end context: the full int8 decode path measured 1.46x bf16 at
+End-to-end context: the full int8 decode path measured 1.09x bf16 at
 86.8 dB (scripts/bench_uq.py --int8, BASELINE.md); this script pins where
-that comes from per kernel. v5e peak: 197 TFLOP/s bf16, 394 TOPS int8.
+that comes from per kernel (deep-channel layers win 1.2-1.7x, the rest
+sit at parity). v5e peak: 197 TFLOP/s bf16, 394 TOPS int8.
 """
 
 import argparse
@@ -73,26 +74,10 @@ def main() -> None:
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
 
-    def chain(f, x0, n):
-        """n serialized f-applications; scalar dependence, one dispatch."""
-
-        def body(carry, _):
-            x, acc = carry
-            y = f(x)
-            acc = acc + jnp.sum(y, dtype=jnp.float32)
-            # re-derive the next input from x0 via a scalar so shapes stay
-            # fixed and the conv dominates the chain
-            return (x0 * (1.0 + 1e-12 * acc.astype(x0.dtype)), acc), None
-
-        (_, acc), _ = jax.lax.scan(body, (x0, jnp.float32(0.0)), None, length=n)
-        return acc
+    from simple_vae_rs_tpu.utils.benchtime import timeit as _timeit
 
     def timeit(f, x0):
-        g = jax.jit(lambda x: chain(f, x, args.iters))
-        float(jax.device_get(g(x0)))  # compile + warm
-        t0 = time.perf_counter()
-        float(jax.device_get(g(x0)))
-        return (time.perf_counter() - t0) / args.iters
+        return _timeit(f, x0, args.iters)
 
     for name, kind, h, c, o in layers:
         x = jnp.asarray(rng.standard_normal((B, h, h, c)), jnp.bfloat16)

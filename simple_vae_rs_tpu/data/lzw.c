@@ -64,7 +64,9 @@ long svrs_lzw_decode(const unsigned char *src, long n, unsigned char *dst,
             } else {
                 return -1; /* encoder must have cleared by now */
             }
-        } else if (code > next || code == LZW_CLEAR || code == LZW_EOI) {
+        } else if (code > next) {
+            /* CLEAR/EOI were consumed above, so any non-table code here
+             * means a corrupt stream */
             return -1;
         }
 

@@ -214,6 +214,9 @@ class PallasCapableConvT4x4s2(nn.Module):
         if (
             pc.is_enabled()
             and x.ndim == 4
+            # skip Pallas during the throwaway init pass (cold remote
+            # compiles are minutes-slow on this tunnel), like the siblings
+            and not self.is_initializing()
             and pc.wins_over_xla_T(x.shape[0], 2 * x.shape[1], 2 * x.shape[2], x.shape[3])
             and pc.fits_vmemT(
                 x.shape[1], x.shape[2], x.shape[3], self.features,
@@ -474,7 +477,10 @@ class UpBlock(nn.Module, _FusedTailMixin):
             pc.is_enabled()
             and not train
             and not self.is_initializing()
-            and pc.wins_over_xla(x.shape[0], 2 * x.shape[1], 2 * x.shape[2], x.shape[3])
+            # convT pattern: same crossover knob as the train-path module
+            and pc.wins_over_xla_T(
+                x.shape[0], 2 * x.shape[1], 2 * x.shape[2], x.shape[3]
+            )
             and pc.fits_vmemT(
                 x.shape[1], x.shape[2], x.shape[3], self.features,
                 jnp.dtype(dt).itemsize,

@@ -417,7 +417,7 @@ def _make_grad(fused_fn, conv_fn, dx_fn=None):
         dshift = jnp.sum(g32, axis=(0, 1, 2))
         g_conv = (g32 * scale).astype(x.dtype)
         if dx_fn is not None:
-            dx = dx_fn(g_conv, kernel)
+            dx = dx_fn(g_conv, kernel, x)
         else:
             dx = jax.linear_transpose(lambda x_: conv_fn(x_, kernel), x)(g_conv)[0]
         dk = jax.linear_transpose(lambda k_: conv_fn(x, k_), kernel)(g_conv)[0]
@@ -453,7 +453,12 @@ def _flip_swap(kernel: Array) -> Array:
     return jnp.flip(kernel, (0, 1)).swapaxes(2, 3)
 
 
-def conv4x4s2_dx(g: Array, kernel: Array, interpret: bool = False) -> Array:
+def conv4x4s2_dx(
+    g: Array,
+    kernel: Array,
+    in_hw: Optional[tuple] = None,
+    interpret: bool = False,
+) -> Array:
     """Input-gradient of ``y = conv4x4/s2/p1(x, kernel)``.
 
     Mathematically a convT4x4/s2/p1 of ``g`` with the flipped/swapped
@@ -462,16 +467,26 @@ def conv4x4s2_dx(g: Array, kernel: Array, interpret: bool = False) -> Array:
     :func:`fused_convT4x4s2_bn_relu` below the measured crossover
     (``wins_over_xla_T`` — XLA wins at compute-bound training shapes,
     BASELINE.md sweep) and when it fits VMEM; XLA transpose otherwise.
+
+    ``in_hw`` is the primal input's true (H, W) — required whenever it is
+    not exactly ``(2*ho, 2*wo)`` (odd sizes: the forward floors, so the
+    cotangent must be rebuilt at the original size, which the phase-packed
+    Pallas kernel cannot produce — those shapes take the XLA transpose).
     Same-dtype contract: returns ``g.dtype``.
     """
     b, ho, wo, o = g.shape
     c = kernel.shape[2]
+    h_in, w_in = in_hw if in_hw is not None else (2 * ho, 2 * wo)
     itemsize = jnp.dtype(g.dtype).itemsize
-    use_pallas = interpret or (
-        _HAVE_PLTPU
-        and jax.default_backend() == "tpu"
-        and wins_over_xla_T(b, 2 * ho, 2 * wo, o)
-        and fits_vmemT(ho, wo, o, c, itemsize)
+    even = (h_in, w_in) == (2 * ho, 2 * wo)
+    use_pallas = even and (
+        interpret
+        or (
+            _HAVE_PLTPU
+            and jax.default_backend() == "tpu"
+            and wins_over_xla_T(b, 2 * ho, 2 * wo, o)
+            and fits_vmemT(ho, wo, o, c, itemsize)
+        )
     )
     if use_pallas:
         return fused_convT4x4s2_bn_relu(
@@ -482,13 +497,15 @@ def conv4x4s2_dx(g: Array, kernel: Array, interpret: bool = False) -> Array:
             relu=False,
             interpret=interpret,
         )
-    x_like = jax.ShapeDtypeStruct((b, 2 * ho, 2 * wo, c), g.dtype)
+    x_like = jax.ShapeDtypeStruct((b, h_in, w_in, c), g.dtype)
     return jax.linear_transpose(lambda x_: _conv4_samedtype(x_, kernel), x_like)(g)[0]
 
 
 fused_conv3x3_bn_relu_grad = _make_grad(fused_conv3x3_bn_relu, _conv3_samedtype)
 fused_conv4x4s2_bn_relu_grad = _make_grad(
-    fused_conv4x4s2_bn_relu, _conv4_samedtype, dx_fn=conv4x4s2_dx
+    fused_conv4x4s2_bn_relu,
+    _conv4_samedtype,
+    dx_fn=lambda g, k, x: conv4x4s2_dx(g, k, in_hw=x.shape[1:3]),
 )
 fused_convT4x4s2_bn_relu_grad = _make_grad(fused_convT4x4s2_bn_relu, _convT_samedtype)
 
@@ -508,7 +525,7 @@ def _conv4_pdx_fwd(x, kernel, bias):
 
 def _conv4_pdx_bwd(res, g):
     x, kernel = res
-    dx = conv4x4s2_dx(g, kernel)
+    dx = conv4x4s2_dx(g, kernel, in_hw=x.shape[1:3])
     dk = jax.linear_transpose(lambda k_: _conv4_samedtype(x, k_), kernel)(g)[0]
     db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
     return dx, dk.astype(kernel.dtype), db
@@ -578,17 +595,24 @@ _MAX_ROWS_X_CH = _MAX_ROWS * 64
 _MAX_HW = int(_os.environ.get("SVRS_PALLAS_CONV_MAX_HW", 1024))
 
 
-def wins_over_xla(
-    batch: int, out_h: int, out_w: int, channels: Optional[int] = None
-) -> bool:
-    """True when the fused kernels beat XLA at this output-row count
-    (``channels`` = input channel count, when known)."""
+def _wins(rows_cap: int, batch: int, out_h: int, out_w: int,
+          channels: Optional[int]) -> bool:
+    """One measured policy, two thresholds: the spatial and row*channel
+    caps are shared; only the row cap differs per conv pattern."""
     rows = batch * out_h * out_w
     if out_h * out_w > _MAX_HW:
         return False
     if channels is not None and rows * channels > _MAX_ROWS_X_CH:
         return False
-    return rows <= _MAX_ROWS
+    return rows <= rows_cap
+
+
+def wins_over_xla(
+    batch: int, out_h: int, out_w: int, channels: Optional[int] = None
+) -> bool:
+    """True when the fused kernels beat XLA at this output-row count
+    (``channels`` = input channel count, when known)."""
+    return _wins(_MAX_ROWS, batch, out_h, out_w, channels)
 
 
 # The convT (input-dilated) pattern gets its own tunable crossover for the
@@ -606,9 +630,4 @@ def wins_over_xla_T(
     batch: int, out_h: int, out_w: int, channels: Optional[int] = None
 ) -> bool:
     """Crossover test for the transposed/dilated-conv pattern."""
-    rows = batch * out_h * out_w
-    if out_h * out_w > _MAX_HW:
-        return False
-    if channels is not None and rows * channels > _MAX_ROWS_X_CH:
-        return False
-    return rows <= _MAX_ROWS_T
+    return _wins(_MAX_ROWS_T, batch, out_h, out_w, channels)

@@ -38,6 +38,9 @@ from simple_vae_rs_tpu.utils.image import normalize_image
 
 Array = jnp.ndarray
 
+# process-wide serving kernel mode (see SuperResolver.__init__)
+_KERNEL_MODE = None
+
 
 # One fused jit per request: normalize + RNG split + conditional generation.
 # The RNG key lives on device and is threaded through the call, so a serving
@@ -89,12 +92,28 @@ class SuperResolver:
             self._batch_sharding = NamedSharding(mesh, P(axes))
             self._n_shards = int(np.prod([mesh.shape[a] for a in axes]))
             self.variables = replicate(mesh, variables)
+        # Kernel routing rides PROCESS-GLOBAL trace-time switches (the conv
+        # blocks read them when a graph first traces), so one process
+        # serves in ONE kernel mode: meshed resolvers need the XLA paths
+        # (GSPMD cannot split a Pallas custom call — it would replicate the
+        # full batch onto every chip), single-chip resolvers prefer the
+        # fused kernels. Mixing both in a process leaves whichever traced
+        # last in charge — warn loudly instead of silently degrading.
+        global _KERNEL_MODE
+        mode = "reference" if self._n_shards > 1 else "fused"
+        if _KERNEL_MODE is not None and _KERNEL_MODE != mode:
+            import warnings
+
+            warnings.warn(
+                "Mixing meshed and single-chip SuperResolvers in one "
+                "process: Pallas kernel switches are process-global, so "
+                f"the earlier '{_KERNEL_MODE}'-mode resolver now runs in "
+                f"'{mode}' mode for newly traced shapes. Use separate "
+                "processes for mixed serving topologies.",
+                stacklevel=2,
+            )
+        _KERNEL_MODE = mode
         if self._n_shards > 1:
-            # Sharded requests partition through GSPMD, which cannot split
-            # a Pallas custom call (it would replicate the full batch onto
-            # every chip). Route the int8 path through its XLA reference
-            # impl and keep the bf16 fused kernels off so the whole graph
-            # shards; single-chip serving keeps the fused kernels.
             from simple_vae_rs_tpu.ops import pallas_conv as pc
             from simple_vae_rs_tpu.ops import pallas_int8 as p8
 

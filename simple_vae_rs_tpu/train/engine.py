@@ -67,11 +67,15 @@ class Trainer:
         if mesh is not None and mesh.size > 1:
             # Sharded batches partition through GSPMD, which cannot split
             # a Pallas custom call — the fused ELBO kernels would gather
-            # the full per-row loss inputs onto every chip. The XLA
-            # reference reductions shard and fuse cleanly; single-chip
-            # training keeps the fused kernels. (Trace-time switch: set
-            # before the first train-step jit.)
+            # the full per-row loss inputs onto every chip, and the conv
+            # paths behind --pallas_conv would do the same inside the
+            # step. The XLA reference paths shard and fuse cleanly;
+            # single-chip training keeps the fused kernels. (Trace-time
+            # switches: set before the first train-step jit.)
+            from simple_vae_rs_tpu.ops import pallas_conv as _pc
+
             L.force_reference(True)
+            _pc.enable(False)
         from simple_vae_rs_tpu.models.srvae import SRVAE
 
         if isinstance(model, CondSRVAE):

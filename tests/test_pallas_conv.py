@@ -328,3 +328,28 @@ def test_strided_modules_are_dropin_for_nn_conv():
                     np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
                     err_msg=f"{type(new_mod).__name__} switch={switch}",
                 )
+
+
+def test_conv4s2_pdx_handles_odd_spatial_sizes():
+    """Odd inputs floor in the strided forward, so the custom VJP must
+    rebuild the cotangent at the ORIGINAL size (regression: the dx path
+    hard-coded (2*ho, 2*wo) and grad raised a shape TypeError)."""
+    from simple_vae_rs_tpu.ops import pallas_conv as pc
+    from simple_vae_rs_tpu.ops.pallas_conv import (
+        _conv4_samedtype,
+        conv4x4s2_pdx,
+    )
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((2, 9, 7, 16)), jnp.float32)
+    kern = jnp.asarray(rng.standard_normal((4, 4, 16, 8)) * 0.2, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(8), jnp.float32)
+    pc.enable(True)
+    try:
+        go = jax.grad(lambda x: jnp.sum(conv4x4s2_pdx(x, kern, bias) ** 2))(x)
+    finally:
+        pc.enable(False)
+    gr = jax.grad(lambda x: jnp.sum((_conv4_samedtype(x, kern) + bias) ** 2))(x)
+    assert go.shape == x.shape
+    np.testing.assert_allclose(np.asarray(go), np.asarray(gr), rtol=1e-4,
+                               atol=1e-4)
