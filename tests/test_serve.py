@@ -183,3 +183,26 @@ def test_mesh_serving_forces_int8_reference_path():
         qz.enable_int8(False)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_mixed_topology_resolvers_warn():
+    """Meshed and single-chip resolvers in one process flip process-global
+    kernel switches — construction must warn about the mode flip."""
+    import warnings as _warnings
+
+    from simple_vae_rs_tpu import serve as serve_mod
+    from simple_vae_rs_tpu.config import MeshConfig
+    from simple_vae_rs_tpu.parallel.mesh import make_mesh
+
+    model, variables = _small_cond()
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    old_mode = serve_mod._KERNEL_MODE
+    try:
+        serve_mod._KERNEL_MODE = None
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")  # first resolver: no warning
+            SuperResolver(model, variables, seed=7)
+        with pytest.warns(UserWarning, match="process-global"):
+            SuperResolver(model, variables, seed=7, mesh=mesh)
+    finally:
+        serve_mod._KERNEL_MODE = old_mode
