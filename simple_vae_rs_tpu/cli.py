@@ -111,6 +111,11 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
         "traffic; optimizer numerics change slightly).",
     )
     parser.add_argument(
+        "--zero1", action="store_true",
+        help="ZeRO-1: shard large Adam moments over the data axis "
+        "(per-shard optimizer update + param all-gather via GSPMD).",
+    )
+    parser.add_argument(
         "--pallas_conv", action="store_true",
         help="Route conv blocks through the fused Pallas kernels where the "
         "measured per-shape thresholds favor them (adaptive per-pass "
@@ -228,6 +233,7 @@ def main(args: argparse.Namespace) -> None:
         profile_dir=args.profile_dir,
         remat=args.remat,
         bf16_moments=args.bf16_moments,
+        zero1=args.zero1,
     )
     trainer = Trainer(
         model, train_cfg, callbacks=callbacks, logger=logger, mesh=mesh, job_id=job_id

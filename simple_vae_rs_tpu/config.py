@@ -170,6 +170,12 @@ class TrainConfig:
     # Profiled headroom is ~2% of the step (BASELINE.md); opt-in because
     # it changes optimizer numerics (second moment stays f32).
     bf16_moments: bool = False
+    # ZeRO-1: shard the large Adam moment tensors over the mesh's data
+    # axis (params stay replicated; GSPMD turns the sharded update into
+    # per-shard compute + a param all-gather). The profiled win: the
+    # update of the two ~46MB prior-head kernels is ~9% of the step and
+    # divides by the data-axis size (BASELINE.md). No-op on 1 device.
+    zero1: bool = False
     # jax.profiler trace of the second trained epoch is written here
     # (SURVEY §5.a: the reference has no tracing at all).
     profile_dir: str = ""

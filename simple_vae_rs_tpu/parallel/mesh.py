@@ -117,21 +117,55 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def shard_state(mesh: Mesh, state: Any) -> Any:
+# ZeRO-1 only pays off on tensors whose update traffic matters; tiny
+# leaves would trade a fused elementwise op for collective latency.
+_ZERO1_MIN_ELEMS = 1 << 20
+
+
+def _zero1_spec(spec: P, leaf, data_axis: int) -> P:
+    """Extend ``spec`` (the model-axis channel rule) by sharding the
+    largest still-unsharded dim of a big moment tensor over ``data``."""
+    if leaf.ndim == 0 or leaf.size < _ZERO1_MIN_ELEMS or data_axis <= 1:
+        return spec
+    dims = list(spec) + [None] * (leaf.ndim - len(spec))
+    # largest divisible unsharded dim; ties -> later dim (channels,
+    # contiguous lanes stay whole when an earlier dim works)
+    best, best_size = None, 0
+    for i, (d, cur) in enumerate(zip(leaf.shape, dims)):
+        if cur is None and d % data_axis == 0 and d >= best_size:
+            best, best_size = i, d
+    if best is None:
+        return spec
+    dims[best] = "data"
+    return P(*dims)
+
+
+def shard_state(mesh: Mesh, state: Any, zero1: bool = False) -> Any:
     """Place a TrainState: params and Adam moments per ``param_shardings``
     (the moment trees repeat the param names, so the same channel rules
-    apply), everything else replicated."""
+    apply), everything else replicated.
 
-    def put(path, leaf):
+    ``zero1=True`` additionally shards each large Adam moment tensor over
+    the ``data`` axis (params stay replicated): XLA's partitioner then
+    computes the optimizer update per shard and all-gathers the updated
+    params — ZeRO-1 from sharding annotations alone.
+    """
+    data_axis = int(mesh.shape.get("data", 1))
+
+    def put(path, leaf, moments=False):
         name = jax.tree_util.keystr(path)
         if mesh.shape.get("model", 1) > 1 and hasattr(leaf, "ndim"):
             spec = _spec_for(name, leaf)
         else:
             spec = P()
+        if moments and zero1 and hasattr(leaf, "ndim"):
+            spec = _zero1_spec(spec, leaf, data_axis)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     params = jax.tree_util.tree_map_with_path(put, state.params)
-    opt_state = jax.tree_util.tree_map_with_path(put, state.opt_state)
+    opt_state = jax.tree_util.tree_map_with_path(
+        lambda p, x: put(p, x, moments=True), state.opt_state
+    )
     rest = replicate(mesh, (state.batch_stats, state.rng, state.step))
     return state.replace(
         params=params,

@@ -121,7 +121,7 @@ class Trainer:
         if self.mesh is not None:
             from simple_vae_rs_tpu.parallel.mesh import shard_state
 
-            self.state = shard_state(self.mesh, self.state)
+            self.state = shard_state(self.mesh, self.state, zero1=self.cfg.zero1)
         return self.state
 
     # -------------------------------------------------------------- jit steps
