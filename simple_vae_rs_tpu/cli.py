@@ -246,6 +246,13 @@ def main(args: argparse.Namespace) -> None:
         if not checkpoint_exists(args.model_ckpt):
             raise FileNotFoundError(f"Model checkpoint {args.model_ckpt} not found.")
         state, meta = load_checkpoint(args.model_ckpt, state)
+        if trainer.mesh is not None:
+            # restored leaves are host arrays — re-place them on the mesh
+            # (incl. the ZeRO-1 moment layout) or the resumed step would
+            # run with whatever default placement jit picks
+            from simple_vae_rs_tpu.parallel.mesh import shard_state
+
+            state = shard_state(trainer.mesh, state, zero1=args.zero1)
         trainer.state = state
         start_epoch = int(meta.get("epoch", 0)) + 1
         if "scheduler" in meta:

@@ -217,3 +217,41 @@ def test_zero1_moments_shard_and_step_matches_replicated():
     for a, b in zip(jax.tree.leaves(sz.params), jax.tree.leaves(sr.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
                                    atol=2e-5)
+
+
+def test_zero1_state_checkpoint_roundtrip(tmp_path):
+    """Save a ZeRO-sharded state, restore into a fresh trainer, re-apply
+    the mesh layout: values exact, moment shardings back, step runs."""
+    from simple_vae_rs_tpu.parallel import mesh as mesh_mod
+    from simple_vae_rs_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    batch = _batch(bs=8, ps=16)
+    model = CondSRVAE(CondSRVAEConfig(cr=2.0, patch_size=16))
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    old_min = mesh_mod._ZERO1_MIN_ELEMS
+    mesh_mod._ZERO1_MIN_ELEMS = 1 << 12
+    try:
+        t1 = Trainer(model, TrainConfig(learning_rate=1e-3, zero1=True), mesh=mesh)
+        s1 = t1.init_state(batch)
+        s1, _ = t1._train_step(s1, t1._device_batch(batch), jnp.float32(1e-3))
+        path = str(tmp_path / "ck")
+        save_checkpoint(path, s1, epoch=1)
+
+        t2 = Trainer(model, TrainConfig(learning_rate=1e-3, zero1=True), mesh=mesh)
+        s2 = t2.init_state(batch)
+        s2, meta = load_checkpoint(path, s2)
+        s2 = shard_state(mesh, s2, zero1=True)
+    finally:
+        mesh_mod._ZERO1_MIN_ELEMS = old_min
+    assert meta["epoch"] == 1
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    shardings = {
+        str(leaf.sharding.spec)
+        for leaf in jax.tree.leaves(s2.opt_state)
+        if hasattr(leaf, "ndim") and leaf.ndim > 0 and leaf.size >= (1 << 12)
+    }
+    assert any("data" in s for s in shardings), shardings
+    t2.state = s2
+    _, terms = t2._train_step(s2, t2._device_batch(batch), jnp.float32(1e-3))
+    assert np.isfinite(float(terms["loss"]))
