@@ -175,8 +175,29 @@ def convert_cond_state_dict(src: Tensors) -> Dict[str, Any]:
 
 
 def load_torch_state_dict(path: str) -> Tensors:
-    """Read a ``.pth`` state_dict into numpy (requires torch)."""
+    """Read a ``.pth`` state_dict into numpy (requires torch).
+
+    Tries the safe ``weights_only=True`` first (plain tensor state_dicts,
+    the reference's format); checkpoints that pickle numpy arrays or other
+    non-tensor leaves need the legacy loader — allowed with a warning,
+    since converting one's own checkpoint is the whole point here.
+    """
+    import numpy as np
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=True)
-    return {k: v.numpy() for k, v in sd.items()}
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        import warnings
+
+        warnings.warn(
+            f"{path}: not loadable with weights_only=True (non-tensor "
+            "pickle content); falling back to the legacy unpickler — only "
+            "convert checkpoints you trust.",
+            stacklevel=2,
+        )
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+    out = {}
+    for k, v in sd.items():
+        out[k] = v.numpy() if isinstance(v, torch.Tensor) else np.asarray(v)
+    return out

@@ -119,3 +119,33 @@ def test_convtranspose_conversion_value_parity():
     np.testing.assert_allclose(
         np.asarray(got).transpose(0, 3, 1, 2), want, rtol=1e-4, atol=1e-5
     )
+
+
+def test_load_torch_state_dict_handles_numpy_pickles(tmp_path):
+    """torch>=2.6 defaults weights_only=True, which rejects checkpoints
+    whose leaves pickled as numpy arrays — the loader must fall back (with
+    a warning) and still return numpy (found by driving
+    scripts/convert_checkpoint.py end to end)."""
+    import warnings
+
+    import numpy as np
+    import torch
+
+    from simple_vae_rs_tpu.utils.convert import load_torch_state_dict
+
+    p = str(tmp_path / "np.pth")
+    torch.save({"w": np.ones((2, 3), np.float32)}, p)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        sd = load_torch_state_dict(p)
+    assert sd["w"].shape == (2, 3)
+    assert any("weights_only" in str(w.message) for w in rec)
+
+    # plain tensor state_dicts stay on the safe path (no warning)
+    p2 = str(tmp_path / "t.pth")
+    torch.save({"w": torch.ones(2, 3)}, p2)
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        sd2 = load_torch_state_dict(p2)
+    assert sd2["w"].shape == (2, 3)
+    assert not any("weights_only" in str(w.message) for w in rec2)
