@@ -27,6 +27,10 @@ def main():
                     choices=["Cond_SRVAE", "VAE"])
     ap.add_argument("-cr", "--compression_ratio", type=float, required=True)
     ap.add_argument("--patch_size", type=int, required=True)
+    ap.add_argument("--allow_pickle", action="store_true",
+                    help="Permit the legacy torch unpickler for "
+                    "checkpoints with non-tensor pickle content "
+                    "(executes pickle bytecode; trusted files only).")
     args = ap.parse_args()
 
     import jax
@@ -38,7 +42,7 @@ def main():
     from simple_vae_rs_tpu.train.state import create_train_state, make_optimizer
     from simple_vae_rs_tpu.utils import convert as cv
 
-    sd = cv.load_torch_state_dict(args.src)
+    sd = cv.load_torch_state_dict(args.src, allow_pickle=args.allow_pickle)
     if args.model_type == "VAE":
         cfg = VAEConfig(cr=args.compression_ratio, patch_size=args.patch_size)
         model = VAE(cfg)

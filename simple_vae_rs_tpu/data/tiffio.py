@@ -107,6 +107,8 @@ def _lzw_decode(data: bytes) -> bytes:
             prev = None
             continue
         if prev is None:
+            if code >= len(table):
+                raise ValueError(f"corrupt LZW stream: code {code}")
             entry = table[code]
         elif code < len(table):
             entry = table[code]

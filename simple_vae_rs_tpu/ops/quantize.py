@@ -118,7 +118,13 @@ def quantize_stochastic(w: Array, key: jax.Array) -> Tuple[Array, Array]:
     w2, m, o = _rows_2d(w)
     # row-blocks sized to keep a (block, O) f32 tile well under VMEM
     block = max(8, min(1024, (2 * 1024 * 1024) // max(1, o * 4) // 8 * 8))
-    seed = jnp.asarray(jax.random.key_data(key)).ravel()[:1].astype(jnp.int32)
+    # fold ALL key words into the kernel seed: a legacy PRNGKey(s) stores
+    # (0, s) for s < 2^32, so taking only the first word would hand every
+    # seed the identical stream
+    words = jnp.asarray(jax.random.key_data(key)).ravel().astype(jnp.uint32)
+    seed = jnp.bitwise_xor.reduce(
+        words * jnp.uint32(0x9E3779B9) + jnp.arange(words.size, dtype=jnp.uint32)
+    )[None].astype(jnp.int32)
     q = _quantize_tpu(w2, scale, seed, block)
     return q.reshape(w.shape), scale
 

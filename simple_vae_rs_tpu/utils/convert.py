@@ -174,20 +174,29 @@ def convert_cond_state_dict(src: Tensors) -> Dict[str, Any]:
     return {"params": params, "batch_stats": stats}
 
 
-def load_torch_state_dict(path: str) -> Tensors:
+def load_torch_state_dict(path: str, allow_pickle: bool = False) -> Tensors:
     """Read a ``.pth`` state_dict into numpy (requires torch).
 
     Tries the safe ``weights_only=True`` first (plain tensor state_dicts,
-    the reference's format); checkpoints that pickle numpy arrays or other
-    non-tensor leaves need the legacy loader — allowed with a warning,
-    since converting one's own checkpoint is the whole point here.
+    the reference's format). Checkpoints that pickle numpy arrays or other
+    non-tensor leaves need the legacy unpickler, which executes arbitrary
+    pickle bytecode — that path requires the explicit ``allow_pickle=True``
+    opt-in (never a silent fallback) and still warns.
     """
     import numpy as np
     import torch
 
     try:
         sd = torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
+    except Exception as exc:
+        if not allow_pickle:
+            raise ValueError(
+                f"{path}: not loadable with weights_only=True (non-tensor "
+                "pickle content). Loading it requires the legacy "
+                "unpickler, which can execute arbitrary code — pass "
+                "allow_pickle=True (CLI: --allow_pickle) only for "
+                "checkpoints you trust."
+            ) from exc
         import warnings
 
         warnings.warn(

@@ -123,21 +123,24 @@ def test_convtranspose_conversion_value_parity():
 
 def test_load_torch_state_dict_handles_numpy_pickles(tmp_path):
     """torch>=2.6 defaults weights_only=True, which rejects checkpoints
-    whose leaves pickled as numpy arrays — the loader must fall back (with
-    a warning) and still return numpy (found by driving
-    scripts/convert_checkpoint.py end to end)."""
+    whose leaves pickled as numpy arrays — the legacy unpickler (arbitrary
+    code execution) requires the explicit allow_pickle=True opt-in and
+    still warns; without it the loader refuses with a clear error."""
     import warnings
 
     import numpy as np
+    import pytest
     import torch
 
     from simple_vae_rs_tpu.utils.convert import load_torch_state_dict
 
     p = str(tmp_path / "np.pth")
     torch.save({"w": np.ones((2, 3), np.float32)}, p)
+    with pytest.raises(ValueError, match="allow_pickle"):
+        load_torch_state_dict(p)
     with warnings.catch_warnings(record=True) as rec:
         warnings.simplefilter("always")
-        sd = load_torch_state_dict(p)
+        sd = load_torch_state_dict(p, allow_pickle=True)
     assert sd["w"].shape == (2, 3)
     assert any("weights_only" in str(w.message) for w in rec)
 
