@@ -285,6 +285,34 @@ class CondSRVAE(nn.Module):
         z = reparameterize(rng_z, mu_z_uy, logvar_z_uy)
         return self.decode_x_from_features(z, y_feat, train=False)
 
+    def conditional_generation_eps(
+        self, y: Array, eps_u: Array, eps_z: Array
+    ) -> Array:
+        """``conditional_generation`` with the noise passed in.
+
+        Same math as :meth:`conditional_generation` (reference
+        ``cond_vae.py:288-297``) but deterministic given ``(eps_u, eps_z)``
+        — the mesh-sharded serving path draws the noise once globally and
+        feeds each shard its slice, so multi-chip results match the
+        single-chip resolver exactly (``serve._sr_call``). Noise shapes
+        come from :meth:`generation_noise_shapes` under ``jax.eval_shape``.
+        """
+        mu_u, logvar_u = self.encode_y(y, train=False)
+        u = mu_u + eps_u * jnp.exp(0.5 * logvar_u)
+        y_feat = self.y_embedding(y, train=False)
+        mu_z_uy, logvar_z_uy = self.z_cond(y_feat, u, train=False)
+        z = mu_z_uy + eps_z * jnp.exp(0.5 * logvar_z_uy)
+        return self.decode_x_from_features(z, y_feat, train=False)
+
+    def generation_noise_shapes(self, y: Array) -> Tuple[Array, Array]:
+        """Shape probe for :meth:`conditional_generation_eps` — returns
+        arrays shaped like ``(eps_u, eps_z)``. Only ever run abstractly
+        (``jax.eval_shape``), so the extra compute is free."""
+        mu_u, _ = self.encode_y(y, train=False)
+        y_feat = self.y_embedding(y, train=False)
+        mu_z_uy, _ = self.z_cond(y_feat, mu_u, train=False)
+        return mu_u, mu_z_uy
+
     def sample(
         self, y: Array, rng: jax.Array, samples: int = 1000, chunk: int = 128
     ) -> Array:

@@ -65,6 +65,20 @@ class SRVAE(nn.Module):
             y = box_downsample_2x(y)
         return self.core.conditional_generation(y, rng)
 
+    def conditional_generation_eps(
+        self, y: Array, eps_u: Array, eps_z: Array
+    ) -> Array:
+        """Noise-injected SR (see ``CondSRVAE.conditional_generation_eps``)."""
+        if y.shape[1] == self.config.patch_size:
+            y = box_downsample_2x(y)
+        return self.core.conditional_generation_eps(y, eps_u, eps_z)
+
+    def generation_noise_shapes(self, y: Array) -> Tuple[Array, Array]:
+        """Shape probe for ``conditional_generation_eps`` (eval_shape only)."""
+        if y.shape[1] == self.config.patch_size:
+            y = box_downsample_2x(y)
+        return self.core.generation_noise_shapes(y)
+
     def sample(
         self, y: Array, rng: jax.Array, samples: int = 1000, chunk: int = 128
     ) -> Array:

@@ -39,23 +39,50 @@ except ImportError:  # pragma: no cover
 Array = jnp.ndarray
 
 
-# Process-wide "use the XLA reference formulas" override. The training
-# engine sets it when the device mesh spans more than one chip: GSPMD
-# cannot partition a Pallas custom call over the sharded batch (it would
-# gather the full per-row loss inputs onto every chip), while the
-# ops/losses XLA reductions shard and fuse cleanly. Single-chip training
-# keeps the fused kernels. Revisit with shard_map when multi-chip
-# hardware is available to validate against.
-_FORCE_REF = False
-
-
-def force_reference(value: bool = True) -> None:
-    global _FORCE_REF
-    _FORCE_REF = bool(value)
-
-
 def _use_pallas() -> bool:
-    return _HAVE_PLTPU and not _FORCE_REF and jax.default_backend() == "tpu"
+    return _HAVE_PLTPU and jax.default_backend() == "tpu"
+
+
+# ------------------------------------------------- multi-chip row dispatch
+# GSPMD cannot partition a Pallas custom call over a sharded batch (it
+# would gather the full per-row loss inputs onto every chip), so on a
+# multi-chip mesh each row reduction runs under ``jax.shard_map`` over the
+# mesh's batch axes instead: every chip runs the SAME fused kernel on its
+# local rows, the (B,) row-sum output stays batch-sharded, and the scalar
+# assembly around it (``jnp.sum``/``jnp.mean``) reduces through GSPMD's
+# ordinary cross-shard collectives. Row sums are per-row independent, so
+# sharded and single-chip results agree exactly. Routing is per-call (the
+# caller passes its mesh) — no process-global state.
+
+
+def _mesh_batch_info(mesh) -> Tuple[Tuple[str, ...], int]:
+    axes = tuple(a for a in ("dcn", "data") if a in mesh.axis_names)
+    n = 1
+    for a in axes:
+        n *= int(mesh.shape[a])
+    return axes, n
+
+
+def _rows_op(fn, mesh, *args: Array) -> Array:
+    """Apply a (B, D)... -> (B,) row reduction, shard_mapped over the
+    mesh's batch axes when it spans more than one chip. Falls back to the
+    plain call when the batch does not divide the shard count (ragged
+    final batches) — same numerics either way."""
+    if mesh is None:
+        return fn(*args)
+    axes, n = _mesh_batch_info(mesh)
+    if n <= 1 or args[0].shape[0] % n:
+        return fn(*args)
+    from jax.sharding import PartitionSpec as P
+
+    row_spec = P(axes, None)
+    return jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=tuple(row_spec for _ in args),
+        out_specs=P(axes),
+        check_vma=False,
+    )(*args)
 
 
 # Mosaic requires the sublane (second-to-last) block dim to be a multiple
@@ -239,17 +266,20 @@ def _flat(t: Array) -> Array:
 
 
 def fused_base_loss(
-    recon_x: Array, x: Array, mu: Array, logvar: Array, gamma: Array
+    recon_x: Array, x: Array, mu: Array, logvar: Array, gamma: Array,
+    mesh=None,
 ) -> Tuple[Array, Array]:
     """Plain-VAE (mse, kld), numerically identical to ``ops.losses.base_loss``.
 
     ``mse = d*(MSE/(2g^2) + log g) = sum_sq/(2g^2) + d*log g``.
+    ``mesh`` routes the fused row kernels per-shard on multi-chip meshes
+    (see ``_rows_op``).
     """
     gamma = gamma.astype(jnp.float32)
     d = recon_x.size
-    sum_sq = jnp.sum(sq_rows(_flat(recon_x), _flat(x)))
+    sum_sq = jnp.sum(_rows_op(sq_rows, mesh, _flat(recon_x), _flat(x)))
     mse = sum_sq / (2.0 * gamma**2) + d * jnp.log(gamma)
-    kld = 0.5 * jnp.mean(kl_std_rows(mu, logvar))
+    kld = 0.5 * jnp.mean(_rows_op(kl_std_rows, mesh, mu, logvar))
     return mse, kld
 
 
@@ -266,17 +296,24 @@ def fused_cond_loss(
     logvar_z_uy: Array,
     gammax: Array,
     gammay: Array,
+    mesh=None,
 ) -> Tuple[Array, Array, Array, Array]:
-    """Cond_SRVAE terms, numerically identical to ``ops.losses.cond_loss``."""
+    """Cond_SRVAE terms, numerically identical to ``ops.losses.cond_loss``.
+
+    ``mesh`` routes the fused row kernels per-shard on multi-chip meshes
+    (see ``_rows_op``).
+    """
     gammax = gammax.astype(jnp.float32)
     gammay = gammay.astype(jnp.float32)
     nx, ny = recon_x.size, recon_y.size
-    mse_x = jnp.sum(sq_rows(_flat(recon_x), _flat(x))) / (
+    mse_x = jnp.sum(_rows_op(sq_rows, mesh, _flat(recon_x), _flat(x))) / (
         2.0 * gammax**2
     ) + nx * jnp.log(gammax)
-    mse_y = jnp.sum(sq_rows(_flat(recon_y), _flat(y))) / (
+    mse_y = jnp.sum(_rows_op(sq_rows, mesh, _flat(recon_y), _flat(y))) / (
         2.0 * gammay**2
     ) + ny * jnp.log(gammay)
-    kld_u = 0.5 * jnp.mean(kl_std_rows(mu_u, logvar_u))
-    kld_z = 0.5 * jnp.mean(kl_gen_rows(mu_z, logvar_z, mu_z_uy, logvar_z_uy))
+    kld_u = 0.5 * jnp.mean(_rows_op(kl_std_rows, mesh, mu_u, logvar_u))
+    kld_z = 0.5 * jnp.mean(
+        _rows_op(kl_gen_rows, mesh, mu_z, logvar_z, mu_z_uy, logvar_z_uy)
+    )
     return mse_x, kld_u, mse_y, kld_z

@@ -5,7 +5,8 @@ one-off script path inside training (``train.py --test``). Here a
 ``SuperResolver`` holds the variables on device and exposes compiled
 endpoints that persist across calls (the flax module rides as a static jit
 argument, so each (shape, batch) compiles once and then serves at device
-speed — the 1000-draw uncertainty task runs in ~0.12 s on a v5e).
+speed — the 1000-draw uncertainty task runs in 0.083 s on a v5e,
+BASELINE.md).
 
     sr = SuperResolver.from_checkpoint("ckpt/job", cr=1.2, patch_size=64)
     x_hat = sr.super_resolve(lr_batch)            # (B, ps, ps, C) in [0,1]
@@ -38,23 +39,67 @@ from simple_vae_rs_tpu.utils.image import normalize_image
 
 Array = jnp.ndarray
 
-# process-wide serving kernel mode (see SuperResolver.__init__)
-_KERNEL_MODE = None
+
+def _mesh_batch_axes(mesh) -> Optional[tuple]:
+    """Batch axes of a mesh that actually spans more than one device."""
+    if mesh is None:
+        return None
+    from simple_vae_rs_tpu.parallel.mesh import batch_axes
+
+    axes = batch_axes(mesh)
+    n = 1
+    for a in axes:
+        n *= int(mesh.shape[a])
+    return axes if n > 1 else None
 
 
-# One fused jit per request: normalize + RNG split + conditional generation.
-# The RNG key lives on device and is threaded through the call, so a serving
-# request is exactly one dispatch (round-trip latency dominates on remote
-# links; three chained dispatches measured ~3x slower end to end).
-@partial(jax.jit, static_argnames=("model", "normalize"))
-def _sr_call(model, variables, y, key, normalize):
-    key, sub = jax.random.split(key)
+# One fused jit per request: normalize + noise draw + conditional
+# generation. The RNG key lives on device and is threaded through the
+# call, so a serving request is exactly one dispatch (round-trip latency
+# dominates on remote links; three chained dispatches measured ~3x slower
+# end to end).
+#
+# On a meshed resolver the generation runs under ``jax.shard_map`` over
+# the mesh's batch axes: every chip runs the full fused-kernel pipeline
+# (Pallas conv tails, int8 W8A8 decode) on its local batch slice — GSPMD
+# never has to partition a Pallas custom call, so the fused kernels
+# survive multi-chip serving. The reparameterization noise is drawn
+# GLOBALLY (shapes via ``jax.eval_shape`` on the model's noise probe) and
+# each shard consumes its slice, so meshed and single-chip resolvers with
+# the same seed produce identical outputs.
+@partial(jax.jit, static_argnames=("model", "normalize", "mesh"))
+def _sr_call(model, variables, y, key, normalize, mesh=None):
+    key, k_u, k_z = jax.random.split(key, 3)
     y = y.astype(jnp.float32)
     if normalize:
         y = normalize_image(y)
-    out = model.apply(
-        variables, y, sub, method=type(model).conditional_generation
+    shapes = jax.eval_shape(
+        lambda v, yy: model.apply(
+            v, yy, method=type(model).generation_noise_shapes
+        ),
+        variables, y,
     )
+    eps_u = jax.random.normal(k_u, shapes[0].shape, jnp.float32)
+    eps_z = jax.random.normal(k_z, shapes[1].shape, jnp.float32)
+
+    def gen(v, yy, eu, ez):
+        return model.apply(
+            v, yy, eu, ez, method=type(model).conditional_generation_eps
+        )
+
+    axes = _mesh_batch_axes(mesh)
+    if axes:
+        from jax.sharding import PartitionSpec as P
+
+        out = jax.shard_map(
+            gen,
+            mesh=mesh,
+            in_specs=(P(), P(axes), P(axes), P(axes)),
+            out_specs=P(axes),
+            check_vma=False,
+        )(variables, y, eps_u, eps_z)
+    else:
+        out = gen(variables, y, eps_u, eps_z)
     return key, out
 
 
@@ -92,33 +137,12 @@ class SuperResolver:
             self._batch_sharding = NamedSharding(mesh, P(axes))
             self._n_shards = int(np.prod([mesh.shape[a] for a in axes]))
             self.variables = replicate(mesh, variables)
-        # Kernel routing rides PROCESS-GLOBAL trace-time switches (the conv
-        # blocks read them when a graph first traces), so one process
-        # serves in ONE kernel mode: meshed resolvers need the XLA paths
-        # (GSPMD cannot split a Pallas custom call — it would replicate the
-        # full batch onto every chip), single-chip resolvers prefer the
-        # fused kernels. Mixing both in a process leaves whichever traced
-        # last in charge — warn loudly instead of silently degrading.
-        global _KERNEL_MODE
-        mode = "reference" if self._n_shards > 1 else "fused"
-        if _KERNEL_MODE is not None and _KERNEL_MODE != mode:
-            import warnings
-
-            warnings.warn(
-                "Mixing meshed and single-chip SuperResolvers in one "
-                "process: Pallas kernel switches are process-global, so "
-                f"the earlier '{_KERNEL_MODE}'-mode resolver now runs in "
-                f"'{mode}' mode for newly traced shapes. Use separate "
-                "processes for mixed serving topologies.",
-                stacklevel=2,
-            )
-        _KERNEL_MODE = mode
-        if self._n_shards > 1:
-            from simple_vae_rs_tpu.ops import pallas_conv as pc
-            from simple_vae_rs_tpu.ops import pallas_int8 as p8
-
-            p8.force_reference(True)
-            pc.enable(False)
+        # Kernel routing is per-call: meshed resolvers run their compiled
+        # endpoints under ``jax.shard_map`` (each chip executes the fused
+        # Pallas / int8 kernels on its local slice — see ``_sr_call`` and
+        # ``tasks.sample_chunked``), single-chip resolvers run them
+        # directly. Meshed and single-chip resolvers coexist in one
+        # process with the correct kernels each.
         if int8:
             # W8A8 decoder serving (beyond-parity; the v5e MXU runs int8 at
             # 2x bf16). Decoder conv weights are stochastic-round quantized
@@ -218,7 +242,8 @@ class SuperResolver:
                 )
             y = jax.device_put(y, self._batch_sharding)
         self._rng, out = _sr_call(
-            self.model, self.variables, y, self._rng, self.normalize
+            self.model, self.variables, y, self._rng, self.normalize,
+            mesh=self.mesh,
         )
         return out[:b] if (self._batch_sharding is not None and pad) else out
 
@@ -233,6 +258,7 @@ class SuperResolver:
         draws = sample_chunked(
             self.model, self.variables, y, self._next_rng(),
             samples=samples, chunk=chunk, sharding=self._batch_sharding,
+            mesh=self.mesh,
         )
         return {
             "mean": jnp.mean(draws, axis=0),

@@ -43,6 +43,7 @@ def sample_chunked(
     samples: int = 1000,
     chunk: int = 100,
     sharding=None,
+    mesh=None,
 ) -> Array:
     """N posterior draws decoded in fixed-size chunks.
 
@@ -52,11 +53,13 @@ def sample_chunked(
 
     ``sharding`` (a ``NamedSharding`` over the draw axis) spreads each
     chunk's decodes across a device mesh: the noise is drawn once and
-    device_put with the sharding, and XLA's SPMD partitioner slices the
-    whole decoder batch-wise behind it — multi-chip uncertainty
-    quantification with zero model changes (``serve.SuperResolver(mesh=)``).
+    device_put with the sharding. Passing the ``mesh`` too runs the chunk
+    decode under ``jax.shard_map`` over the mesh's batch axes — each chip
+    executes the fused Pallas / int8 kernels on its local draw slice
+    (GSPMD alone cannot partition a Pallas custom call); without ``mesh``
+    XLA's SPMD partitioner slices the decoder behind the input sharding.
     Draw values are sharding-independent (same key -> same draws), so
-    sharded and single-device results agree to float tolerance.
+    sharded and single-device results agree to float tolerance either way.
     """
     if sharding is None:
         chunk = min(chunk, samples)
@@ -84,6 +87,7 @@ def sample_chunked(
                 model, variables, mu_p, std, y_feat,
                 jax.random.fold_in(rng_z, i), chunk,
                 draw(jax.random.fold_in(rng_z, i), shape),
+                mesh,
             )
             for i in range(n_chunks)
         ]
@@ -96,6 +100,7 @@ def sample_chunked(
                 model, variables, mu, std,
                 jax.random.fold_in(rng, i), chunk,
                 draw(jax.random.fold_in(rng, i), shape),
+                mesh,
             )
             for i in range(n_chunks)
         ]
@@ -135,18 +140,49 @@ def _normal(rng, shape):
     return jax.random.normal(rng, shape, jnp.float32)
 
 
+def _sharded_decode(decode, mesh, variables, *batched):
+    """Run a draw-batched decode under shard_map over the mesh's batch
+    axes (params replicated, draw dim sharded) so the fused Pallas / int8
+    kernels execute per-shard. Falls back to the plain call when the mesh
+    spans one device or the draw count does not divide the shard count."""
+    from simple_vae_rs_tpu.serve import _mesh_batch_axes
+
+    axes = _mesh_batch_axes(mesh)
+    if not axes:
+        return decode(variables, *batched)
+    n = 1
+    for a in axes:
+        n *= int(mesh.shape[a])
+    if batched[0].shape[0] % n:
+        return decode(variables, *batched)
+    from jax.sharding import PartitionSpec as P
+
+    return jax.shard_map(
+        decode,
+        mesh=mesh,
+        in_specs=(P(),) + tuple(P(axes) for _ in batched),
+        out_specs=P(axes),
+        check_vma=False,
+    )(variables, *batched)
+
+
 # ``eps=None`` (default): noise drawn inside the jit — one dispatch per
 # chunk, the serving latency contract. With a pre-sharded ``eps`` the
-# compiled decode inherits its batch partitioning from it, which is how
-# the mesh-sharded serving path spreads draws over chips.
-@partial(jax.jit, static_argnames=("model", "chunk"))
+# compiled decode inherits its batch partitioning from it; passing the
+# ``mesh`` too runs the decode per-shard under shard_map (fused kernels
+# survive multi-chip — see ``_sharded_decode``).
+@partial(jax.jit, static_argnames=("model", "chunk", "mesh"))
 def _cond_decode_chunk(model, variables, mu_p, std, y_feat, rng, chunk,
-                       eps=None):
+                       eps=None, mesh=None):
     if eps is None:
         eps = jax.random.normal(rng, (chunk,) + mu_p.shape[1:], jnp.float32)
     z = mu_p + eps * std
     yf = jnp.broadcast_to(y_feat, (chunk,) + y_feat.shape[1:])
-    return model.apply(variables, z, yf, method=_cond_decode_method)
+
+    def decode(v, z_b, yf_b):
+        return model.apply(v, z_b, yf_b, method=_cond_decode_method)
+
+    return _sharded_decode(decode, mesh, variables, z, yf)
 
 
 @partial(jax.jit, static_argnames=("model",))
@@ -154,12 +190,17 @@ def _vae_encode(model, variables, y):
     return model.apply(variables, y, train=False, method=VAE.encode)
 
 
-@partial(jax.jit, static_argnames=("model", "chunk"))
-def _vae_decode_chunk(model, variables, mu, std, rng, chunk, eps=None):
+@partial(jax.jit, static_argnames=("model", "chunk", "mesh"))
+def _vae_decode_chunk(model, variables, mu, std, rng, chunk, eps=None,
+                      mesh=None):
     if eps is None:
         eps = jax.random.normal(rng, (chunk, mu.shape[-1]), jnp.float32)
     z = mu + eps * std
-    return model.apply(variables, z, train=False, method=VAE.decode)
+
+    def decode(v, z_b):
+        return model.apply(v, z_b, train=False, method=VAE.decode)
+
+    return _sharded_decode(decode, mesh, variables, z)
 
 
 @partial(jax.jit, static_argnames=())

@@ -64,18 +64,13 @@ class Trainer:
         self.logger = logger or NullLogger()
         self.mesh = mesh
         self.job_id = job_id
-        if mesh is not None and mesh.size > 1:
-            # Sharded batches partition through GSPMD, which cannot split
-            # a Pallas custom call — the fused ELBO kernels would gather
-            # the full per-row loss inputs onto every chip, and the conv
-            # paths behind --pallas_conv would do the same inside the
-            # step. The XLA reference paths shard and fuse cleanly;
-            # single-chip training keeps the fused kernels. (Trace-time
-            # switches: set before the first train-step jit.)
-            from simple_vae_rs_tpu.ops import pallas_conv as _pc
-
-            L.force_reference(True)
-            _pc.enable(False)
+        # Multi-chip meshes keep the fused Pallas ELBO kernels: the loss
+        # row reductions run per-shard under ``jax.shard_map`` (the mesh
+        # is passed into ``fused_*_loss`` below), so GSPMD never has to
+        # partition a Pallas custom call. Conv-block kernel routing is
+        # unchanged here: at training shapes the measured thresholds
+        # (``pallas_conv.wins_over_xla*``) already route the convs to
+        # XLA's batched implementations (BASELINE.md sweep).
         from simple_vae_rs_tpu.models.srvae import SRVAE
 
         if isinstance(model, CondSRVAE):
@@ -142,7 +137,9 @@ class Trainer:
             x = batch[0]
             out = self.model.apply(variables, x, rng, train=train, mutable=mutable)
             (x_hat, mu, logvar), aux = out if mutable else (out, {})
-            mse, kld = L.fused_base_loss(x_hat, x, mu, logvar, params["gamma"])
+            mse, kld = L.fused_base_loss(
+                x_hat, x, mu, logvar, params["gamma"], mesh=self.mesh
+            )
             loss = mse + kld
             terms = {"loss": loss, "mse": mse, "kld": kld}
         elif self.kind == "srvae":
@@ -153,7 +150,7 @@ class Trainer:
             core_params = params["core"]
             mse_x, kld_u, mse_y, kld_z = L.fused_cond_loss(
                 x_hat, x, y_hat, y_int, mu_u, lv_u, mu_z, lv_z, mu_p, lv_p,
-                core_params["gammax"], core_params["gammay"],
+                core_params["gammax"], core_params["gammay"], mesh=self.mesh,
             )
             loss = mse_x + kld_u + mse_y + kld_z
             terms = {
@@ -170,7 +167,7 @@ class Trainer:
             x_hat, y_hat, mu_z, lv_z, mu_u, lv_u, mu_p, lv_p = outputs
             mse_x, kld_u, mse_y, kld_z = L.fused_cond_loss(
                 x_hat, x, y_hat, y, mu_u, lv_u, mu_z, lv_z, mu_p, lv_p,
-                params["gammax"], params["gammay"],
+                params["gammax"], params["gammay"], mesh=self.mesh,
             )
             loss = mse_x + kld_u + mse_y + kld_z
             terms = {
@@ -276,28 +273,51 @@ class Trainer:
     @jax.jit
     def _baseline_metrics_step(y, x):
         up = bicubic_upsample_2x(y)
-        return {
+        sums = {
             "ssim": jnp.sum(ssim(x, up)),
             "psnr": jnp.sum(psnr(x, up)),
             "count": jnp.float32(x.shape[0]),
         }
+        return sums, up[:4]
 
     def compute_bicubic_baseline(self, val_loader) -> Dict[str, float]:
         """Bicubic-2x SR baseline over the val set, on device.
 
         Parity with reference ``cond_vae.py:541-579`` (minus its averaging
-        precedence bug, SURVEY §2.2-6 — this is the true mean).
+        precedence bug, SURVEY §2.2-6 — this is the true mean). LPIPS of
+        the bicubic baseline (reference logs it as ``Metrics/LPIPS_Baseline``,
+        ``cond_vae.py:473``) is computed on the same first-4-images-per-batch
+        subset ``_lpips_metrics`` uses for the SR rows, so the SR-vs-bicubic
+        LPIPS comparison reads off matching samples.
         """
+        from simple_vae_rs_tpu.utils.lpips_optional import lpips_available, lpips_batch
+
+        want_lpips = lpips_available()
         sums: Dict[str, Array] = {}
+        lp_sum, lp_n = 0.0, 0
         for batch in val_loader:
             y, x = self._device_batch(batch)[:2]
-            part = self._baseline_metrics_step(y, x)
+            part, up4 = self._baseline_metrics_step(y, x)
             sums = part if not sums else _tree_add(sums, part)
+            if want_lpips:
+                vals = lpips_batch(
+                    np.asarray(jax.device_get(x[:4])),
+                    np.asarray(jax.device_get(up4)),
+                )
+                if vals is not None:
+                    lp_sum += float(np.sum(vals))
+                    lp_n += len(vals)
         if not sums:  # empty loader (custom loaders can bypass the
             return {}  # init_dataloader guard); baseline rows just absent
         out = jax.device_get(sums)
         n = max(float(out["count"]), 1.0)
-        return {"ssim_base": float(out["ssim"]) / n, "psnr_base": float(out["psnr"]) / n}
+        base = {
+            "ssim_base": float(out["ssim"]) / n,
+            "psnr_base": float(out["psnr"]) / n,
+        }
+        if lp_n:
+            base["lpips_base"] = lp_sum / lp_n
+        return base
 
     # ------------------------------------------------------------- data feed
     def _device_batch(self, batch: Batch):
@@ -350,7 +370,9 @@ class Trainer:
                 (y_hat, mu_u, lv_u), aux = out if mutable else (out, {})
                 gkey = "core" if srvae else None
                 gammay = params[gkey]["gammay"] if gkey else params["gammay"]
-                mse_y, kld_u = L.fused_base_loss(y_hat, y_in, mu_u, lv_u, gammay)
+                mse_y, kld_u = L.fused_base_loss(
+                    y_hat, y_in, mu_u, lv_u, gammay, mesh=self.mesh
+                )
                 return mse_y + kld_u, aux.get("batch_stats", state.batch_stats)
 
             (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -427,7 +449,12 @@ class Trainer:
                     return self.state
 
             # ---------------------------------------------------- train loop
-            profiling = bool(self.cfg.profile_dir) and epoch == start_epoch + 1
+            # Profile the second trained epoch (first is compile-noisy) —
+            # or the only/last one when the run is too short to have a
+            # second (a 1-epoch run with --profile_dir still gets a trace).
+            profiling = bool(self.cfg.profile_dir) and epoch == min(
+                start_epoch + 1, epochs
+            )
             if profiling:
                 jax.profiler.start_trace(self.cfg.profile_dir)
             t0 = time.perf_counter()
@@ -505,57 +532,87 @@ class Trainer:
 
     # ------------------------------------------------------- eval + logging
     def evaluate(self, val_loader, epoch: int, full_val: bool = False) -> None:
+        """Full-val metrics + LPIPS + image panel in ONE val-loader pass.
+
+        The reference iterates its val set separately for metrics, LPIPS
+        and images; on a disk-backed split each pass re-reads and
+        re-decodes every tile, so everything here comes from a single
+        iteration: per-batch metric sums, LPIPS accumulated from the same
+        ``_eval_images_step`` outputs, and the first batch's images kept
+        for the panel.
+        """
         image_cadence = 10 if self.kind == "cond" else 5
-        if full_val:
-            sums: Dict[str, Array] = {}
-            for batch in val_loader:
-                part = self._eval_metrics_step(self.state, self._device_batch(batch))
-                sums = part if not sums else _tree_add(sums, part)
-            if not sums:  # empty loader: no metrics to log
-                return
-            out = jax.device_get(sums)
-            n = max(float(out.pop("count")), 1.0)
-            if self.kind in ("vae", "srvae"):
-                self.logger.log(
-                    {
-                        "Metrics/SSIM": out["ssim"] / n,
-                        "Metrics/PSNR": out["psnr"] / n,
-                    },
-                    step=epoch,
+        want_images = epoch % image_cadence == 0 or epoch == 1
+        if not full_val:
+            if want_images:
+                first = next(iter(val_loader))
+                images = self._eval_images_step(
+                    self.state, self._device_batch(first)
                 )
-            else:
-                metrics = {
-                    "Metrics/SSIM_LR": out["ssim_y"] / n,
-                    "Metrics/SSIM_HR": out["ssim_x"] / n,
-                    "Metrics/SSIM_SR": out["ssim_sr"] / n,
-                    "Metrics/PSNR_SR": out["psnr_sr"] / n,
-                }
-                if self.baseline_metrics:
-                    metrics["Metrics/SSIM_Baseline"] = self.baseline_metrics[
-                        "ssim_base"
-                    ]
-                    metrics["Metrics/PSNR_Baseline"] = self.baseline_metrics[
-                        "psnr_base"
-                    ]
-                metrics.update(self._lpips_metrics(val_loader))
-                self.logger.log(metrics, step=epoch)
-        if epoch % image_cadence == 0 or epoch == 1:
-            first = next(iter(val_loader))
-            images = self._eval_images_step(self.state, self._device_batch(first))
-            self.logger.log_images(jax.device_get(images), step=epoch)
+                self.logger.log_images(jax.device_get(images), step=epoch)
+            return
 
-    def _lpips_metrics(self, val_loader) -> Dict[str, float]:
-        """Host-side LPIPS when the pretrained package is available; the
+        from simple_vae_rs_tpu.utils.lpips_optional import lpips_available
+
+        want_lpips = lpips_available()
+        sums: Dict[str, Array] = {}
+        lp_sums: Dict[str, float] = {}
+        lp_counts: Dict[str, int] = {}
+        first_images = None
+        for batch in val_loader:
+            b = self._device_batch(batch)
+            part = self._eval_metrics_step(self.state, b)
+            sums = part if not sums else _tree_add(sums, part)
+            if want_lpips or (want_images and first_images is None):
+                images = self._eval_images_step(self.state, b)
+                if first_images is None:
+                    first_images = images
+                if want_lpips:
+                    self._acc_lpips(lp_sums, lp_counts, jax.device_get(images))
+        if not sums:  # empty loader: no metrics to log
+            return
+        out = jax.device_get(sums)
+        n = max(float(out.pop("count")), 1.0)
+        if self.kind in ("vae", "srvae"):
+            metrics = {
+                "Metrics/SSIM": out["ssim"] / n,
+                "Metrics/PSNR": out["psnr"] / n,
+            }
+        else:
+            metrics = {
+                "Metrics/SSIM_LR": out["ssim_y"] / n,
+                "Metrics/SSIM_HR": out["ssim_x"] / n,
+                "Metrics/SSIM_SR": out["ssim_sr"] / n,
+                "Metrics/PSNR_SR": out["psnr_sr"] / n,
+            }
+            if self.baseline_metrics:
+                metrics["Metrics/SSIM_Baseline"] = self.baseline_metrics[
+                    "ssim_base"
+                ]
+                metrics["Metrics/PSNR_Baseline"] = self.baseline_metrics[
+                    "psnr_base"
+                ]
+                if "lpips_base" in self.baseline_metrics:
+                    # reference cond_vae.py:473
+                    metrics["Metrics/LPIPS_Baseline"] = self.baseline_metrics[
+                        "lpips_base"
+                    ]
+        metrics.update(
+            {k: lp_sums[k] / lp_counts[k] for k in lp_sums if lp_counts[k]}
+        )
+        self.logger.log(metrics, step=epoch)
+        if want_images and first_images is not None:
+            self.logger.log_images(jax.device_get(first_images), step=epoch)
+
+    def _acc_lpips(
+        self, sums: Dict[str, float], counts: Dict[str, int], imgs: Dict[str, Any]
+    ) -> None:
+        """Accumulate host-side LPIPS from one batch's eval images; the
         reference's LPIPS-alex on BGR channels (``models/base.py:37``).
-        Computed on the first 4 images of each val batch (host-transfer cost
-        cap; the reference pays a full per-image device->host round trip).
-        Empty dict otherwise — SSIM/PSNR remain the on-device spine."""
-        from simple_vae_rs_tpu.utils.lpips_optional import lpips_available, lpips_batch
-
-        if not lpips_available():
-            return {}
-        sums: Dict[str, float] = {}
-        counts: Dict[str, int] = {}
+        Computed on the first 4 images of each val batch (host-transfer
+        cost cap; the reference pays a full per-image device->host round
+        trip). SSIM/PSNR remain the on-device spine."""
+        from simple_vae_rs_tpu.utils.lpips_optional import lpips_batch
 
         def acc(key, a, b):
             vals = lpips_batch(a, b)
@@ -564,18 +621,14 @@ class Trainer:
             sums[key] = sums.get(key, 0.0) + float(np.sum(vals))
             counts[key] = counts.get(key, 0) + len(vals)
 
-        for batch in val_loader:
-            b = self._device_batch(batch)
-            imgs = jax.device_get(self._eval_images_step(self.state, b))
-            if self.kind == "vae":
-                acc("Metrics/LPIPS",
-                    imgs["Images/Input"], imgs["Images/Reconstruction"])
-                continue
-            y, x = imgs["Images/LR_Input"], imgs["Images/HR_Input"]
-            acc("Metrics/LPIPS_LR", y, imgs["Images/LR_Recon"])
-            acc("Metrics/LPIPS_HR", x, imgs["Images/HR_Recon"])
-            acc("Metrics/LPIPS_SR", x, imgs["Images/SR_Output"])
-        return {k: sums[k] / counts[k] for k in sums if counts[k]}
+        if self.kind in ("vae", "srvae"):  # their eval images are
+            acc("Metrics/LPIPS",           # input/reconstruction pairs
+                imgs["Images/Input"], imgs["Images/Reconstruction"])
+            return
+        y, x = imgs["Images/LR_Input"], imgs["Images/HR_Input"]
+        acc("Metrics/LPIPS_LR", y, imgs["Images/LR_Recon"])
+        acc("Metrics/LPIPS_HR", x, imgs["Images/HR_Recon"])
+        acc("Metrics/LPIPS_SR", x, imgs["Images/SR_Output"])
 
     def _on_train_epoch_end(self, epoch: int) -> None:
         params = self.state.params

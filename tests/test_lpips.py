@@ -130,9 +130,12 @@ def test_engine_logs_lpips_metrics_through_evaluate(lpips_weights):
     logger = _CaptureLogger()
     trainer = Trainer(model, TrainConfig(epochs=1), logger=logger)
     trainer.init_state(batches[0])
+    trainer.baseline_metrics = trainer.compute_bicubic_baseline(loader)
     trainer.evaluate(loader, epoch=2, full_val=True)
-    for key in ("Metrics/LPIPS_LR", "Metrics/LPIPS_HR", "Metrics/LPIPS_SR"):
+    for key in ("Metrics/LPIPS_LR", "Metrics/LPIPS_HR", "Metrics/LPIPS_SR",
+                "Metrics/LPIPS_Baseline"):
         assert key in logger.records, f"{key} missing: {list(logger.records)}"
         assert np.isfinite(logger.records[key])
     # SSIM spine still present alongside
     assert "Metrics/SSIM_SR" in logger.records
+    assert "Metrics/SSIM_Baseline" in logger.records

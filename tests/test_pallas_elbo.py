@@ -136,3 +136,34 @@ def test_fused_cond_loss_matches_reference_and_grads():
     gr = jax.grad(lambda *a: tot(ref.cond_loss, *a), argnums=tuple(range(8)))(*d_args)
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_pallas_rows_under_shard_map_match():
+    """The actual Pallas kernel (interpret mode) runs PER-SHARD under
+    shard_map over the 8-virtual-device mesh — the multi-chip routing the
+    engine uses (it passes its mesh into the fused losses, which wrap the
+    row kernels in shard_map instead of falling back to XLA)."""
+    import functools
+
+    import pytest
+    from jax.sharding import PartitionSpec as P
+
+    from simple_vae_rs_tpu.config import MeshConfig
+    from simple_vae_rs_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    rng = np.random.default_rng(3)
+    a, b = _rows(rng, 16, 256), _rows(rng, 16, 256)
+    fn = functools.partial(pe._sq_rows_impl, interpret=True)
+    got = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P("data", None), P("data", None)),
+        out_specs=P("data"),
+        check_vma=False,
+    )(jnp.array(a), jnp.array(b))
+    np.testing.assert_allclose(
+        np.asarray(got), np.sum((a - b) ** 2, axis=1), rtol=1e-5
+    )

@@ -153,19 +153,18 @@ def test_sample_chunked_sharded_draws_match_unsharded():
     a = sample_chunked(model, variables, y, key, samples=8, chunk=8)
     b = sample_chunked(
         model, replicate(mesh, variables), y, key, samples=8, chunk=8,
-        sharding=NamedSharding(mesh, P("data")),
+        sharding=NamedSharding(mesh, P("data")), mesh=mesh,
     )
     assert b.shape == (8, 16, 16, 4)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                atol=1e-5)
 
 
-def test_mesh_serving_forces_int8_reference_path():
-    """A >1-shard resolver must route the int8 decode through the XLA
-    reference path (GSPMD cannot partition the Pallas custom call) and
-    still produce identical results to the single-device int8 resolver."""
+def test_mesh_serving_int8_keeps_fused_routing_and_matches_single():
+    """A >1-shard int8 resolver runs the quantized decode per-shard under
+    shard_map (the fused kernels are NOT force-disabled by the topology)
+    and produces identical results to the single-device int8 resolver."""
     from simple_vae_rs_tpu.config import MeshConfig
-    from simple_vae_rs_tpu.ops import pallas_int8 as p8
     from simple_vae_rs_tpu.ops import quantize as qz
     from simple_vae_rs_tpu.parallel.mesh import make_mesh
 
@@ -176,33 +175,45 @@ def test_mesh_serving_forces_int8_reference_path():
         single = SuperResolver(model, variables, seed=5, int8=True)
         a = single.super_resolve(y)
         meshed = SuperResolver(model, variables, seed=5, int8=True, mesh=mesh)
-        assert p8._FORCE_REF, "meshed int8 serving must force the XLA path"
         b = meshed.super_resolve(y)
+        # int8 actually routed: differs from the f32 resolver's output
+        f32 = SuperResolver(model, variables, seed=5)
+        c = f32.super_resolve(y)
     finally:
-        p8.force_reference(False)
         qz.enable_int8(False)
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
-                               atol=1e-5)
+    # W8A8 activation scales are DYNAMIC (amax over the executing tile:
+    # full batch on the XLA path, per program tile in the TPU kernel, per
+    # shard under shard_map), so per-shard execution legitimately shifts
+    # the activation quantization grid by up to one step (~amax/127).
+    # The 1e-3 tolerance is that granularity on [0,1] sigmoid outputs —
+    # far below the int8-vs-f32 gap asserted next.
+    a, b, c = (np.asarray(t) for t in (a, b, c))
+    np.testing.assert_allclose(a, b, atol=1e-3)
+    assert not np.allclose(a, c, atol=1e-6), (
+        "int8 resolver output should differ from full-precision"
+    )
 
 
-def test_mixed_topology_resolvers_warn():
-    """Meshed and single-chip resolvers in one process flip process-global
-    kernel switches — construction must warn about the mode flip."""
+def test_mixed_topology_resolvers_coexist():
+    """Meshed and single-chip resolvers coexist in one process, each with
+    per-call kernel routing — no warning, and the earlier resolver's
+    outputs are unchanged by constructing the later one."""
     import warnings as _warnings
 
-    from simple_vae_rs_tpu import serve as serve_mod
     from simple_vae_rs_tpu.config import MeshConfig
     from simple_vae_rs_tpu.parallel.mesh import make_mesh
 
     model, variables = _small_cond()
     mesh = make_mesh(MeshConfig(data=8, model=1))
-    old_mode = serve_mod._KERNEL_MODE
-    try:
-        serve_mod._KERNEL_MODE = None
-        with _warnings.catch_warnings():
-            _warnings.simplefilter("error")  # first resolver: no warning
-            SuperResolver(model, variables, seed=7)
-        with pytest.warns(UserWarning, match="process-global"):
-            SuperResolver(model, variables, seed=7, mesh=mesh)
-    finally:
-        serve_mod._KERNEL_MODE = old_mode
+    y = np.random.default_rng(7).random((8, 8, 8, 4)).astype(np.float32)
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        single = SuperResolver(model, variables, seed=7)
+        a1 = single.super_resolve(y)
+        meshed = SuperResolver(model, variables, seed=7, mesh=mesh)
+        b = meshed.super_resolve(y)
+        single2 = SuperResolver(model, variables, seed=7)
+        a2 = single2.super_resolve(y)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(b), rtol=1e-5,
+                               atol=1e-5)

@@ -150,22 +150,39 @@ def test_shard_batch_multihost_branch(monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_multichip_trainer_pins_elbo_to_xla_reference():
-    """A >1-device mesh must flip the ELBO to its XLA reference formulas
-    (GSPMD cannot partition the Pallas custom call); a fresh single-chip
-    trainer leaves the switch wherever the process set it."""
-    from simple_vae_rs_tpu.config import CondSRVAEConfig
-    from simple_vae_rs_tpu.models import CondSRVAE
+def test_meshed_loss_rows_run_under_shard_map():
+    """The fused loss row reductions route through shard_map on a >1-chip
+    mesh (per-shard kernels, batch-sharded output) and fall back cleanly
+    when the batch does not divide the shard count — numerics identical
+    to the plain row ops either way."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     from simple_vae_rs_tpu.ops import pallas_elbo as L
 
-    model = CondSRVAE(CondSRVAEConfig(cr=2.0, patch_size=16))
     mesh = make_mesh(MeshConfig(data=8, model=1))
-    try:
-        L.force_reference(False)
-        Trainer(model, TrainConfig(), mesh=mesh)
-        assert L._FORCE_REF, "meshed trainer must pin the XLA loss path"
-    finally:
-        L.force_reference(False)
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((16, 32)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((16, 32)), jnp.float32)
+
+    plain = L.sq_rows(a, b)
+    sharded = jax.jit(lambda x, y: L._rows_op(L.sq_rows, mesh, x, y))(
+        jax.device_put(a, NamedSharding(mesh, P("data"))),
+        jax.device_put(b, NamedSharding(mesh, P("data"))),
+    )
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(plain),
+                               rtol=1e-6)
+    # 8 shards over 16 rows: result really is batch-sharded
+    assert "data" in str(sharded.sharding.spec)
+
+    # ragged batch (not divisible by 8): falls back, same values
+    ragged = L._rows_op(L.sq_rows, mesh, a[:10], b[:10])
+    np.testing.assert_allclose(np.asarray(ragged), np.asarray(plain[:10]),
+                               rtol=1e-6)
+
+    # gradients flow through the shard_mapped rows
+    g = jax.grad(lambda x: jnp.sum(L._rows_op(L.sq_rows, mesh, x, b)))(a)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(2.0 * (a - b)),
+                               rtol=1e-5)
 
 
 def test_zero1_moments_shard_and_step_matches_replicated():

@@ -307,3 +307,34 @@ def test_bf16_moments_flag_changes_mu_dtype_and_trains():
     assert float(terms["loss"]) == float(terms["loss"])  # finite
     after = jax.tree_util.tree_leaves(trainer.state.params)[0]
     assert not jnp.array_equal(before, after)
+
+
+def test_full_val_evaluate_iterates_loader_once():
+    """One-pass evaluation: metrics, LPIPS inputs and the image panel all
+    come from a SINGLE val-loader iteration per full-val epoch (the
+    round-2 version iterated up to three times, re-reading a disk-backed
+    split each pass)."""
+
+    class CountingLoader(ArrayLoader):
+        def __init__(self, batches):
+            super().__init__(batches)
+            self.iterations = 0
+
+        def __iter__(self):
+            self.iterations += 1
+            return iter(self.batches)
+
+    loader = CountingLoader(_sr_batches(ps=16))
+    model = CondSRVAE(CondSRVAEConfig(cr=2.0, patch_size=16))
+    trainer = Trainer(model, TrainConfig(epochs=1))
+    trainer.init_state(loader.batches[0])
+
+    # epoch 1: metrics + image-cadence epoch -> still one pass
+    trainer.evaluate(loader, epoch=1, full_val=True)
+    assert loader.iterations == 1
+    # non-image epoch: one pass too
+    trainer.evaluate(loader, epoch=2, full_val=True)
+    assert loader.iterations == 2
+    # image-only call (no full val): one pass for the first batch
+    trainer.evaluate(loader, epoch=10, full_val=False)
+    assert loader.iterations == 3
