@@ -1,0 +1,314 @@
+#!/usr/bin/env python
+"""Head-to-head quality parity: torch reference vs this framework.
+
+BASELINE.md's north star is ">=10x patches/sec/chip at matched val ELBO".
+The throughput half is measured in bench.py; this script produces the
+"matched val ELBO" half: it trains the PyTorch reference (imported from
+/root/reference and *driven*, not copied — the loop mirrors
+``models/base.py:84-182``) and this framework on the IDENTICAL synthetic
+dataset at the canonical matched config (Cond_SRVAE, ps=64, cr=1.2, bs=8,
+Adam 1e-4, grad-clip 1.0 — reference ``script.sh:20``, ``train.py:65``,
+``base.py:106``) and records per-epoch train/val ELBO plus val SSIM/PSNR
+of the SR output, computed by the SAME metric implementation
+(``ops/metrics`` on CPU) for both sides.
+
+Controlled variables:
+- data: one deterministic synthetic tile set (SyntheticSRDataset, seed 0),
+  per-channel min-max normalized ON HOST once, fed to both sides in the
+  same order (shared numpy epoch shuffling, seed+epoch, drop_last);
+- architecture: param-count parity is asserted (48,953,912 both sides);
+- optimization: same lr, clip, batch size, epochs; gammas in the optimizer
+  both sides (reference ``cond_vae.py:527-535`` semantics).
+
+Seed policy: weight init and reparameterization noise CANNOT be matched
+bitwise across torch/JAX RNGs (SURVEY §7 "RNG parity"); each side runs its
+own seed. Parity is therefore judged statistically on the converged
+curves, as BASELINE.json defines it.
+
+Usage:
+  python scripts/quality_parity.py --side reference --epochs 40
+  python scripts/quality_parity.py --side tpu --epochs 40
+  python scripts/quality_parity.py --report
+Writes results/quality_parity_{side}.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = "/root/reference"
+OUT_DIR = os.path.join(REPO, "results")
+
+CFG = dict(cr=1.2, patch_size=64, batch_size=8, lr=1e-4, clip=1.0,
+           n_tiles=256, data_seed=0)
+
+
+# ------------------------------------------------------------------ data
+def build_dataset():
+    """(lr, hr) float32 pairs, NHWC, in [0,1]; deterministic."""
+    sys.path.insert(0, REPO)
+    from simple_vae_rs_tpu.data.datasets import SyntheticSRDataset
+
+    ds = SyntheticSRDataset(
+        length=CFG["n_tiles"], hr_size=CFG["patch_size"], seed=CFG["data_seed"]
+    )
+
+    def norm(a):  # per-channel min-max, the normalize_image semantics
+        mn = a.min(axis=(0, 1), keepdims=True)
+        mx = a.max(axis=(0, 1), keepdims=True)
+        return ((a - mn) / (mx - mn + 1e-5)).astype(np.float32)
+
+    lrs, hrs = [], []
+    for i in range(len(ds)):
+        lr, hr = ds[i]
+        lrs.append(norm(lr))
+        hrs.append(norm(hr))
+    lr_all, hr_all = np.stack(lrs), np.stack(hrs)
+    n_train = int(0.8 * len(ds))  # sequential 80/20, reference dataset.py:30-32
+    return (lr_all[:n_train], hr_all[:n_train]), (lr_all[n_train:], hr_all[n_train:])
+
+
+def epoch_batches(n, bs, epoch, train):
+    order = np.arange(n)
+    if train:  # shared shuffle: same order both sides
+        np.random.default_rng(1234 + epoch).shuffle(order)
+    nb = n // bs  # drop_last both sides (static shapes)
+    return [order[i * bs:(i + 1) * bs] for i in range(nb)]
+
+
+# --------------------------------------------------------------- metrics
+def make_metric_fns(force_cpu: bool = True):
+    """SSIM/PSNR via this repo's ops.metrics — one implementation for both
+    sides (NHWC numpy in, floats out). The reference side pins jax to CPU
+    (torch does the training); the tpu side keeps its backend."""
+    import jax
+
+    if force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from simple_vae_rs_tpu.ops.metrics import psnr, ssim
+
+    @jax.jit
+    def _sums(a, b):
+        return jnp.sum(ssim(a, b)), jnp.sum(psnr(a, b))
+
+    def sums(a, b):
+        s, p = _sums(jnp.asarray(a), jnp.asarray(b))
+        return float(s), float(p)
+
+    return sums
+
+
+# ------------------------------------------------------------- reference
+def run_reference(epochs: int, seed: int) -> dict:
+    sys.path.insert(0, REFERENCE)
+    # wandb/lpips/skimage are module-scope imports the driven loop never
+    # calls; stub the missing ones (same approach as
+    # measure_reference_baseline.py).
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from measure_reference_baseline import _stub_missing_modules
+
+    _stub_missing_modules()
+    import torch
+
+    import models  # reference package
+
+    (lr_tr, hr_tr), (lr_va, hr_va) = build_dataset()
+    metric_sums = make_metric_fns()
+
+    torch.manual_seed(seed)
+    model = models.Cond_SRVAE(CFG["cr"], patch_size=CFG["patch_size"])
+    n_params = sum(p.numel() for p in model.parameters())
+    optimizer = torch.optim.Adam(model.parameters(), lr=CFG["lr"])
+    # gammas join the optimizer as in reference cond_vae.py:527-535
+    model.gammax.requires_grad = True
+    model.gammay.requires_grad = True
+    optimizer.add_param_group({"params": [model.gammax, model.gammay]})
+
+    def to_torch(a):  # NHWC [B] -> NCHW torch
+        return torch.from_numpy(np.transpose(a, (0, 3, 1, 2)).copy())
+
+    bs = CFG["batch_size"]
+    records = []
+    for epoch in range(1, epochs + 1):
+        t0 = time.perf_counter()
+        model.train()
+        tr_sum, n_tr = 0.0, 0
+        for idx in epoch_batches(len(lr_tr), bs, epoch, True):
+            batch = (to_torch(lr_tr[idx]), to_torch(hr_tr[idx]))
+            optimizer.zero_grad()
+            loss, _ = model.train_step(batch, "cpu")
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(model.parameters(), CFG["clip"])
+            optimizer.step()
+            tr_sum += float(loss.item())
+            n_tr += 1
+        model.eval()
+        va_sum, n_va = 0.0, 0
+        ssim_sum, psnr_sum, n_img = 0.0, 0.0, 0
+        for idx in epoch_batches(len(lr_va), bs, 0, False):
+            batch = (to_torch(lr_va[idx]), to_torch(hr_va[idx]))
+            loss, _ = model.val_step(batch, "cpu")
+            va_sum += float(loss.item())
+            n_va += 1
+            with torch.no_grad():
+                sr = model.conditional_generation(batch[0].to("cpu"))
+            sr_np = np.transpose(sr.numpy(), (0, 2, 3, 1))
+            s, p = metric_sums(hr_va[idx], sr_np)
+            ssim_sum += s
+            psnr_sum += p
+            n_img += len(idx)
+        rec = {
+            "epoch": epoch,
+            "train_loss": tr_sum / n_tr,
+            "val_loss": va_sum / n_va,
+            "ssim_sr": ssim_sum / n_img,
+            "psnr_sr": psnr_sum / n_img,
+            "gammax": float(model.gammax.item()),
+            "gammay": float(model.gammay.item()),
+            "seconds": time.perf_counter() - t0,
+        }
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+    return {"side": "reference", "n_params": n_params, "seed": seed,
+            "config": CFG, "epochs": records}
+
+
+# ------------------------------------------------------------------- tpu
+def run_tpu(epochs: int, seed: int, backend: str = "") -> dict:
+    import jax
+
+    if backend:
+        jax.config.update("jax_platforms", backend)
+    import jax.numpy as jnp
+
+    from simple_vae_rs_tpu.config import CondSRVAEConfig, TrainConfig
+    from simple_vae_rs_tpu.models import CondSRVAE
+    from simple_vae_rs_tpu.train.engine import Trainer
+    from simple_vae_rs_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    (lr_tr, hr_tr), (lr_va, hr_va) = build_dataset()
+    metric_sums = make_metric_fns(force_cpu=False)
+
+    model = CondSRVAE(CondSRVAEConfig(cr=CFG["cr"], patch_size=CFG["patch_size"]))
+    cfg = TrainConfig(learning_rate=CFG["lr"], grad_clip_norm=CFG["clip"], seed=seed)
+    trainer = Trainer(model, cfg)
+
+    bs = CFG["batch_size"]
+
+    class Loader:
+        def __init__(self, lr_a, hr_a, train):
+            self.lr_a, self.hr_a, self.train = lr_a, hr_a, train
+            self.epoch = 1
+
+        def __iter__(self):
+            for idx in epoch_batches(len(self.lr_a), bs, self.epoch, self.train):
+                yield self.lr_a[idx], self.hr_a[idx]
+
+    train_loader = Loader(lr_tr, hr_tr, True)
+    val_loader = Loader(lr_va, hr_va, False)
+    state = trainer.init_state(next(iter(train_loader)), seed=seed)
+    n_params = sum(
+        int(np.prod(p.shape)) for p in jax.tree.leaves(state.params)
+        if hasattr(p, "shape")
+    )
+    # exclude the two gamma scalars for the reference-comparable count
+    n_params_no_gamma = n_params - 2
+
+    records = []
+    for epoch in range(1, epochs + 1):
+        t0 = time.perf_counter()
+        train_loader.epoch = epoch  # same shared shuffle as the torch side
+        lr_now = jnp.float32(trainer.scheduler.lr)
+        tr_sum, n_tr = 0.0, 0
+        for batch in train_loader:
+            trainer.state, terms = trainer._train_step(
+                trainer.state, trainer._device_batch(batch), lr_now
+            )
+            tr_sum += float(jax.device_get(terms["loss"]))
+            n_tr += 1
+        va_sum, n_va = 0.0, 0
+        ssim_sum, psnr_sum, n_img = 0.0, 0.0, 0
+        for batch in val_loader:
+            terms = trainer._val_step(trainer.state, trainer._device_batch(batch))
+            va_sum += float(jax.device_get(terms["loss"]))
+            n_va += 1
+            y = jnp.asarray(batch[0], jnp.float32)
+            variables = trainer._variables(trainer.state)
+            rng = jax.random.fold_in(trainer.state.rng, 0xE0A1 + n_va)
+            sr = model.apply(variables, y, rng,
+                             method=CondSRVAE.conditional_generation)
+            s, p = metric_sums(batch[1], np.asarray(jax.device_get(sr)))
+            ssim_sum += s
+            psnr_sum += p
+            n_img += batch[1].shape[0]
+        params = trainer.state.params
+        rec = {
+            "epoch": epoch,
+            "train_loss": tr_sum / n_tr,
+            "val_loss": va_sum / n_va,
+            "ssim_sr": ssim_sum / n_img,
+            "psnr_sr": psnr_sum / n_img,
+            "gammax": float(jax.device_get(params["gammax"])),
+            "gammay": float(jax.device_get(params["gammay"])),
+            "seconds": time.perf_counter() - t0,
+        }
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+    return {"side": "tpu", "n_params": n_params_no_gamma, "seed": seed,
+            "config": CFG, "epochs": records}
+
+
+# ---------------------------------------------------------------- report
+def report() -> None:
+    rows = {}
+    for side in ("reference", "tpu"):
+        path = os.path.join(OUT_DIR, f"quality_parity_{side}.json")
+        with open(path) as fh:
+            rows[side] = json.load(fh)
+    print(f"{'side':<10} {'params':>12} {'epochs':>6} {'val_loss':>12} "
+          f"{'ssim_sr':>8} {'psnr_sr':>8} {'s/epoch':>8}")
+    for side, data in rows.items():
+        last = data["epochs"][-1]
+        secs = np.mean([e["seconds"] for e in data["epochs"]])
+        print(f"{side:<10} {data['n_params']:>12,} {last['epoch']:>6} "
+              f"{last['val_loss']:>12.2f} {last['ssim_sr']:>8.4f} "
+              f"{last['psnr_sr']:>8.2f} {secs:>8.1f}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--side", choices=["reference", "tpu"])
+    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--backend", default="", help="jax platform override (tpu side)")
+    ap.add_argument("--report", action="store_true")
+    args = ap.parse_args()
+    if args.report:
+        report()
+        return
+    if not args.side:
+        ap.error("--side or --report required")
+    os.makedirs(OUT_DIR, exist_ok=True)
+    sys.path.insert(0, REPO)
+    if args.side == "reference":
+        result = run_reference(args.epochs, args.seed)
+    else:
+        result = run_tpu(args.epochs, args.seed, args.backend)
+    out = os.path.join(OUT_DIR, f"quality_parity_{args.side}.json")
+    with open(out, "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
