@@ -40,23 +40,20 @@ from simple_vae_rs_tpu.ops.pallas_conv import (
     _T_TAPS,
 )
 
+try:  # SMEM for the global activation scale of the strip-tiled kernel
+    from jax.experimental.pallas import tpu as _pltpu
+
+    _SMEM = _pltpu.SMEM
+except ImportError:  # pragma: no cover
+    _SMEM = None
+
 Array = jnp.ndarray
 
 _QMAX = 127.0
 
-# Process-wide "use the XLA reference path instead of the Pallas kernels"
-# override. Meshed serving sets this when the request shards over >1
-# device: GSPMD cannot partition the Pallas custom call (it would
-# conservatively replicate the full batch onto every chip), while the
-# dequantize+conv reference path shards like any XLA graph. Single-chip
-# serving keeps the fused kernels. Revisit with shard_map wiring when
-# multi-chip hardware is available to validate against.
-_FORCE_REF = False
-
-
-def force_reference(value: bool = True) -> None:
-    global _FORCE_REF
-    _FORCE_REF = bool(value)
+# Multi-chip note: meshed serving runs these kernels per-shard under
+# ``jax.shard_map`` (serve._sr_call / tasks._sharded_decode), so no
+# topology-based force-off exists — GSPMD never sees the custom call.
 
 
 # ----------------------------------------------------------- in-kernel quant
@@ -116,6 +113,102 @@ def fits_vmem3_int8(h, w, c, o, itemsize: int = 4) -> bool:
     )
 
 
+# ------------------------------------------------- 3x3 spatial strip tiling
+# The 64px decoder-tail convs (dx_conv1-4 at cr=1.2/ps=64) exceed the
+# full-image VMEM tile and previously fell back to XLA (BASELINE.md round
+# 2). Here the image splits into horizontal strips of ``th`` output rows;
+# each program sees its strip plus a 1-row halo (the overlapping strips
+# are materialized by one XLA gather — ~(th+2)/th input duplication, small
+# for th >= 8). The activation scale is computed GLOBALLY outside the
+# kernel (one amax pass, passed in SMEM), so strip numerics are exactly
+# ``int8_reference3``'s regardless of tiling.
+def _strip3_rows(h, w, c, o, itemsize: int) -> int:
+    """Largest strip height (a divisor of h, >= 8) whose tile fits."""
+    for k in (2, 4, 8, 16):
+        if h % k:
+            continue
+        th = h // k
+        if th < 8:
+            break
+        if (
+            _tile_bytes_int8(th, w, c, o, itemsize=itemsize)
+            + _wbytes(9, c, o)
+            < _VMEM_BUDGET
+        ):
+            return th
+    return 0
+
+
+def _kernel3_int8_strip(bt, th, w, relu):
+    def body(xs_ref, w_ref, ws_ref, s_ref, t_ref, a_ref, out_ref):
+        o = w_ref.shape[-1]
+        a_scale = a_ref[0]
+        x = xs_ref[...].astype(jnp.float32)  # (bt, 1, th+2, w+2, c)
+        qx = jnp.clip(jnp.round(x / a_scale), -_QMAX, _QMAX).astype(jnp.int8)
+        acc = jnp.zeros((bt * th * w, o), jnp.int32)
+        for dy in range(3):
+            for dx in range(3):
+                patch = qx[:, 0, dy : dy + th, dx : dx + w, :].reshape(
+                    bt * th * w, -1
+                )
+                acc += jnp.dot(
+                    patch, w_ref[dy, dx], preferred_element_type=jnp.int32
+                )
+        out = acc.astype(jnp.float32) * (a_scale * ws_ref[...] * s_ref[...])
+        out = out + t_ref[...]
+        if relu:
+            out = jnp.maximum(out, 0.0)
+        out_ref[...] = out.reshape(bt, 1, th, w, -1).astype(out_ref.dtype)
+
+    return body
+
+
+def _int8_conv3x3_strips(
+    x, kernel_q, kernel_s, scale, shift, relu, th, interpret
+):
+    b, h, w, c = x.shape
+    o = kernel_q.shape[-1]
+    itemsize = jnp.dtype(x.dtype).itemsize
+    ns = h // th
+    xf = x.astype(jnp.float32)
+    a_scale = jnp.maximum(
+        jnp.max(jnp.abs(xf)) / _QMAX, 1e-12
+    ).reshape(1)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    xs = jnp.stack(
+        [xp[:, j * th : j * th + th + 2] for j in range(ns)], axis=1
+    )  # (b, ns, th+2, w+2, c)
+    per = _tile_bytes_int8(th, w, c, o, itemsize=itemsize)
+    bt = _batch_tile(b, per, _wbytes(9, c, o))
+    out5 = pl.pallas_call(
+        _kernel3_int8_strip(bt, th, w, relu),
+        grid=(b // bt, ns),
+        in_specs=[
+            pl.BlockSpec((bt, 1, th + 2, w + 2, c),
+                         lambda i, j: (i, j, 0, 0, 0), memory_space=_VMEM),
+            pl.BlockSpec((3, 3, c, o), lambda i, j: (0, 0, 0, 0),
+                         memory_space=_VMEM),
+            pl.BlockSpec((o,), lambda i, j: (0,), memory_space=_VMEM),
+            pl.BlockSpec((o,), lambda i, j: (0,), memory_space=_VMEM),
+            pl.BlockSpec((o,), lambda i, j: (0,), memory_space=_VMEM),
+            pl.BlockSpec(memory_space=_SMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, 1, th, w, o),
+                               lambda i, j: (i, j, 0, 0, 0),
+                               memory_space=_VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, ns, th, w, o), x.dtype),
+        interpret=interpret,
+    )(
+        xs,
+        kernel_q,
+        kernel_s.astype(jnp.float32),
+        scale.astype(jnp.float32),
+        shift.astype(jnp.float32),
+        a_scale,
+    )
+    return out5.reshape(b, h, w, o)
+
+
 @partial(jax.jit, static_argnames=("relu", "interpret"))
 def int8_conv3x3_bn_relu(
     x: Array,
@@ -136,9 +229,14 @@ def int8_conv3x3_bn_relu(
     b, h, w, c = x.shape
     o = kernel_q.shape[-1]
     itemsize = jnp.dtype(x.dtype).itemsize
-    if not _HAVE_PLTPU or (not interpret and (_FORCE_REF or jax.default_backend() != "tpu")):
+    if not _HAVE_PLTPU or (not interpret and jax.default_backend() != "tpu"):
         return int8_reference3(x, kernel_q, kernel_s, scale, shift, relu)
     if not fits_vmem3_int8(h, w, c, o, itemsize):
+        th = _strip3_rows(h, w, c, o, itemsize)
+        if th:
+            return _int8_conv3x3_strips(
+                x, kernel_q, kernel_s, scale, shift, relu, th, interpret
+            )
         return int8_reference3(x, kernel_q, kernel_s, scale, shift, relu)
 
     per = _tile_bytes_int8(h, w, c, o, itemsize=itemsize)
@@ -242,7 +340,7 @@ def int8_conv4x4s2_bn_relu(
     b, h, w, c = x.shape
     o = kernel_q.shape[-1]
     itemsize = jnp.dtype(x.dtype).itemsize
-    if not _HAVE_PLTPU or (not interpret and (_FORCE_REF or jax.default_backend() != "tpu")):
+    if not _HAVE_PLTPU or (not interpret and jax.default_backend() != "tpu"):
         return int8_reference4(x, kernel_q, kernel_s, scale, shift, relu)
     if not fits_vmem4_int8(h, w, c, o, itemsize):
         return int8_reference4(x, kernel_q, kernel_s, scale, shift, relu)
@@ -355,7 +453,7 @@ def int8_convT4x4s2_bn_relu(
     b, h, w, c = x.shape
     o = kernel_q.shape[-1]
     itemsize = jnp.dtype(x.dtype).itemsize
-    if not _HAVE_PLTPU or (not interpret and (_FORCE_REF or jax.default_backend() != "tpu")):
+    if not _HAVE_PLTPU or (not interpret and jax.default_backend() != "tpu"):
         return int8_referenceT(x, kernel_q, kernel_s, scale, shift, relu)
     if not fits_vmemT_int8(h, w, c, o, itemsize):
         return int8_referenceT(x, kernel_q, kernel_s, scale, shift, relu)

@@ -212,7 +212,8 @@ class Trainer:
             return terms
 
         donate = (0,)
-        self._train_step = jax.jit(train_step, donate_argnums=donate)
+        self._step_fn = train_step  # raw (unjitted) step: scan fusion /
+        self._train_step = jax.jit(train_step, donate_argnums=donate)  # flag sweeps
         self._val_step = jax.jit(val_step)
         self._eval_metrics_step = jax.jit(self._eval_metrics)
         self._eval_images_step = jax.jit(self._eval_images)

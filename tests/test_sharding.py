@@ -272,3 +272,28 @@ def test_zero1_state_checkpoint_roundtrip(tmp_path):
     t2.state = s2
     _, terms = t2._train_step(s2, t2._device_batch(batch), jnp.float32(1e-3))
     assert np.isfinite(float(terms["loss"]))
+
+
+def test_dp_train_step_with_remat_matches_single_device():
+    """remat (jax.checkpoint) composes with the shard_mapped loss rows:
+    meshed + remat step equals the unsharded plain step."""
+    batch = _batch(bs=8, ps=16, seed=4)
+    model = CondSRVAE(CondSRVAEConfig(cr=2.0, patch_size=16))
+
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    t_sharded = Trainer(
+        model, TrainConfig(learning_rate=1e-3, remat=True), mesh=mesh
+    )
+    s1 = t_sharded.init_state(batch)
+    s1, terms1 = t_sharded._train_step(
+        s1, t_sharded._device_batch(batch), jnp.float32(1e-3)
+    )
+
+    t_single = Trainer(model, TrainConfig(learning_rate=1e-3), mesh=None)
+    s2 = t_single.init_state(batch)
+    s2, terms2 = t_single._train_step(
+        s2, t_single._device_batch(batch), jnp.float32(1e-3)
+    )
+    np.testing.assert_allclose(
+        float(terms1["loss"]), float(terms2["loss"]), rtol=2e-4
+    )
