@@ -119,7 +119,7 @@ class PallasCapableConv3x3(nn.Module):
             # kernel serves the latency-bound eval path.
             and not self.is_mutable_collection("batch_stats")
             and pc.wins_over_xla(x.shape[0], x.shape[1], x.shape[2], x.shape[3])
-            and pc.fits_vmem(
+            and pc.can_fuse3(  # full-image tile OR spatial strips
                 x.shape[1], x.shape[2], x.shape[3], self.features,
                 jnp.dtype(dt).itemsize,
             )

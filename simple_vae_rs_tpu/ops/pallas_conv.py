@@ -145,6 +145,9 @@ def fused_conv3x3_bn_relu(
     if not _HAVE_PLTPU or (not interpret and jax.default_backend() != "tpu"):
         return _reference3(x, kernel, scale, shift, relu)
     if not fits_vmem(h, w, c, o, itemsize):
+        th = _strip3_rows(h, w, c, o, itemsize)
+        if th:
+            return _conv3_strips(x, kernel, scale, shift, relu, th, interpret)
         return _reference3(x, kernel, scale, shift, relu)
 
     wgt = 9 * c * o * 4
@@ -167,6 +170,85 @@ def fused_conv3x3_bn_relu(
         out_shape=jax.ShapeDtypeStruct((b, h, w, o), x.dtype),
         interpret=interpret,
     )(xp, kernel, scale.astype(jnp.float32), shift.astype(jnp.float32))
+
+
+# ------------------------------------------------- 3x3 spatial strip tiling
+# Large-spatial tails (the 64px decoder convs at the canonical config)
+# exceed the full-image VMEM tile; instead of falling back to XLA, the
+# image splits into horizontal strips of ``th`` output rows, each program
+# seeing its strip plus the 1-row conv halo (overlapping strips are one
+# XLA gather, ~(th+2)/th input duplication). f32 accumulation per output
+# element is unchanged, so strip numerics equal the single-tile kernel's.
+def _strip3_rows(h: int, w: int, c: int, o: int, itemsize: int) -> int:
+    """Largest strip height (a divisor of h, >= 8) whose tile fits."""
+    wgt = 9 * c * o * 4
+    for k in (2, 4, 8, 16):
+        if h % k:
+            continue
+        th = h // k
+        if th < 8:
+            break
+        if _tile_bytes(th, w, c, o, itemsize) + wgt < _VMEM_BUDGET:
+            return th
+    return 0
+
+
+def can_fuse3(h: int, w: int, c: int, o: int, itemsize: int = 4) -> bool:
+    """Dispatch gate for the fused 3x3 kernel: full-image tile or strips."""
+    return fits_vmem(h, w, c, o, itemsize) or bool(
+        _strip3_rows(h, w, c, o, itemsize)
+    )
+
+
+def _kernel3_strip(bt: int, th: int, w: int, relu: bool):
+    def body(xs_ref, w_ref, scale_ref, shift_ref, out_ref):
+        o = w_ref.shape[-1]
+        acc = jnp.zeros((bt * th * w, o), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                patch = xs_ref[:, 0, dy : dy + th, dx : dx + w, :].reshape(
+                    bt * th * w, -1
+                )
+                acc += jnp.dot(
+                    patch, w_ref[dy, dx], preferred_element_type=jnp.float32
+                )
+        out = acc * scale_ref[...] + shift_ref[...]
+        if relu:
+            out = jnp.maximum(out, 0.0)
+        out_ref[...] = out.reshape(bt, 1, th, w, -1).astype(out_ref.dtype)
+
+    return body
+
+
+def _conv3_strips(x, kernel, scale, shift, relu, th, interpret):
+    b, h, w, c = x.shape
+    o = kernel.shape[-1]
+    itemsize = jnp.dtype(x.dtype).itemsize
+    ns = h // th
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    xs = jnp.stack(
+        [xp[:, j * th : j * th + th + 2] for j in range(ns)], axis=1
+    )  # (b, ns, th+2, w+2, c)
+    wgt = 9 * c * o * 4
+    bt = _batch_tile(b, _tile_bytes(th, w, c, o, itemsize), wgt)
+    out5 = pl.pallas_call(
+        _kernel3_strip(bt, th, w, relu),
+        grid=(b // bt, ns),
+        in_specs=[
+            pl.BlockSpec((bt, 1, th + 2, w + 2, c),
+                         lambda i, j: (i, j, 0, 0, 0), memory_space=_VMEM),
+            pl.BlockSpec((3, 3, c, o), lambda i, j: (0, 0, 0, 0),
+                         memory_space=_VMEM),
+            pl.BlockSpec((o,), lambda i, j: (0,), memory_space=_VMEM),
+            pl.BlockSpec((o,), lambda i, j: (0,), memory_space=_VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, 1, th, w, o),
+                               lambda i, j: (i, j, 0, 0, 0),
+                               memory_space=_VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, ns, th, w, o), x.dtype),
+        interpret=interpret,
+    )(xs, kernel, scale.astype(jnp.float32), shift.astype(jnp.float32))
+    return out5.reshape(b, h, w, o)
 
 
 def _conv(x, kernel, strides=(1, 1), padding="SAME"):
