@@ -200,13 +200,21 @@ class CondSRVAE(nn.Module):
     # ------------------------------------------------------------- decoders
     def decode_y(self, u_map: Array, train: bool = True) -> Array:
         """u grid -> LR reconstruction (B, ps/2, ps/2, C) in [0, 1]."""
+        from simple_vae_rs_tpu.ops.conv_blocks import tail_chain
+
         h = u_map.astype(self.dtype or u_map.dtype)
         h = self.dy_up1(h, train)
         h = self.dy_up2(h, train)
-        h = self.dy_conv1(h)
-        h = self.dy_conv2(h)
-        h = self.dy_conv3(h)
-        h = self.dy_conv4(h)
+        chained = tail_chain(
+            self, h, ("dy_conv1", "dy_conv2", "dy_conv3", "dy_conv4"), train
+        )
+        if chained is None:
+            h = self.dy_conv1(h)
+            h = self.dy_conv2(h)
+            h = self.dy_conv3(h)
+            h = self.dy_conv4(h)
+        else:
+            h = chained
         return nn.sigmoid(h.astype(jnp.float32))
 
     def decode_x_from_features(
@@ -217,13 +225,23 @@ class CondSRVAE(nn.Module):
         h = jnp.concatenate(
             [y_grid.astype(z_map.dtype), z_map], axis=-1
         ).astype(self.dtype or z_map.dtype)
+        from simple_vae_rs_tpu.ops.conv_blocks import tail_chain
+
         h = self.dx_up1(h, train)
         h = self.dx_up2(h, train)
         h = self.dx_up3(h, train)
-        h = self.dx_conv1(h)
-        h = self.dx_conv2(h)
-        h = self.dx_conv3(h)
-        h = self.dx_conv4(h)
+        # eval/serving: the whole linear tail runs as ONE fused strip
+        # kernel (the per-draw hot path of the UQ task)
+        chained = tail_chain(
+            self, h, ("dx_conv1", "dx_conv2", "dx_conv3", "dx_conv4"), train
+        )
+        if chained is None:
+            h = self.dx_conv1(h)
+            h = self.dx_conv2(h)
+            h = self.dx_conv3(h)
+            h = self.dx_conv4(h)
+        else:
+            h = chained
         return nn.sigmoid(h.astype(jnp.float32))
 
     def decode_x(self, z_map: Array, y: Array, train: bool = True) -> Array:

@@ -94,12 +94,20 @@ class VAE(nn.Module):
         cfg = self.config
         h = unflatten_map(z, cfg.latent_spatial, cfg.latent_spatial, cfg.latent_channels)
         h = h.astype(self.dtype or h.dtype)
+        from simple_vae_rs_tpu.ops.conv_blocks import tail_chain
+
         h = self.dec_up1(h, train)
         h = self.dec_up2(h, train)
-        h = self.dec_conv1(h)
-        h = self.dec_conv2(h)
-        h = self.dec_conv3(h)
-        h = self.dec_conv4(h)
+        chained = tail_chain(
+            self, h, ("dec_conv1", "dec_conv2", "dec_conv3", "dec_conv4"), train
+        )
+        if chained is None:
+            h = self.dec_conv1(h)
+            h = self.dec_conv2(h)
+            h = self.dec_conv3(h)
+            h = self.dec_conv4(h)
+        else:
+            h = chained
         return nn.sigmoid(h.astype(jnp.float32))
 
     def __call__(

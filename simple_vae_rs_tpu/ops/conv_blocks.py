@@ -500,6 +500,27 @@ class UpBlock(nn.Module, _FusedTailMixin):
         return x
 
 
+def tail_chain(mdl: nn.Module, h: Array, names, train: bool) -> Optional[Array]:
+    """Route an eval-mode LINEAR conv tail (3x3/s1 + bias each, no
+    activation between — the models' decoder endings) through the fused
+    chain kernel (``pallas_conv.fused_conv3x3_chain``): the whole chain
+    runs on VMEM-resident row strips, one HBM read + one write instead of
+    a round trip per layer. Returns ``None`` when the per-module path
+    should run instead (training, init, non-TPU backend, or chain opt-out
+    — ``SVRS_CHAIN=0``)."""
+    from simple_vae_rs_tpu.ops import pallas_conv as pc
+
+    if train or mdl.is_initializing() or not pc.chain_wanted():
+        return None
+    params = mdl.variables.get("params", {})
+    if any(n not in params for n in names):
+        return None
+    ks = tuple(params[n]["kernel"] for n in names)
+    bs = tuple(params[n]["bias"] for n in names)
+    dt = mdl.dtype or jnp.promote_types(h.dtype, jnp.float32)
+    return pc.fused_conv3x3_chain(h.astype(dt), ks, bs)
+
+
 class Residual(nn.Module):
     """Residual wrapper (reference ``models/layers.py:357-369``)."""
 

@@ -37,6 +37,7 @@ accumulator. ``fits_vmem`` guards applicability; callers fall back to
 
 from __future__ import annotations
 
+import os as _os
 from functools import partial
 from typing import Optional
 
@@ -145,7 +146,7 @@ def fused_conv3x3_bn_relu(
     if not _HAVE_PLTPU or (not interpret and jax.default_backend() != "tpu"):
         return _reference3(x, kernel, scale, shift, relu)
     if not fits_vmem(h, w, c, o, itemsize):
-        th = _strip3_rows(h, w, c, o, itemsize)
+        th = _strip3_rows(h, w, c, o, itemsize) if _STRIPS_ENABLED else 0
         if th:
             return _conv3_strips(x, kernel, scale, shift, relu, th, interpret)
         return _reference3(x, kernel, scale, shift, relu)
@@ -174,11 +175,15 @@ def fused_conv3x3_bn_relu(
 
 # ------------------------------------------------- 3x3 spatial strip tiling
 # Large-spatial tails (the 64px decoder convs at the canonical config)
-# exceed the full-image VMEM tile; instead of falling back to XLA, the
-# image splits into horizontal strips of ``th`` output rows, each program
-# seeing its strip plus the 1-row conv halo (overlapping strips are one
-# XLA gather, ~(th+2)/th input duplication). f32 accumulation per output
-# element is unchanged, so strip numerics equal the single-tile kernel's.
+# exceed the full-image VMEM tile; the strip variant (halo'd row strips,
+# identical f32 numerics) makes the fused kernel available there. OFF by
+# default: the int8 sibling measured 0.32-0.37x of XLA at those
+# activation-bandwidth-bound shapes (BASELINE.md 2026-08-17), and the
+# same strip-overlap cost applies here — enable with SVRS_PALLAS_STRIPS=1
+# for other regimes. The tail's real win is :func:`fused_conv3x3_chain`.
+_STRIPS_ENABLED = _os.environ.get("SVRS_PALLAS_STRIPS", "0") == "1"
+
+
 def _strip3_rows(h: int, w: int, c: int, o: int, itemsize: int) -> int:
     """Largest strip height (a divisor of h, >= 8) whose tile fits."""
     wgt = 9 * c * o * 4
@@ -194,9 +199,10 @@ def _strip3_rows(h: int, w: int, c: int, o: int, itemsize: int) -> int:
 
 
 def can_fuse3(h: int, w: int, c: int, o: int, itemsize: int = 4) -> bool:
-    """Dispatch gate for the fused 3x3 kernel: full-image tile or strips."""
-    return fits_vmem(h, w, c, o, itemsize) or bool(
-        _strip3_rows(h, w, c, o, itemsize)
+    """Dispatch gate for the fused 3x3 kernel: full-image tile, or strips
+    when the opt-in is set."""
+    return fits_vmem(h, w, c, o, itemsize) or (
+        _STRIPS_ENABLED and bool(_strip3_rows(h, w, c, o, itemsize))
     )
 
 
@@ -249,6 +255,177 @@ def _conv3_strips(x, kernel, scale, shift, relu, th, interpret):
         interpret=interpret,
     )(xs, kernel, scale.astype(jnp.float32), shift.astype(jnp.float32))
     return out5.reshape(b, h, w, o)
+
+
+# --------------------------------------------------- fused 3x3 conv CHAIN
+# The model decoders end in a LINEAR chain of 3x3/s1 convs with no
+# activation between (reference ``models/cond_vae.py:131-143`` /
+# ``models/vae.py:74-83``: Conv2d 64->64->16->16->4 straight into
+# Sigmoid). Run separately, the chain is activation-bandwidth-bound: each
+# layer round-trips its full feature map through HBM (the measured XLA
+# tail at the canonical serving chunk is ~4-5 ms, BASELINE.md). This
+# kernel runs the WHOLE chain on a row strip resident in VMEM: the strip
+# carries an L-row halo per side (L = chain length), each layer consumes
+# one halo row per side and re-pads W with zeros inside the kernel — so
+# per-layer SAME zero-padding semantics are matched exactly (H image
+# borders come in as outer zero padding; strip-interior halos are real
+# neighbor rows, exactly what the full-image chain computes). HBM traffic
+# collapses to one input read (+ halo duplication) and one final write.
+# Intermediates are cast to the model dtype between layers, matching the
+# per-module XLA path's inter-layer rounding.
+_CHAIN_ENABLED = _os.environ.get("SVRS_CHAIN", "1") == "1"
+
+
+def chain_wanted() -> bool:
+    """Model-side gate for routing eval decoder tails through the fused
+    chain kernel (TPU backend + env opt-out)."""
+    return _CHAIN_ENABLED and _HAVE_PLTPU and jax.default_backend() == "tpu"
+
+
+def _chain_tile_bytes(th, w, chans, itemsize):
+    """Conservative per-image VMEM bytes for one chain-strip program."""
+    n = len(chans) - 1
+    sub = 32 // itemsize
+    rows = th + 2 * n
+    total = 2 * rows * _rnd(w, sub) * _rnd(chans[0], 128) * itemsize  # input
+    peak = 0
+    for i in range(n):
+        ci, co = chans[i], chans[i + 1]
+        out_rows = rows - 2
+        hp = rows * _rnd(w + 2, sub) * _rnd(ci, 128) * itemsize
+        patch = _rnd(out_rows * w, sub) * _rnd(ci, 128) * itemsize
+        acc = _rnd(out_rows * w, 8) * _rnd(co, 128) * 4
+        hn = out_rows * _rnd(w, sub) * _rnd(co, 128) * itemsize
+        peak = max(peak, hp + patch + 4 * acc + hn)
+        rows = out_rows
+    out = 2 * th * _rnd(w, sub) * _rnd(chans[-1], 128) * itemsize
+    wgt = sum(
+        9 * _rnd(chans[i], 32) * _rnd(chans[i + 1], 128) * 4 for i in range(n)
+    )
+    return total + peak + out + wgt
+
+
+def _chain_strip_rows(h, w, chans, itemsize):
+    """Largest strip height (a divisor of h, >= 8) whose chain tile fits."""
+    for k in (1, 2, 4, 8, 16):
+        if h % k:
+            continue
+        th = h // k
+        if th < 8:
+            break
+        if _chain_tile_bytes(th, w, chans, itemsize) < _VMEM_BUDGET:
+            return th
+    return 0
+
+
+def _kernel3_chain(bt, th, w, n_layers, dt, h_img):
+    def body(xs_ref, *refs):
+        ks = refs[:n_layers]
+        bs = refs[n_layers : 2 * n_layers]
+        out_ref = refs[-1]
+        j = pl.program_id(1)
+        base = j * th
+        h_cur = xs_ref[...][:, 0]  # (bt, th + 2n, w, c0)
+        rows = th + 2 * n_layers
+        for i in range(n_layers):
+            k = ks[i][...]
+            o = k.shape[-1]
+            hp = jnp.pad(h_cur, ((0, 0), (0, 0), (1, 1), (0, 0)))
+            out_rows = rows - 2
+            acc = jnp.zeros((bt * out_rows * w, o), jnp.float32)
+            for dy in range(3):
+                for dx in range(3):
+                    patch = hp[:, dy : dy + out_rows, dx : dx + w, :].reshape(
+                        bt * out_rows * w, -1
+                    )
+                    acc += jnp.dot(
+                        patch, k[dy, dx], preferred_element_type=jnp.float32
+                    )
+            h_cur = (
+                acc.reshape(bt, out_rows, w, o) + bs[i][...]
+            ).astype(dt)
+            if i < n_layers - 1:
+                # rows outside the image must be ZERO before the next
+                # layer — they stand in for its SAME zero-padding. (The
+                # halo rows that ARE in-image stay: real neighbor rows,
+                # exactly what the full-image chain computes there.)
+                off = n_layers - i - 1  # halo rows remaining per side
+                abs_r = (
+                    jax.lax.broadcasted_iota(jnp.int32, (1, out_rows, 1, 1), 1)
+                    + base - off
+                )
+                in_img = (abs_r >= 0) & (abs_r < h_img)
+                h_cur = jnp.where(in_img, h_cur, jnp.zeros_like(h_cur))
+            rows = out_rows
+        out_ref[...] = h_cur.reshape(bt, 1, th, w, -1).astype(out_ref.dtype)
+
+    return body
+
+
+def _chain_reference(x, kernels, biases):
+    h = x
+    for k, b in zip(kernels, biases):
+        h = (_conv(h, k.astype(h.dtype)) + b).astype(x.dtype)
+    return h
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def fused_conv3x3_chain(x, kernels, biases, interpret=False):
+    """Whole linear conv chain (SAME 3x3/s1 + bias each) in one kernel.
+
+    ``x``: (B, H, W, C0); ``kernels``: tuple of (3, 3, C_i, C_{i+1});
+    ``biases``: tuple of (C_{i+1},). Returns (B, H, W, C_last) in
+    ``x.dtype``. Falls back to the sequential XLA chain off-TPU or when
+    no strip height fits VMEM.
+    """
+    b, h, w, c0 = x.shape
+    chans = [c0] + [int(k.shape[-1]) for k in kernels]
+    n = len(kernels)
+    itemsize = jnp.dtype(x.dtype).itemsize
+    if not _HAVE_PLTPU or (not interpret and jax.default_backend() != "tpu"):
+        return _chain_reference(x, kernels, biases)
+    th = _chain_strip_rows(h, w, chans, itemsize)
+    if not th:
+        return _chain_reference(x, kernels, biases)
+
+    ns = h // th
+    xh = jnp.pad(x, ((0, 0), (n, n), (0, 0), (0, 0)))  # image SAME pad in H
+    xs = jnp.stack(
+        [xh[:, j * th : j * th + th + 2 * n] for j in range(ns)], axis=1
+    )  # (b, ns, th+2n, w, c0)
+    per = _chain_tile_bytes(th, w, chans, itemsize)
+    bt = _batch_tile(b, per, 0)
+    dt = x.dtype
+
+    k_specs = [
+        pl.BlockSpec(tuple(k.shape), lambda i, j: (0, 0, 0, 0),
+                     memory_space=_VMEM)
+        for k in kernels
+    ]
+    b_specs = [
+        pl.BlockSpec(tuple(bb.shape), lambda i, j: (0,), memory_space=_VMEM)
+        for bb in biases
+    ]
+    out5 = pl.pallas_call(
+        _kernel3_chain(bt, th, w, n, dt, h),
+        grid=(b // bt, ns),
+        in_specs=[
+            pl.BlockSpec((bt, 1, th + 2 * n, w, c0),
+                         lambda i, j: (i, j, 0, 0, 0), memory_space=_VMEM),
+            *k_specs,
+            *b_specs,
+        ],
+        out_specs=pl.BlockSpec((bt, 1, th, w, chans[-1]),
+                               lambda i, j: (i, j, 0, 0, 0),
+                               memory_space=_VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, ns, th, w, chans[-1]), dt),
+        interpret=interpret,
+    )(
+        xs,
+        *[k.astype(dt) for k in kernels],
+        *[bb.astype(dt) for bb in biases],
+    )
+    return out5.reshape(b, h, w, chans[-1])
 
 
 def _conv(x, kernel, strides=(1, 1), padding="SAME"):
@@ -642,8 +819,6 @@ def fold_conv_bn(
 # kernels (CLI --pallas_conv, or SVRS_PALLAS_CONV=1). Read at TRACE time:
 # set it before the first jit of a graph (startup), not mid-run — compiled
 # executables do not retrace on a flag flip.
-import os as _os
-
 _ENABLED = _os.environ.get("SVRS_PALLAS_CONV", "0") == "1"
 
 # Adaptive dispatch threshold (total output rows = B*Ho*Wo). Measured on

@@ -47,9 +47,15 @@ try:  # SMEM for the global activation scale of the strip-tiled kernel
 except ImportError:  # pragma: no cover
     _SMEM = None
 
+import os as _os
+
 Array = jnp.ndarray
 
 _QMAX = 127.0
+
+# Measured-off by default (0.32-0.37x of XLA at the 64px tail shapes on
+# v5e, 2026-08-17 — see the strip-tiling section below).
+_STRIPS_ENABLED = _os.environ.get("SVRS_INT8_STRIPS", "0") == "1"
 
 # Multi-chip note: meshed serving runs these kernels per-shard under
 # ``jax.shard_map`` (serve._sr_call / tasks._sharded_decode), so no
@@ -115,13 +121,16 @@ def fits_vmem3_int8(h, w, c, o, itemsize: int = 4) -> bool:
 
 # ------------------------------------------------- 3x3 spatial strip tiling
 # The 64px decoder-tail convs (dx_conv1-4 at cr=1.2/ps=64) exceed the
-# full-image VMEM tile and previously fell back to XLA (BASELINE.md round
-# 2). Here the image splits into horizontal strips of ``th`` output rows;
-# each program sees its strip plus a 1-row halo (the overlapping strips
-# are materialized by one XLA gather — ~(th+2)/th input duplication, small
-# for th >= 8). The activation scale is computed GLOBALLY outside the
-# kernel (one amax pass, passed in SMEM), so strip numerics are exactly
-# ``int8_reference3``'s regardless of tiling.
+# full-image VMEM tile. This strip variant (halo'd row strips, global
+# activation scale in SMEM, numerics exactly ``int8_reference3``'s) makes
+# the fused kernel *available* there — but the 2026-08-17 v5e measurement
+# (scripts/bench_int8_kernels.py, BASELINE.md) recorded it 0.32-0.37x of
+# XLA at those shapes: the tail is ACTIVATION-bandwidth-bound (weights are
+# tiny, so W8 halves nothing that matters) and the strip overlap + small
+# lane counts (O=16/64) cost more than the fusion saves. Default routing
+# therefore stays on the XLA reference path; set ``SVRS_INT8_STRIPS=1``
+# to re-enable for other shape regimes. The real tail lever is the fused
+# linear-chain kernel in ``pallas_conv.fused_conv3x3_chain``.
 def _strip3_rows(h, w, c, o, itemsize: int) -> int:
     """Largest strip height (a divisor of h, >= 8) whose tile fits."""
     for k in (2, 4, 8, 16):
@@ -232,7 +241,7 @@ def int8_conv3x3_bn_relu(
     if not _HAVE_PLTPU or (not interpret and jax.default_backend() != "tpu"):
         return int8_reference3(x, kernel_q, kernel_s, scale, shift, relu)
     if not fits_vmem3_int8(h, w, c, o, itemsize):
-        th = _strip3_rows(h, w, c, o, itemsize)
+        th = _strip3_rows(h, w, c, o, itemsize) if _STRIPS_ENABLED else 0
         if th:
             return _int8_conv3x3_strips(
                 x, kernel_q, kernel_s, scale, shift, relu, th, interpret

@@ -305,8 +305,10 @@ def test_int8_conv3_strip_tiled_matches_reference(monkeypatch):
     s = jnp.array(rng.random(8).astype(np.float32) + 0.5)
     t = jnp.array(rng.standard_normal(8).astype(np.float32))
 
-    # budget low enough that the full 32-row tile fails but a strip fits
+    # budget low enough that the full 32-row tile fails but a strip fits;
+    # strips are measured-off by default (SVRS_INT8_STRIPS) — force on
     monkeypatch.setattr(p8, "_VMEM_BUDGET", 2_000_000)
+    monkeypatch.setattr(p8, "_STRIPS_ENABLED", True)
     assert not p8.fits_vmem3_int8(32, 16, 8, 8)
     th = p8._strip3_rows(32, 16, 8, 8, 4)
     assert th and th < 32 and 32 % th == 0

@@ -368,6 +368,7 @@ def test_conv3_strip_tiled_matches_reference(monkeypatch):
     t = jnp.array(rng.standard_normal(8).astype(np.float32))
 
     monkeypatch.setattr(pc, "_VMEM_BUDGET", 1_500_000)
+    monkeypatch.setattr(pc, "_STRIPS_ENABLED", True)  # measured-off default
     assert not pc.fits_vmem(32, 16, 8, 8)
     th = pc._strip3_rows(32, 16, 8, 8, 4)
     assert th and th < 32 and 32 % th == 0
@@ -396,3 +397,76 @@ def test_conv3_strip_tiled_matches_reference(monkeypatch):
     for a, b in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-4)
+
+
+def _chain_case(seed=13, b=2, h=32, w=16, chans=(8, 8, 16, 4)):
+    rng = np.random.default_rng(seed)
+    x = jnp.array(rng.standard_normal((b, h, w, chans[0])).astype(np.float32))
+    ks = tuple(
+        jnp.array(
+            rng.standard_normal((3, 3, chans[i], chans[i + 1])).astype(np.float32)
+            * 0.3
+        )
+        for i in range(len(chans) - 1)
+    )
+    bs = tuple(
+        jnp.array(rng.standard_normal(chans[i + 1]).astype(np.float32))
+        for i in range(len(chans) - 1)
+    )
+    return x, ks, bs
+
+
+def test_chain_kernel_interpret_matches_reference():
+    """The fused linear-chain kernel (whole decoder tail in one strip
+    pass) matches the sequential SAME-conv chain exactly, including the
+    per-layer zero-padding border semantics."""
+    from simple_vae_rs_tpu.ops import pallas_conv as pc
+
+    x, ks, bs = _chain_case()
+    got = pc.fused_conv3x3_chain(x, ks, bs, interpret=True)
+    want = pc._chain_reference(x, ks, bs)
+    assert got.shape == want.shape == (2, 32, 16, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_chain_kernel_multi_strip_matches(monkeypatch):
+    """Forcing several row strips (lowered VMEM budget) must not change
+    values — halo rows reproduce the full-image chain at strip seams."""
+    from simple_vae_rs_tpu.ops import pallas_conv as pc
+
+    x, ks, bs = _chain_case(seed=14)
+    want = pc._chain_reference(x, ks, bs)
+    monkeypatch.setattr(pc, "_VMEM_BUDGET", 2_000_000)
+    th = pc._chain_strip_rows(32, 16, [8, 8, 16, 4], 4)
+    assert th and th < 32, f"expected multiple strips, got th={th}"
+    got = pc.fused_conv3x3_chain(x, ks, bs, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_model_tail_chain_routing_matches_module_path(monkeypatch):
+    """tail_chain wiring: with the chain gate forced on, the decoders
+    produce the same outputs as the per-module path (validates the
+    parameter plumbing from the flax scope into the chain kernel)."""
+    from simple_vae_rs_tpu.config import CondSRVAEConfig
+    from simple_vae_rs_tpu.models import CondSRVAE
+    from simple_vae_rs_tpu.ops import pallas_conv as pc
+
+    model = CondSRVAE(CondSRVAEConfig(cr=2.0, patch_size=16))
+    rng = np.random.default_rng(15)
+    x = jnp.array(rng.random((2, 16, 16, 4)).astype(np.float32))
+    y = jnp.array(rng.random((2, 8, 8, 4)).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, x, y, jax.random.PRNGKey(1),
+        train=False,
+    )
+    key = jax.random.PRNGKey(7)
+
+    monkeypatch.setattr(pc, "chain_wanted", lambda: False)
+    plain = model.apply(variables, x, y, key, train=False)
+    monkeypatch.setattr(pc, "chain_wanted", lambda: True)
+    chained = model.apply(variables, x, y, key, train=False)
+    for a, b in zip(plain[:2], chained[:2]):  # x_hat, y_hat (decoder outs)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-5)
