@@ -128,12 +128,20 @@ class CondSRVAE(nn.Module):
     # ------------------------------------------------------------- encoders
     def encode_y(self, y: Array, train: bool = True) -> Tuple[Array, Array]:
         """LR (B, ps/2, ps/2, C) -> (mu_u, logvar_u) maps on the u grid."""
+        from simple_vae_rs_tpu.ops.conv_blocks import tail_chain
+
         h = self.ey_down1(y, train)
         h = self.ey_down2(h, train)
-        h = self.ey_conv1(h)
-        h = self.ey_conv2(h)
-        h = self.ey_conv3(h)
-        h = self.ey_head(h)
+        chained = tail_chain(
+            self, h, ("ey_conv1", "ey_conv2", "ey_conv3", "ey_head"), train
+        )
+        if chained is None:
+            h = self.ey_conv1(h)
+            h = self.ey_conv2(h)
+            h = self.ey_conv3(h)
+            h = self.ey_head(h)
+        else:
+            h = chained
         c = self.config.u_channels
         return (
             h[..., :c].astype(jnp.float32),
@@ -142,13 +150,21 @@ class CondSRVAE(nn.Module):
 
     def encode_x(self, x: Array, train: bool = True) -> Tuple[Array, Array]:
         """HR (B, ps, ps, C) -> (mu_z, logvar_z) maps on the z grid."""
+        from simple_vae_rs_tpu.ops.conv_blocks import tail_chain
+
         h = self.ex_down1(x, train)
         h = self.ex_down2(h, train)
         h = self.ex_down3(h, train)
-        h = self.ex_conv1(h)
-        h = self.ex_conv2(h)
-        h = self.ex_conv3(h)
-        h = self.ex_head(h)
+        chained = tail_chain(
+            self, h, ("ex_conv1", "ex_conv2", "ex_conv3", "ex_head"), train
+        )
+        if chained is None:
+            h = self.ex_conv1(h)
+            h = self.ex_conv2(h)
+            h = self.ex_conv3(h)
+            h = self.ex_head(h)
+        else:
+            h = chained
         c = self.config.z_channels
         return (
             h[..., :c].astype(jnp.float32),

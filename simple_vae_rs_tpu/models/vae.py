@@ -29,7 +29,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from simple_vae_rs_tpu.config import VAEConfig
-from simple_vae_rs_tpu.ops.conv_blocks import DownBlock, UpBlock, torch_conv
+from simple_vae_rs_tpu.ops.conv_blocks import (
+    DownBlock,
+    UpBlock,
+    tail_chain,
+    torch_conv,
+)
 from simple_vae_rs_tpu.ops.reshape import flatten_map, unflatten_map
 
 Array = jnp.ndarray
@@ -77,10 +82,16 @@ class VAE(nn.Module):
         """x (B, ps, ps, C) -> flattened (mu, logvar), each (B, latent_dim)."""
         h = self.enc_down1(x, train)
         h = self.enc_down2(h, train)
-        h = self.enc_conv1(h)
-        h = self.enc_conv2(h)
-        h = self.enc_conv3(h)
-        h = self.enc_head(h)
+        chained = tail_chain(
+            self, h, ("enc_conv1", "enc_conv2", "enc_conv3", "enc_head"), train
+        )
+        if chained is None:
+            h = self.enc_conv1(h)
+            h = self.enc_conv2(h)
+            h = self.enc_conv3(h)
+            h = self.enc_head(h)
+        else:
+            h = chained
         lc = self.config.latent_channels
         mu_map, logvar_map = h[..., :lc], h[..., lc:]
         return (
@@ -94,8 +105,6 @@ class VAE(nn.Module):
         cfg = self.config
         h = unflatten_map(z, cfg.latent_spatial, cfg.latent_spatial, cfg.latent_channels)
         h = h.astype(self.dtype or h.dtype)
-        from simple_vae_rs_tpu.ops.conv_blocks import tail_chain
-
         h = self.dec_up1(h, train)
         h = self.dec_up2(h, train)
         chained = tail_chain(

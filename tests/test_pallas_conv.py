@@ -467,6 +467,7 @@ def test_model_tail_chain_routing_matches_module_path(monkeypatch):
     plain = model.apply(variables, x, y, key, train=False)
     monkeypatch.setattr(pc, "chain_wanted", lambda: True)
     chained = model.apply(variables, x, y, key, train=False)
-    for a, b in zip(plain[:2], chained[:2]):  # x_hat, y_hat (decoder outs)
+    # full 8-tuple: decoder tails AND encoder-head chains route through
+    for a, b in zip(plain, chained):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                    atol=1e-5)
