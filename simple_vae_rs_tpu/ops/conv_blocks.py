@@ -506,8 +506,9 @@ def tail_chain(mdl: nn.Module, h: Array, names, train: bool) -> Optional[Array]:
     chain kernel (``pallas_conv.fused_conv3x3_chain``): the whole chain
     runs on VMEM-resident row strips, one HBM read + one write instead of
     a round trip per layer. Returns ``None`` when the per-module path
-    should run instead (training, init, non-TPU backend, or chain opt-out
-    — ``SVRS_CHAIN=0``)."""
+    should run instead (training, init, non-TPU backend, or the chain not
+    opted in — it is measured-off by default, ``SVRS_CHAIN=1`` to enable;
+    see the negative result in ``pallas_conv`` / BASELINE.md)."""
     from simple_vae_rs_tpu.ops import pallas_conv as pc
 
     if train or mdl.is_initializing() or not pc.chain_wanted():

@@ -273,7 +273,17 @@ def _conv3_strips(x, kernel, scale, shift, relu, th, interpret):
 # collapses to one input read (+ halo duplication) and one final write.
 # Intermediates are cast to the model dtype between layers, matching the
 # per-module XLA path's inter-layer rounding.
-_CHAIN_ENABLED = _os.environ.get("SVRS_CHAIN", "1") == "1"
+#
+# MEASURED OFF by default (2026-08-17, scripts/bench_chain.py on v5e,
+# B250 64px 64->64->16->16->4): fused chain 10.8 ms vs XLA sequential
+# 2.07 ms bf16 (0.19x; f32 0.15x). The tail is NOT purely
+# bandwidth-bound — XLA runs the small-channel convs at ~48 effective
+# TFLOPs with spatial-in-lanes layouts, while this kernel's
+# channels-in-lanes matmul formulation wastes the MXU at O=16/4 (N fills
+# 12.5-3% of the 128 lanes). A competitive fused chain needs a
+# width-in-lanes kernel design; until then SVRS_CHAIN=1 re-enables for
+# experimentation.
+_CHAIN_ENABLED = _os.environ.get("SVRS_CHAIN", "0") == "1"
 
 
 def chain_wanted() -> bool:
