@@ -29,6 +29,12 @@ def bench_ours(samples=1000, chunk=250, patch_size=64, cr=1.2, int8=False):
     from simple_vae_rs_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    # serving-tuned kernel routing: the measured thresholds route only
+    # winning shapes (e.g. the deep-channel up1.convT, 3.15x over XLA at
+    # the serving chunk — ops/pallas_conv.wins_over_xla_T)
+    from simple_vae_rs_tpu.ops import pallas_conv as pc
+
+    pc.enable(True)
     cfg = CondSRVAEConfig(cr=cr, patch_size=patch_size)
     model = CondSRVAE(cfg, dtype=jnp.bfloat16)
     y = jnp.asarray(

@@ -892,9 +892,27 @@ def wins_over_xla(
 # reproduce — 1.3 ms on a healthy tunnel — and is superseded.)
 _MAX_ROWS_T = int(_os.environ.get("SVRS_PALLAS_CONVT_MAX_ROWS", _MAX_ROWS))
 
+# Deep-channel small-spatial exception, measured 2026-08-17 at the
+# serving chunk (B250, scripts/bench_int8_kernels.py): up1.convT
+# (424->256ch, out 16x16) runs **3.15x faster fused** (1.16 vs 3.66 ms
+# XLA) — XLA's input-dilated lowering collapses at deep input channels —
+# while up2.convT (256ch, out 32x32) is parity (0.94x). Shapes with
+# channels >= 384 and out <= 16x16 therefore route to the fused kernel
+# past the generic rows*channels cap, bounded to ~2x the measured row
+# count to stay near the data.
+_DEEP_T_CH = int(_os.environ.get("SVRS_PALLAS_CONVT_DEEP_CH", 384))
+_DEEP_T_HW = 256
+
 
 def wins_over_xla_T(
     batch: int, out_h: int, out_w: int, channels: Optional[int] = None
 ) -> bool:
     """Crossover test for the transposed/dilated-conv pattern."""
+    if (
+        channels is not None
+        and channels >= _DEEP_T_CH
+        and out_h * out_w <= _DEEP_T_HW
+        and batch * out_h * out_w <= 2 * _MAX_ROWS_T
+    ):
+        return True
     return _wins(_MAX_ROWS_T, batch, out_h, out_w, channels)

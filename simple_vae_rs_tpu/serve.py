@@ -172,7 +172,7 @@ class SuperResolver:
         model_type: str = "Cond_SRVAE",
         dtype: Optional[Any] = None,
         seed: int = 0,
-        pallas_conv: bool = False,
+        pallas_conv: bool = True,
         int8: bool = False,
         mesh: Optional[Any] = None,
     ) -> "SuperResolver":
@@ -182,9 +182,12 @@ class SuperResolver:
 
         enable_compilation_cache()
         if pallas_conv:
-            # fused conv+BN+ReLU tails for the latency-bound small-batch
-            # regime (adaptive dispatch, see ops/pallas_conv.py);
-            # process-wide switch — set before any graph traces.
+            # serving default ON: the adaptive per-shape thresholds route
+            # only measured-winning shapes to the fused kernels — notably
+            # the deep-channel up1.convT at 3.15x over XLA at the serving
+            # chunk (ops/pallas_conv.wins_over_xla_T) — and everything
+            # else stays on XLA. Process-wide switch, set before any
+            # graph traces.
             from simple_vae_rs_tpu.ops import pallas_conv as pc
 
             pc.enable(True)
