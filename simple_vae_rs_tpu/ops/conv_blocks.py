@@ -466,6 +466,19 @@ class UpBlock(nn.Module, _FusedTailMixin):
             and not train
             and not self.is_initializing()
             and self._has_quant_tail()
+            # measured per-shape preference: inside the deep-channel convT
+            # win region the bf16 fused kernel beats int8 (1.16 vs 1.78
+            # ms at B250) — fall through to it there
+            and not (
+                pc.is_enabled()
+                and pc.deep_channel_T(
+                    x.shape[0], 2 * x.shape[1], 2 * x.shape[2], x.shape[3]
+                )
+                and pc.fits_vmemT(
+                    x.shape[1], x.shape[2], x.shape[3], self.features,
+                    jnp.dtype(dt).itemsize,
+                )
+            )
         ):
             from simple_vae_rs_tpu.ops import pallas_int8 as p8
 

@@ -904,15 +904,24 @@ _DEEP_T_CH = int(_os.environ.get("SVRS_PALLAS_CONVT_DEEP_CH", 384))
 _DEEP_T_HW = 256
 
 
-def wins_over_xla_T(
-    batch: int, out_h: int, out_w: int, channels: Optional[int] = None
+def deep_channel_T(
+    batch: int, out_h: int, out_w: int, channels: Optional[int]
 ) -> bool:
-    """Crossover test for the transposed/dilated-conv pattern."""
-    if (
+    """The measured deep-channel convT win region (see above). Inside it
+    the bf16 fused kernel also beats the int8 kernel (1.16 vs 1.78 ms at
+    the measured point), so blocks prefer bf16 there even in int8 mode."""
+    return (
         channels is not None
         and channels >= _DEEP_T_CH
         and out_h * out_w <= _DEEP_T_HW
         and batch * out_h * out_w <= 2 * _MAX_ROWS_T
-    ):
+    )
+
+
+def wins_over_xla_T(
+    batch: int, out_h: int, out_w: int, channels: Optional[int] = None
+) -> bool:
+    """Crossover test for the transposed/dilated-conv pattern."""
+    if deep_channel_T(batch, out_h, out_w, channels):
         return True
     return _wins(_MAX_ROWS_T, batch, out_h, out_w, channels)
