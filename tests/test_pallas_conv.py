@@ -471,3 +471,21 @@ def test_model_tail_chain_routing_matches_module_path(monkeypatch):
     for a, b in zip(plain, chained):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                    atol=1e-5)
+
+
+def test_convT_deep_channel_dispatch_region():
+    """The measured deep-channel convT exception: up1-like shapes route to
+    the fused kernel; shallower or larger-spatial shapes keep the generic
+    caps (which reject them at serving scale)."""
+    from simple_vae_rs_tpu.ops import pallas_conv as pc
+
+    # up1.convT at the serving chunk: B250, out 16x16, c_in=424 -> fused
+    assert pc.deep_channel_T(250, 16, 16, 424)
+    assert pc.wins_over_xla_T(250, 16, 16, 424)
+    # up2.convT: c=256 out 32x32 -> measured parity/loss, not routed
+    assert not pc.deep_channel_T(250, 32, 32, 256)
+    assert not pc.wins_over_xla_T(250, 32, 32, 256)
+    # way past the measured row count: not routed
+    assert not pc.deep_channel_T(4096, 16, 16, 424)
+    # channels unknown -> no exception
+    assert not pc.deep_channel_T(250, 16, 16, None)
