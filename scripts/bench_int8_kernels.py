@@ -15,8 +15,9 @@ per-dispatch latency is paid once and ms/call = total/N. Sync is by value
 fetch (``float(device_get)``) — block_until_ready is unreliable through
 the relay (CLAUDE.md). One JSON line per (layer, impl).
 
-End-to-end context: the full int8 decode path measured 1.09x bf16 at
-86.8 dB (scripts/bench_uq.py --int8, BASELINE.md); this script pins where
+End-to-end context: the full int8 decode path measured 1.05x bf16 at
+85.6 dB after the round-3 convT routing floors (scripts/bench_uq.py
+--int8, BASELINE.md); this script pins where
 that comes from per kernel (deep-channel layers win 1.2-1.7x, the rest
 sit at parity). v5e peak: 197 TFLOP/s bf16, 394 TOPS int8.
 """

@@ -125,8 +125,8 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
         "--int8", action="store_true",
         help="Run the posterior-sampling task through the W8A8 quantized "
         "decoder (stochastic-round int8 weights + fused int8 kernels; "
-        "1.2-1.7x per deep-channel kernel, ~1.09x end-to-end decode on "
-        "v5e at ~87 dB vs the float output — see BASELINE.md). "
+        "1.2-1.7x per deep-channel kernel, ~1.05x end-to-end decode on "
+        "v5e at ~86 dB vs the float output — see BASELINE.md). "
         "Eval/task only — training always runs full precision.",
     )
     return parser.parse_args(argv)

@@ -466,9 +466,12 @@ class UpBlock(nn.Module, _FusedTailMixin):
             and not train
             and not self.is_initializing()
             and self._has_quant_tail()
-            # measured per-shape preference: inside the deep-channel convT
-            # win region the bf16 fused kernel beats int8 (1.16 vs 1.78
-            # ms at B250) — fall through to it there
+            # measured per-shape routing (B250 serving chunk, BASELINE.md):
+            # the int8 convT loses to plain XLA below ~192 input channels
+            # (128ch: 2.01 vs 1.30 ms) — shallow shapes fall through
+            and x.shape[3] >= 192
+            # and inside the deep-channel convT win region the bf16 fused
+            # kernel beats int8 too (1.16 vs 1.78 ms) — fall through there
             and not (
                 pc.is_enabled()
                 and pc.deep_channel_T(

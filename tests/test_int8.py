@@ -323,3 +323,39 @@ def test_int8_conv3_strip_tiled_matches_reference(monkeypatch):
     want2 = int8_reference3(x, kq, ks, s, t, relu=False)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_int8_convT_channel_floor_routing():
+    """Measured routing floor: the int8 convT loses to plain XLA below
+    ~192 input channels (128ch: 2.01 vs 1.30 ms at the B250 serving
+    chunk), so shallow UpBlocks must fall through to the float path even
+    with int8 enabled; deeper ones take the quantized kernel."""
+    from simple_vae_rs_tpu.ops import quantize as qz
+    from simple_vae_rs_tpu.ops.conv_blocks import UpBlock
+
+    def outputs(c_in):
+        rng = np.random.default_rng(11)
+        x = jnp.array(rng.standard_normal((2, 4, 4, c_in)).astype(np.float32))
+        model = UpBlock(in_features=c_in, features=8)
+        vs = model.init(jax.random.PRNGKey(0), x, train=False)
+        quant = qz.quantize_params_tree(
+            vs["params"], jax.random.PRNGKey(1), prefixes=("upsample",)
+        )
+        assert "upsample" in quant  # quant tail actually attached
+        tree = dict(vs)
+        tree["quant"] = quant
+        qz.enable_int8(True)
+        try:
+            with_int8 = model.apply(tree, x, train=False)
+        finally:
+            qz.enable_int8(False)
+        without = model.apply(tree, x, train=False)
+        return np.asarray(with_int8), np.asarray(without)
+
+    # 128 input channels: below the floor -> identical to the float path
+    a, b = outputs(128)
+    np.testing.assert_array_equal(a, b)
+
+    # 256 input channels: above the floor -> quantized kernel (differs)
+    a, b = outputs(256)
+    assert np.abs(a - b).max() > 0
