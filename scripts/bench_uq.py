@@ -18,7 +18,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench_ours(samples=1000, chunk=250, patch_size=64, cr=1.2, int8=False):
+def bench_ours(samples=1000, chunk=None, patch_size=64, cr=1.2, int8=False,
+               profile_dir=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -35,6 +36,10 @@ def bench_ours(samples=1000, chunk=250, patch_size=64, cr=1.2, int8=False):
     from simple_vae_rs_tpu.ops import pallas_conv as pc
 
     pc.enable(True)
+    if chunk is None:
+        from simple_vae_rs_tpu.tasks import auto_chunk
+
+        chunk = auto_chunk(samples, patch_size)
     cfg = CondSRVAEConfig(cr=cr, patch_size=patch_size)
     model = CondSRVAE(cfg, dtype=jnp.bfloat16)
     y = jnp.asarray(
@@ -75,11 +80,16 @@ def bench_ours(samples=1000, chunk=250, patch_size=64, cr=1.2, int8=False):
     float(jax.device_get(out[0, 0, 0, 0]))
 
     for label in ("first", "steady"):
+        trace = label == "steady" and profile_dir is not None
+        if trace:
+            jax.profiler.start_trace(profile_dir)
         t0 = time.perf_counter()
         out = sample_chunked(model, variables, y, jax.random.PRNGKey(3),
                              samples=samples, chunk=chunk)
         float(jax.device_get(out[-1, 0, 0, 0]))
         dt = time.perf_counter() - t0
+        if trace:
+            jax.profiler.stop_trace()
         rec = {
             "metric": "uq_posterior_draws_per_sec",
             "impl": f"{impl}-{label}",
@@ -124,7 +134,11 @@ if __name__ == "__main__":
     if "--reference" in sys.argv:
         bench_reference()
     else:
-        chunk = 250
+        chunk = None  # auto_chunk: one dispatch for the canonical task
         if "--chunk" in sys.argv:
             chunk = int(sys.argv[sys.argv.index("--chunk") + 1])
-        bench_ours(chunk=chunk, int8="--int8" in sys.argv)
+        profile_dir = None
+        if "--profile_dir" in sys.argv:
+            profile_dir = sys.argv[sys.argv.index("--profile_dir") + 1]
+        bench_ours(chunk=chunk, int8="--int8" in sys.argv,
+                   profile_dir=profile_dir)

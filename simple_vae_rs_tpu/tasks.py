@@ -203,6 +203,23 @@ def _vae_decode_chunk(model, variables, mu, std, rng, chunk, eps=None,
     return _sharded_decode(decode, mesh, variables, z)
 
 
+def auto_chunk(samples: int, patch_size: int,
+               budget_bytes: int = 1 << 30) -> int:
+    """HBM-aware decode chunk size.
+
+    The widest live decoder activation is the full-resolution 64-channel
+    tail (``ps*ps*64`` bf16 per draw); allow 2x for XLA double-buffering
+    and cap the chunk so that stays under ``budget_bytes`` (1 GiB default
+    — ~6% of a v5e's HBM). At the canonical 64px config this decodes the
+    whole 1000-draw task in ONE dispatch, which measures 15.3k vs 14.3k
+    draws/s at chunk=250 on this relay (per-dispatch latency dominates —
+    see BASELINE.md's decode device-time profile); at 128px it caps at
+    256 draws/chunk.
+    """
+    per_draw = patch_size * patch_size * 64 * 2 * 2
+    return max(1, min(samples, budget_bytes // per_draw))
+
+
 @partial(jax.jit, static_argnames=())
 def error_statistics(samples: Array, target: Array) -> Dict[str, Array]:
     """Per-pixel statistics over the sample axis, all on device.
@@ -255,7 +272,7 @@ def run_task(
     cr: float,
     rng: Optional[jax.Array] = None,
     samples: int = 1000,
-    chunk: int = 100,
+    chunk: Optional[int] = None,
     results_root: str = "results",
 ) -> Dict[str, float]:
     """Full reference task: error/uncertainty report + generation panel."""
@@ -279,6 +296,8 @@ def run_task(
         # images (reference vae.py:233-238 takes x = batch[0])
         pred, target = y_b[0:1], y_b[0:1]
 
+    if chunk is None:
+        chunk = auto_chunk(samples, int(target.shape[1]))
     draws = sample_chunked(model, variables, pred, rng, samples=samples, chunk=chunk)
     stats = jax.device_get(error_statistics(draws, target))
     mmse = float(stats["mmse"])

@@ -103,3 +103,15 @@ def test_uncertainty_maps_n32():
     assert maps["variance"].shape == (16, 16, 4)
     assert float(jnp.min(maps["variance"])) >= 0.0
     assert float(jnp.max(maps["std"])) > 0.0
+
+
+def test_auto_chunk_budget():
+    """HBM-aware chunk default: one dispatch for the canonical 64px
+    1000-draw task, budget-capped for larger patches, never above
+    ``samples`` or below 1."""
+    from simple_vae_rs_tpu.tasks import auto_chunk
+
+    assert auto_chunk(1000, 64) == 1000
+    assert auto_chunk(1000, 128) == 256
+    assert auto_chunk(8, 64) == 8
+    assert auto_chunk(10**6, 4096) >= 1
