@@ -34,7 +34,7 @@ import numpy as np
 
 from simple_vae_rs_tpu.config import CondSRVAEConfig, TrainConfig
 from simple_vae_rs_tpu.models import CondSRVAE, SRVAE
-from simple_vae_rs_tpu.tasks import sample_chunked
+from simple_vae_rs_tpu.tasks import auto_chunk, sample_chunked
 from simple_vae_rs_tpu.utils.image import normalize_image
 
 Array = jnp.ndarray
@@ -250,13 +250,18 @@ class SuperResolver:
         )
         return out[:b] if (self._batch_sharding is not None and pad) else out
 
-    def uncertainty(self, y, samples: int = 32, chunk: int = 32) -> Dict[str, Array]:
+    def uncertainty(self, y, samples: int = 32,
+                    chunk: Optional[int] = None) -> Dict[str, Array]:
         """Posterior SR statistics for one LR image: mean/std/variance maps.
 
-        On a meshed resolver the draws shard over the batch axes (chunk is
-        rounded up to the shard count) — N-draw UQ scales linearly in chips.
+        ``chunk=None`` sizes decode chunks by HBM budget (``tasks.auto_chunk``
+        — one dispatch for typical requests). On a meshed resolver the draws
+        shard over the batch axes (chunk is rounded up to the shard count) —
+        N-draw UQ scales linearly in chips.
         """
         y = self._prep(y)[:1]
+        if chunk is None:
+            chunk = auto_chunk(samples, int(y.shape[1]) * 2)
         chunk = -(-chunk // self._n_shards) * self._n_shards
         draws = sample_chunked(
             self.model, self.variables, y, self._next_rng(),
@@ -269,7 +274,8 @@ class SuperResolver:
             "variance": jnp.var(draws, axis=0),
         }
 
-    def mmse_estimate(self, y, samples: int = 32, chunk: int = 32) -> Array:
+    def mmse_estimate(self, y, samples: int = 32,
+                      chunk: Optional[int] = None) -> Array:
         """Posterior-mean SR reconstruction (minimum-MSE estimator)."""
         return self.uncertainty(y, samples=samples, chunk=chunk)["mean"]
 

@@ -101,7 +101,8 @@ class ModelService:
     def uncertainty(self, body: bytes, ctype: str) -> Tuple[bytes, str]:
         lr, payload = self._decode(body, ctype)
         samples = int(payload.get("samples", 32))
-        chunk = int(payload.get("chunk", min(samples, 32)))
+        chunk = payload.get("chunk")  # None -> HBM-aware auto_chunk
+        chunk = int(chunk) if chunk is not None else None
         with self.lock:
             maps = self.resolver.uncertainty(lr, samples=samples, chunk=chunk)
         return self._encode(

