@@ -71,6 +71,14 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     )
     # --- TPU-native additions -------------------------------------------
     parser.add_argument(
+        "--latent_size", type=int, default=0,
+        help="Fixed latent budget: overrides the cr-derived latent size "
+        "(multiple of 256 for Cond_SRVAE/SRVAE, 64 for VAE). Keeps the "
+        "latent-head conv widths bounded at large patch sizes — e.g. "
+        "--patch_size 128 --latent_size 13568 reuses the canonical 64px "
+        "head widths where cr alone would 4x them (~600M params).",
+    )
+    parser.add_argument(
         "--crop", type=str, default="random", choices=["random", "grid"],
         help="Patchification mode; grid yields patches_per_tile x batch_size.",
     )
@@ -184,17 +192,20 @@ def main(args: argparse.Namespace) -> None:
     if args.model_type == "VAE":
         # reference trains the plain VAE on the LR stream at ps/2
         # (train.py:35-40 passes patch_size // 2)
-        cfg = VAEConfig(cr=cr, patch_size=args.patch_size // 2)
+        cfg = VAEConfig(cr=cr, patch_size=args.patch_size // 2,
+                        latent_size_override=args.latent_size)
         model = VAE(cfg, dtype=dtype)
         project = "VAE"
     elif args.model_type == "Cond_SRVAE":
-        cfg = CondSRVAEConfig(cr=cr, patch_size=args.patch_size)
+        cfg = CondSRVAEConfig(cr=cr, patch_size=args.patch_size,
+                              latent_size_override=args.latent_size)
         model = CondSRVAE(cfg, dtype=dtype)
         project = "Cond_SRVAE"
     elif args.model_type == "SRVAE":
         from simple_vae_rs_tpu.models import SRVAE
 
-        cfg = CondSRVAEConfig(cr=cr, patch_size=args.patch_size)
+        cfg = CondSRVAEConfig(cr=cr, patch_size=args.patch_size,
+                              latent_size_override=args.latent_size)
         model = SRVAE(cfg, dtype=dtype)
         project = "SRVAE"
     else:

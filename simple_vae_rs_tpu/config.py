@@ -45,9 +45,25 @@ class VAEConfig:
     cr: float = 1.5
     patch_size: int = 32
     channels: int = 4
+    # Fixed latent budget: when > 0 this overrides the cr-derived
+    # ``latent_size``. Decouples latent width from ``patch_size`` so
+    # large-patch configs keep bounded latent-head channel counts (at
+    # ps=128 the cr formula quadruples ``latent_channels`` and with it
+    # every latent-head conv). Must be a positive multiple of 64 so the
+    # (ps/4)-grid channel regrouping stays integral.
+    latent_size_override: int = 0
+
+    def __post_init__(self) -> None:
+        if self.latent_size_override and self.latent_size_override % 64:
+            raise ValueError(
+                "latent_size_override must be a positive multiple of 64 "
+                f"(got {self.latent_size_override})"
+            )
 
     @property
     def latent_size(self) -> int:
+        if self.latent_size_override > 0:
+            return self.latent_size_override
         return _vae_latent_size(self.patch_size, self.cr)
 
     @property
@@ -81,6 +97,20 @@ class CondSRVAEConfig:
     # converted reference checkpoints (utils/convert.py); same parameter
     # tree and shapes either way.
     torch_regroup: bool = False
+    # Fixed latent budget (see VAEConfig.latent_size_override): overrides
+    # the cr-derived ``latent_size`` when > 0. The canonical 64px budget
+    # (13,568) at ps=128 keeps the prior heads at their canonical widths,
+    # where the cr formula alone would 4x them (~600M params — beyond
+    # some compile services). Must be a positive multiple of 256 so both
+    # the z (//64) and u (//256·64) channel regroupings stay integral.
+    latent_size_override: int = 0
+
+    def __post_init__(self) -> None:
+        if self.latent_size_override and self.latent_size_override % 256:
+            raise ValueError(
+                "latent_size_override must be a positive multiple of 256 "
+                f"(got {self.latent_size_override})"
+            )
 
     @property
     def lr_patch_size(self) -> int:
@@ -88,6 +118,8 @@ class CondSRVAEConfig:
 
     @property
     def latent_size(self) -> int:
+        if self.latent_size_override > 0:
+            return self.latent_size_override
         return _cond_latent_size(self.patch_size, self.cr)
 
     @property

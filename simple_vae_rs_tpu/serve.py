@@ -169,6 +169,7 @@ class SuperResolver:
         cr: float,
         patch_size: int = 64,
         channels: int = 4,
+        latent_size: int = 0,
         model_type: str = "Cond_SRVAE",
         dtype: Optional[Any] = None,
         seed: int = 0,
@@ -191,7 +192,8 @@ class SuperResolver:
             from simple_vae_rs_tpu.ops import pallas_conv as pc
 
             pc.enable(True)
-        cfg = CondSRVAEConfig(cr=cr, patch_size=patch_size, channels=channels)
+        cfg = CondSRVAEConfig(cr=cr, patch_size=patch_size, channels=channels,
+                              latent_size_override=latent_size)
         cls_ = {"Cond_SRVAE": CondSRVAE, "SRVAE": SRVAE}[model_type]
         model = cls_(cfg, dtype=dtype)
         x = jnp.zeros((1, patch_size, patch_size, channels))

@@ -168,6 +168,9 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("-cr", "--compression_ratio", type=float, default=1.2)
     p.add_argument("--patch_size", type=int, default=64)
     p.add_argument("--channels", type=int, default=4)
+    p.add_argument("--latent_size", type=int, default=0,
+                   help="Fixed latent budget overriding the cr formula "
+                   "(must match the trained checkpoint's config).")
     p.add_argument("--model_type", default="Cond_SRVAE",
                    choices=["Cond_SRVAE", "SRVAE"])
     p.add_argument("--host", default="127.0.0.1")
@@ -192,6 +195,7 @@ def main(argv: Optional[list] = None) -> None:
         cr=args.compression_ratio,
         patch_size=args.patch_size,
         channels=args.channels,
+        latent_size=args.latent_size,
         model_type=args.model_type,
         pallas_conv=args.pallas_conv,
         int8=args.int8,

@@ -58,3 +58,54 @@ def test_vae_large_patch():
     model = VAE(cfg)
     out = _abstract_init_out(model, jnp.zeros((2, 64, 64, 4)), jax.random.PRNGKey(1))
     assert out[0].shape == (2, 64, 64, 4)
+
+
+def test_latent_budget_override_128px():
+    """Fixed latent budget (--latent_size): a 128px config with the
+    canonical 64px budget keeps the canonical latent-head widths (the cr
+    formula alone would 4x them into a ~600M-param graph)."""
+    import pytest
+
+    canonical = CondSRVAEConfig(cr=1.2, patch_size=64)
+    cfg = CondSRVAEConfig(cr=1.2, patch_size=128,
+                          latent_size_override=canonical.latent_size)
+    assert cfg.latent_size == 13568
+    assert cfg.z_channels == canonical.z_channels == 212
+    assert cfg.u_channels == canonical.u_channels
+    model = CondSRVAE(cfg)
+    out = _abstract_init_out(
+        model, jnp.zeros((1, 128, 128, 4)), jnp.zeros((1, 64, 64, 4)),
+        jax.random.PRNGKey(1),
+    )
+    assert out[0].shape == (1, 128, 128, 4)
+    assert out[2].shape == (1, cfg.z_dim)
+
+    with pytest.raises(ValueError):
+        CondSRVAEConfig(latent_size_override=300)  # not a multiple of 256
+    with pytest.raises(ValueError):
+        VAEConfig(latent_size_override=100)  # not a multiple of 64
+
+
+def test_latent_budget_override_runs_concretely():
+    """Tiny overridden config initializes and decodes for real (not just
+    abstractly): override 256 at ps=16 -> z 4ch on a 2x2 grid."""
+    cfg = CondSRVAEConfig(cr=1.2, patch_size=16, latent_size_override=256)
+    assert cfg.z_channels == 4 and cfg.u_channels == 1
+    model = CondSRVAE(cfg)
+    x = jnp.zeros((1, 16, 16, 4))
+    y = jnp.zeros((1, 8, 8, 4))
+    out, _ = model.init_with_output(
+        {"params": jax.random.PRNGKey(0)}, x, y, jax.random.PRNGKey(1),
+        train=False,
+    )
+    assert out[0].shape == (1, 16, 16, 4)
+    assert bool(jnp.isfinite(out[0]).all())
+
+
+def test_vae_latent_budget_override():
+    cfg = VAEConfig(cr=1.5, patch_size=64, latent_size_override=1024)
+    assert cfg.latent_size == 1024 and cfg.latent_channels == 16
+    model = VAE(cfg)
+    out = _abstract_init_out(model, jnp.zeros((1, 64, 64, 4)),
+                             jax.random.PRNGKey(1))
+    assert out[0].shape == (1, 64, 64, 4)
