@@ -11,6 +11,7 @@ BASELINE.md).
     sr = SuperResolver.from_checkpoint("ckpt/job", cr=1.2, patch_size=64)
     x_hat = sr.super_resolve(lr_batch)            # (B, ps, ps, C) in [0,1]
     maps = sr.uncertainty(lr_image, samples=32)   # mean/std/variance maps
+    big = sr.super_resolve_tile(lr_raster)        # (H, W, C) -> (2H, 2W, C)
 
 Two serving-scale options the reference has no analogue for:
 
@@ -228,12 +229,14 @@ class SuperResolver:
             y = normalize_image(y.astype(jnp.float32))
         return y
 
-    def super_resolve(self, y) -> Array:
+    def super_resolve(self, y, normalize: Optional[bool] = None) -> Array:
         """LR batch (B, ps/2, ps/2, C) -> single-draw SR (B, ps, ps, C).
 
         On a meshed resolver the batch is padded to the shard count and
         sharded over the batch axes; XLA partitions the whole compiled
-        request behind the input sharding.
+        request behind the input sharding. ``normalize`` overrides the
+        resolver default for this call (the tile path normalizes once over
+        the whole raster and sends pre-normalized windows).
         """
         y = jnp.asarray(y)
         if y.ndim == 3:
@@ -247,10 +250,78 @@ class SuperResolver:
                 )
             y = jax.device_put(y, self._batch_sharding)
         self._rng, out = _sr_call(
-            self.model, self.variables, y, self._rng, self.normalize,
+            self.model, self.variables, y, self._rng,
+            self.normalize if normalize is None else normalize,
             mesh=self.mesh,
         )
         return out[:b] if (self._batch_sharding is not None and pad) else out
+
+    def super_resolve_tile(
+        self, y, overlap: int = 4, batch: int = 16, samples: int = 1
+    ) -> np.ndarray:
+        """Arbitrary-size LR raster (H, W, C) -> seam-free SR (2H, 2W, C).
+
+        The reference (and ``super_resolve``) only handles model-sized
+        patches; this covers a whole tile: one normalization over the FULL
+        raster (per-window min-max would shift brightness between
+        windows), an overlapping window grid (``ops/tiling.grid_starts``),
+        fixed-shape batches through the compiled endpoint (every chunk is
+        padded to ``batch`` so one compile serves any tile size), and a
+        feathered blend of the SR windows — overlap doubles in SR space
+        (``ops/tiling.stitch``). Rasters smaller than one window are
+        reflect-padded up and cropped after. ``samples > 1`` averages
+        that many posterior draws per window (an MMSE-flavored output
+        whose extra smoothness also suppresses seam variance).
+        """
+        from simple_vae_rs_tpu.ops.tiling import grid_starts, stitch
+
+        if samples < 1:
+            raise ValueError(f"samples must be >= 1 (got {samples})")
+        y = jnp.asarray(y)
+        if y.ndim == 4:
+            if y.shape[0] != 1:
+                raise ValueError("super_resolve_tile serves one raster per call")
+            y = y[0]
+        if y.ndim != 3:
+            raise ValueError(f"expected (H, W, C) raster, got shape {y.shape}")
+        p = int(self.model.config.patch_size) // 2
+        if not 0 <= overlap <= p // 2:
+            raise ValueError(f"overlap must be in [0, {p // 2}] (got {overlap})")
+        if self.normalize:
+            y = normalize_image(y.astype(jnp.float32))
+        h, w = int(y.shape[0]), int(y.shape[1])
+        pad_h, pad_w = max(0, p - h), max(0, p - w)
+        if pad_h or pad_w:
+            y = jnp.pad(y, ((0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
+        hp, wp = int(y.shape[0]), int(y.shape[1])
+        stride = p - overlap if overlap else p
+        starts = [
+            (sh, sw)
+            for sh in grid_starts(hp, p, stride)
+            for sw in grid_starts(wp, p, stride)
+        ]
+        y_np = np.asarray(y)
+        wins = np.stack([y_np[a:a + p, b:b + p] for a, b in starts])
+        acc = None
+        for _ in range(samples):
+            outs = []
+            for i in range(0, len(wins), batch):
+                chunk = wins[i:i + batch]
+                short = batch - len(chunk)
+                if short:  # fixed compiled shape for the ragged last chunk
+                    chunk = np.concatenate(
+                        [chunk, np.repeat(chunk[-1:], short, axis=0)]
+                    )
+                sr = np.asarray(self.super_resolve(chunk, normalize=False))
+                outs.append(sr[:len(sr) - short] if short else sr)
+            draw = np.concatenate(outs)
+            acc = draw if acc is None else acc + draw
+        sr_wins = acc / samples
+        out = stitch(
+            sr_wins, [(2 * a, 2 * b) for a, b in starts],
+            (2 * hp, 2 * wp), 2 * overlap,
+        )
+        return out[:2 * h, :2 * w]
 
     def uncertainty(self, y, samples: int = 32,
                     chunk: Optional[int] = None) -> Dict[str, Array]:

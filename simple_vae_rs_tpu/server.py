@@ -13,6 +13,9 @@ Endpoints (all arrays NHWC, channels last):
 
 - ``GET /healthz`` -> ``{"status": "ok", "model": ..., "patch_size": ...}``
 - ``POST /v1/super_resolve`` -> single-draw SR of an LR batch.
+- ``POST /v1/super_resolve_tile`` -> seam-free SR of ONE arbitrary-size LR
+  raster (overlapping window grid + feathered stitch; body fields
+  ``overlap``/``batch``/``samples`` optional).
 - ``POST /v1/uncertainty``  -> posterior mean/std/variance maps (+ MMSE
   estimate) for one LR image; body fields ``samples``/``chunk`` optional.
 
@@ -98,6 +101,19 @@ class ModelService:
             out = np.asarray(self.resolver.super_resolve(lr))
         return self._encode({"sr": out}, ctype)
 
+    def super_resolve_tile(self, body: bytes, ctype: str) -> Tuple[bytes, str]:
+        lr, payload = self._decode(body, ctype)
+        overlap = int(payload.get("overlap", 4))
+        batch = int(payload.get("batch", 16))
+        samples = int(payload.get("samples", 1))
+        with self.lock:
+            out = np.asarray(
+                self.resolver.super_resolve_tile(
+                    lr, overlap=overlap, batch=batch, samples=samples
+                )
+            )
+        return self._encode({"sr": out}, ctype)
+
     def uncertainty(self, body: bytes, ctype: str) -> Tuple[bytes, str]:
         lr, payload = self._decode(body, ctype)
         samples = int(payload.get("samples", 32))
@@ -135,6 +151,7 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self):  # noqa: N802
         routes = {
             "/v1/super_resolve": self.service.super_resolve,
+            "/v1/super_resolve_tile": self.service.super_resolve_tile,
             "/v1/uncertainty": self.service.uncertainty,
         }
         handler = routes.get(self.path)

@@ -77,6 +77,19 @@ def test_super_resolve_npy(server_url):
     assert sr.shape == (3, 16, 16, 4)
 
 
+def test_super_resolve_tile_json(server_url):
+    lr = np.random.default_rng(7).random((12, 20, 4)).tolist()
+    out, ctype = _post(
+        server_url + "/v1/super_resolve_tile",
+        json.dumps({"lr": lr, "overlap": 2, "batch": 4}).encode(),
+        "application/json",
+    )
+    assert ctype.startswith("application/json")
+    sr = np.asarray(json.loads(out)["sr"])
+    assert sr.shape == (24, 40, 4)
+    assert np.isfinite(sr).all()
+
+
 def test_uncertainty_json(server_url):
     lr = np.random.default_rng(2).random((8, 8, 4)).tolist()
     out, _ = _post(

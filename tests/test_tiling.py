@@ -1,0 +1,133 @@
+"""Tile serving: grid placement, feathered stitch, SuperResolver tile path.
+
+The reference has no whole-raster inference (patches only —
+``/root/reference/dataset.py:60-77``, ``models/base.py:306-348``); these
+tests pin the rebuild's tile path: exact reconstruction through the blend,
+flush grid coverage, and the resolver endpoint on non-multiple sizes.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from simple_vae_rs_tpu.config import CondSRVAEConfig
+from simple_vae_rs_tpu.models import CondSRVAE
+from simple_vae_rs_tpu.ops.tiling import feather_profile, grid_starts, stitch
+from simple_vae_rs_tpu.serve import SuperResolver
+
+
+# ------------------------------------------------------------- pure logic
+def test_grid_starts_covers_flush():
+    starts = grid_starts(20, 8, 6)
+    assert starts[0] == 0 and starts[-1] == 20 - 8
+    covered = np.zeros(20, bool)
+    for s in starts:
+        covered[s:s + 8] = True
+    assert covered.all()
+    # exact fit -> no extra window
+    assert grid_starts(16, 8, 8) == [0, 8]
+    with pytest.raises(ValueError):
+        grid_starts(4, 8, 8)  # patch larger than extent
+    with pytest.raises(ValueError):
+        grid_starts(16, 8, 0)
+
+
+def test_feather_profile_seam_partition():
+    # across a standard seam (stride = patch - overlap) the two ramps sum to 1
+    p, ov = 12, 4
+    w = feather_profile(p, ov)
+    assert w.dtype == np.float32 and (w > 0).all()
+    seam = w[p - ov:] + w[:ov]
+    np.testing.assert_allclose(seam, 1.0, rtol=1e-6)
+    assert (feather_profile(p, 0) == 1.0).all()
+
+
+@pytest.mark.parametrize("overlap", [0, 2, 3])
+def test_stitch_reconstructs_crops_exactly(overlap):
+    """Windows that are crops of one image stitch back to that image,
+    whatever the overlap — the blend only acts where windows disagree."""
+    rng = np.random.default_rng(0)
+    img = rng.random((22, 31, 3)).astype(np.float32)
+    p = 8
+    stride = p - overlap if overlap else p
+    starts = [
+        (a, b)
+        for a in grid_starts(22, p, stride)
+        for b in grid_starts(31, p, stride)
+    ]
+    wins = np.stack([img[a:a + p, b:b + p] for a, b in starts])
+    out = stitch(wins, starts, (22, 31), overlap)
+    np.testing.assert_allclose(out, img, rtol=1e-5, atol=1e-6)
+
+
+def test_stitch_rejects_gaps_and_bad_shapes():
+    wins = np.zeros((1, 8, 8, 3), np.float32)
+    with pytest.raises(ValueError):
+        stitch(wins, [(0, 0)], (20, 8), 0)  # rows 8..20 uncovered
+    with pytest.raises(ValueError):
+        stitch(wins, [(0, 4)], (8, 8), 0)  # window off the edge
+    with pytest.raises(ValueError):
+        stitch(np.zeros((1, 8, 4, 3), np.float32), [(0, 0)], (8, 4), 0)
+
+
+# -------------------------------------------------------- resolver path
+def _make_resolver(seed=0):
+    cfg = CondSRVAEConfig(cr=2.0, patch_size=16)
+    model = CondSRVAE(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 16, 16, 4)),
+        jnp.zeros((1, 8, 8, 4)),
+        jax.random.PRNGKey(1),
+        train=False,
+    )
+    return SuperResolver(model, variables, seed=seed)
+
+
+@pytest.fixture(scope="module")
+def resolver():
+    return _make_resolver()
+
+
+def test_tile_shapes_and_range(resolver):
+    lr = np.random.default_rng(3).random((20, 36, 4)).astype(np.float32) * 700
+    out = resolver.super_resolve_tile(lr, overlap=2, batch=4)
+    assert out.shape == (40, 72, 4)
+    assert np.isfinite(out).all()
+    assert 0.0 <= out.min() and out.max() <= 1.0
+
+
+def test_tile_smaller_than_window_pads(resolver):
+    lr = np.random.default_rng(4).random((6, 10, 4)).astype(np.float32)
+    out = resolver.super_resolve_tile(lr, overlap=0)
+    assert out.shape == (12, 20, 4)
+    assert np.isfinite(out).all()
+
+
+def test_tile_single_window_matches_direct_call():
+    """A window-sized raster goes through tiling (tile-level normalize,
+    one batch, trivial stitch) and must equal the plain endpoint."""
+    lr = np.random.default_rng(5).random((8, 8, 4)).astype(np.float32) * 100
+    direct = np.asarray(_make_resolver(seed=7).super_resolve(lr))[0]
+    tiled = _make_resolver(seed=7).super_resolve_tile(lr, overlap=0, batch=1)
+    np.testing.assert_allclose(tiled, direct, rtol=1e-5, atol=1e-6)
+
+
+def test_tile_multi_sample_average_is_smoother(resolver):
+    lr = np.random.default_rng(6).random((12, 12, 4)).astype(np.float32)
+    one = resolver.super_resolve_tile(lr, overlap=2, samples=1)
+    avg = resolver.super_resolve_tile(lr, overlap=2, samples=4)
+    assert avg.shape == one.shape
+    # averaged draws differ from any single draw and are finite
+    assert np.isfinite(avg).all() and not np.allclose(avg, one)
+
+
+def test_tile_argument_validation(resolver):
+    lr = np.zeros((12, 12, 4), np.float32)
+    with pytest.raises(ValueError):
+        resolver.super_resolve_tile(lr, overlap=7)  # > lr_window // 2
+    with pytest.raises(ValueError):
+        resolver.super_resolve_tile(lr, samples=0)
+    with pytest.raises(ValueError):
+        resolver.super_resolve_tile(np.zeros((2, 12, 12, 4), np.float32))
