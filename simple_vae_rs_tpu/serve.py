@@ -273,14 +273,63 @@ class SuperResolver:
         that many posterior draws per window (an MMSE-flavored output
         whose extra smoothness also suppresses seam variance).
         """
-        from simple_vae_rs_tpu.ops.tiling import grid_starts, stitch
+        from simple_vae_rs_tpu.ops.tiling import stitch
 
         if samples < 1:
             raise ValueError(f"samples must be >= 1 (got {samples})")
+        wins, starts, (h, w), (hp, wp) = self._tile_windows(y, overlap)
+        acc = None
+        for _ in range(samples):
+            draw = self._tile_pass(wins, batch)
+            acc = draw if acc is None else acc + draw
+        sr_wins = acc / samples
+        out = stitch(
+            sr_wins, [(2 * a, 2 * b) for a, b in starts],
+            (2 * hp, 2 * wp), 2 * overlap,
+        )
+        return out[:2 * h, :2 * w]
+
+    def uncertainty_tile(
+        self, y, samples: int = 32, overlap: int = 4, batch: int = 16
+    ) -> Dict[str, np.ndarray]:
+        """Whole-raster posterior SR statistics: mean/std/variance maps.
+
+        Same window grid as ``super_resolve_tile``; per-pixel first and
+        second moments over ``samples`` draws are accumulated per window,
+        then each moment field is feather-stitched. The stitched variance
+        ``blend(E[x^2]) - blend(E[x])^2`` is the variance of the blended
+        posterior mixture: inside overlap bands it adds the between-window
+        disagreement on top of the blended within-window variance (Jensen
+        keeps it >= that blend, so it is never negative).
+        """
+        from simple_vae_rs_tpu.ops.tiling import stitch
+
+        if samples < 2:
+            raise ValueError(f"samples must be >= 2 (got {samples})")
+        wins, starts, (h, w), (hp, wp) = self._tile_windows(y, overlap)
+        s1 = s2 = None
+        for _ in range(samples):
+            draw = self._tile_pass(wins, batch)
+            s1 = draw if s1 is None else s1 + draw
+            s2 = draw * draw if s2 is None else s2 + draw * draw
+        m1, m2 = s1 / samples, s2 / samples
+        starts_sr = [(2 * a, 2 * b) for a, b in starts]
+        out_hw = (2 * hp, 2 * wp)
+        mean = stitch(m1, starts_sr, out_hw, 2 * overlap)[:2 * h, :2 * w]
+        e2 = stitch(m2, starts_sr, out_hw, 2 * overlap)[:2 * h, :2 * w]
+        var = np.maximum(e2 - mean * mean, 0.0)
+        return {"mean": mean, "std": np.sqrt(var), "variance": var}
+
+    # ------------------------------------------------------ tile plumbing
+    def _tile_windows(self, y, overlap: int):
+        """Normalize a raster once, cover it with the overlapping window
+        grid: (N, p, p, C) windows + their starts + original/padded HW."""
+        from simple_vae_rs_tpu.ops.tiling import grid_starts
+
         y = jnp.asarray(y)
         if y.ndim == 4:
             if y.shape[0] != 1:
-                raise ValueError("super_resolve_tile serves one raster per call")
+                raise ValueError("tile endpoints serve one raster per call")
             y = y[0]
         if y.ndim != 3:
             raise ValueError(f"expected (H, W, C) raster, got shape {y.shape}")
@@ -302,26 +351,24 @@ class SuperResolver:
         ]
         y_np = np.asarray(y)
         wins = np.stack([y_np[a:a + p, b:b + p] for a, b in starts])
-        acc = None
-        for _ in range(samples):
-            outs = []
-            for i in range(0, len(wins), batch):
-                chunk = wins[i:i + batch]
-                short = batch - len(chunk)
-                if short:  # fixed compiled shape for the ragged last chunk
-                    chunk = np.concatenate(
-                        [chunk, np.repeat(chunk[-1:], short, axis=0)]
-                    )
-                sr = np.asarray(self.super_resolve(chunk, normalize=False))
-                outs.append(sr[:len(sr) - short] if short else sr)
-            draw = np.concatenate(outs)
-            acc = draw if acc is None else acc + draw
-        sr_wins = acc / samples
-        out = stitch(
-            sr_wins, [(2 * a, 2 * b) for a, b in starts],
-            (2 * hp, 2 * wp), 2 * overlap,
-        )
-        return out[:2 * h, :2 * w]
+        return wins, starts, (h, w), (hp, wp)
+
+    def _tile_pass(self, wins: np.ndarray, batch: int) -> np.ndarray:
+        """One posterior draw for every window, in fixed-shape batches
+        (ragged last chunk padded so one compile serves any tile size)."""
+        if batch < 1:
+            raise ValueError(f"batch must be >= 1 (got {batch})")
+        outs = []
+        for i in range(0, len(wins), batch):
+            chunk = wins[i:i + batch]
+            short = batch - len(chunk)
+            if short:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], short, axis=0)]
+                )
+            sr = np.asarray(self.super_resolve(chunk, normalize=False))
+            outs.append(sr[:len(sr) - short] if short else sr)
+        return np.concatenate(outs)
 
     def uncertainty(self, y, samples: int = 32,
                     chunk: Optional[int] = None) -> Dict[str, Array]:

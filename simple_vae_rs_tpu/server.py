@@ -18,6 +18,9 @@ Endpoints (all arrays NHWC, channels last):
   ``overlap``/``batch``/``samples`` optional).
 - ``POST /v1/uncertainty``  -> posterior mean/std/variance maps (+ MMSE
   estimate) for one LR image; body fields ``samples``/``chunk`` optional.
+- ``POST /v1/uncertainty_tile`` -> the same maps for one arbitrary-size LR
+  raster (stitched per-window moments; ``samples``/``overlap``/``batch``
+  optional).
 
 Two body encodings, negotiated by Content-Type:
 
@@ -114,6 +117,19 @@ class ModelService:
             )
         return self._encode({"sr": out}, ctype)
 
+    def uncertainty_tile(self, body: bytes, ctype: str) -> Tuple[bytes, str]:
+        lr, payload = self._decode(body, ctype)
+        samples = int(payload.get("samples", 32))
+        overlap = int(payload.get("overlap", 4))
+        batch = int(payload.get("batch", 16))
+        with self.lock:
+            maps = self.resolver.uncertainty_tile(
+                lr, samples=samples, overlap=overlap, batch=batch
+            )
+        return self._encode(
+            {k: np.asarray(v) for k, v in maps.items()}, ctype
+        )
+
     def uncertainty(self, body: bytes, ctype: str) -> Tuple[bytes, str]:
         lr, payload = self._decode(body, ctype)
         samples = int(payload.get("samples", 32))
@@ -153,6 +169,7 @@ class _Handler(BaseHTTPRequestHandler):
             "/v1/super_resolve": self.service.super_resolve,
             "/v1/super_resolve_tile": self.service.super_resolve_tile,
             "/v1/uncertainty": self.service.uncertainty,
+            "/v1/uncertainty_tile": self.service.uncertainty_tile,
         }
         handler = routes.get(self.path)
         if handler is None:

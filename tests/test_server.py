@@ -90,6 +90,20 @@ def test_super_resolve_tile_json(server_url):
     assert np.isfinite(sr).all()
 
 
+def test_uncertainty_tile_json(server_url):
+    lr = np.random.default_rng(8).random((10, 14, 4)).tolist()
+    out, ctype = _post(
+        server_url + "/v1/uncertainty_tile",
+        json.dumps({"lr": lr, "samples": 3, "overlap": 2, "batch": 4}).encode(),
+        "application/json",
+    )
+    maps = json.loads(out)
+    assert set(maps) == {"mean", "std", "variance"}
+    mean = np.asarray(maps["mean"])
+    assert mean.shape == (20, 28, 4)
+    assert (np.asarray(maps["variance"]) >= 0).all()
+
+
 def test_uncertainty_json(server_url):
     lr = np.random.default_rng(2).random((8, 8, 4)).tolist()
     out, _ = _post(

@@ -123,6 +123,33 @@ def test_tile_multi_sample_average_is_smoother(resolver):
     assert np.isfinite(avg).all() and not np.allclose(avg, one)
 
 
+def test_tile_meshed_matches_single_device():
+    """Tile serving over the 8-virtual-device mesh: windows shard over
+    ``data`` inside each batch call and the stitched raster equals the
+    single-device resolver's exactly (globally-drawn eps)."""
+    from simple_vae_rs_tpu.config import MeshConfig
+    from simple_vae_rs_tpu.parallel.mesh import make_mesh
+
+    cfg = CondSRVAEConfig(cr=2.0, patch_size=16)
+    model = CondSRVAE(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 16, 16, 4)),
+        jnp.zeros((1, 8, 8, 4)),
+        jax.random.PRNGKey(1),
+        train=False,
+    )
+    lr = np.random.default_rng(8).random((14, 22, 4)).astype(np.float32)
+    single = SuperResolver(model, variables, seed=9)
+    meshed = SuperResolver(
+        model, variables, seed=9, mesh=make_mesh(MeshConfig(data=8, model=1))
+    )
+    a = single.super_resolve_tile(lr, overlap=2, batch=8)
+    b = meshed.super_resolve_tile(lr, overlap=2, batch=8)
+    assert b.shape == (28, 44, 4)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
 def test_tile_argument_validation(resolver):
     lr = np.zeros((12, 12, 4), np.float32)
     with pytest.raises(ValueError):
@@ -131,3 +158,38 @@ def test_tile_argument_validation(resolver):
         resolver.super_resolve_tile(lr, samples=0)
     with pytest.raises(ValueError):
         resolver.super_resolve_tile(np.zeros((2, 12, 12, 4), np.float32))
+    with pytest.raises(ValueError):
+        resolver.uncertainty_tile(lr, samples=1)  # variance needs >= 2
+    with pytest.raises(ValueError):
+        resolver.super_resolve_tile(lr, batch=0)
+
+
+def test_uncertainty_tile_maps(resolver):
+    lr = np.random.default_rng(9).random((14, 20, 4)).astype(np.float32) * 50
+    maps = resolver.uncertainty_tile(lr, samples=6, overlap=2, batch=4)
+    assert maps["mean"].shape == (28, 40, 4)
+    assert maps["std"].shape == (28, 40, 4)
+    assert (maps["variance"] >= 0).all()
+    np.testing.assert_allclose(
+        maps["std"], np.sqrt(maps["variance"]), rtol=1e-6
+    )
+    # posterior draws genuinely vary -> nonzero spread somewhere
+    assert float(maps["std"].max()) > 0.0
+    assert np.isfinite(maps["mean"]).all()
+
+
+def test_uncertainty_tile_single_window_matches_moments():
+    """On a window-sized raster the stitched moments reduce to plain
+    per-pixel sample moments of the draws the endpoint would produce."""
+    lr = np.random.default_rng(10).random((8, 8, 4)).astype(np.float32)
+    a = _make_resolver(seed=11)
+    maps = a.uncertainty_tile(lr, samples=5, overlap=0, batch=1)
+    b = _make_resolver(seed=11)
+    draws = np.stack(
+        [np.asarray(b.super_resolve_tile(lr, overlap=0, batch=1))
+         for _ in range(5)]
+    )
+    np.testing.assert_allclose(maps["mean"], draws.mean(0), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(maps["variance"], draws.var(0), rtol=1e-4,
+                               atol=1e-6)
