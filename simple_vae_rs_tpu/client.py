@@ -1,0 +1,130 @@
+"""HTTP client for the model server: typed endpoints over raw ``.npy`` bodies.
+
+The server (``server.py``) negotiates two encodings; the fast one —
+``application/x-npy`` request / ``.npy``-or-``.npz`` response — takes a
+little ceremony to hand-roll, so this stdlib-only client packages it:
+
+    from simple_vae_rs_tpu.client import Client
+
+    c = Client("http://127.0.0.1:8471")
+    c.health()                                  # dict
+    sr = c.super_resolve(lr_batch)              # (B, ps, ps, C) ndarray
+    big = c.super_resolve_tile(lr_raster)       # (2H, 2W, C) ndarray
+    maps = c.uncertainty(lr_patch, samples=64)  # {mean, std, variance}
+    maps = c.uncertainty_tile(lr_raster)        # same, any raster size
+
+Endpoint options (``samples``/``chunk``/``overlap``/``batch``) ride a JSON
+body instead (the npy encoding has no side-channel for them); array-only
+calls default to npy for speed. No third-party dependencies — mirrors the
+server's stdlib-only contract (the reference has no serving client at all;
+its inference story is ``/root/reference/train.py:54-59``).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import urllib.error
+import urllib.request
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+_JSON = "application/json"
+_NPY = "application/x-npy"
+
+
+class ServerError(RuntimeError):
+    """Non-2xx reply from the model server (message from its error body)."""
+
+
+class Client:
+    """Thin typed wrapper over the model server's HTTP endpoints."""
+
+    def __init__(self, base_url: str, timeout: float = 600.0) -> None:
+        self.base_url = base_url.rstrip("/")
+        self.timeout = timeout
+
+    # ------------------------------------------------------------- plumbing
+    def _request(self, path: str, body: Optional[bytes] = None,
+                 ctype: str = _JSON):
+        req = urllib.request.Request(
+            self.base_url + path,
+            data=body,
+            method="GET" if body is None else "POST",
+            headers={} if body is None else {"Content-Type": ctype},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                return resp.read(), resp.headers.get("Content-Type", _JSON)
+        except urllib.error.HTTPError as e:
+            detail = e.read().decode("utf-8", "replace")
+            try:
+                detail = json.loads(detail).get("error", detail)
+            except ValueError:
+                pass
+            raise ServerError(f"{e.code} on {path}: {detail}") from None
+
+    @staticmethod
+    def _npy(arr) -> bytes:
+        buf = io.BytesIO()
+        np.save(buf, np.asarray(arr, np.float32))
+        return buf.getvalue()
+
+    @staticmethod
+    def _decode(body: bytes, ctype: str) -> Dict[str, np.ndarray]:
+        if ctype.startswith(_NPY):
+            return {"sr": np.load(io.BytesIO(body), allow_pickle=False)}
+        if ctype.startswith("application/x-npz"):
+            with np.load(io.BytesIO(body), allow_pickle=False) as z:
+                return {k: z[k] for k in z.files}
+        return {k: np.asarray(v) for k, v in json.loads(body).items()}
+
+    def _post_array(self, path: str, lr, **options) -> Dict[str, np.ndarray]:
+        """npy body when there are no options, JSON body otherwise."""
+        opts = {k: v for k, v in options.items() if v is not None}
+        if opts:
+            body = json.dumps(
+                {"lr": np.asarray(lr, np.float32).tolist(), **opts}
+            ).encode()
+            out, ctype = self._request(path, body, _JSON)
+        else:
+            out, ctype = self._request(path, self._npy(lr), _NPY)
+        return self._decode(out, ctype)
+
+    # ------------------------------------------------------------ endpoints
+    def health(self) -> Dict[str, Any]:
+        out, _ = self._request("/healthz")
+        return json.loads(out)
+
+    def super_resolve(self, lr) -> np.ndarray:
+        """LR batch (B, ps/2, ps/2, C) -> single-draw SR (B, ps, ps, C)."""
+        return self._post_array("/v1/super_resolve", lr)["sr"]
+
+    def super_resolve_tile(
+        self, lr, overlap: Optional[int] = None, batch: Optional[int] = None,
+        samples: Optional[int] = None,
+    ) -> np.ndarray:
+        """Arbitrary-size LR raster (H, W, C) -> stitched SR (2H, 2W, C)."""
+        return self._post_array(
+            "/v1/super_resolve_tile", lr,
+            overlap=overlap, batch=batch, samples=samples,
+        )["sr"]
+
+    def uncertainty(
+        self, lr, samples: Optional[int] = None, chunk: Optional[int] = None
+    ) -> Dict[str, np.ndarray]:
+        """Posterior mean/std/variance maps for one LR patch."""
+        return self._post_array(
+            "/v1/uncertainty", lr, samples=samples, chunk=chunk
+        )
+
+    def uncertainty_tile(
+        self, lr, samples: Optional[int] = None, overlap: Optional[int] = None,
+        batch: Optional[int] = None,
+    ) -> Dict[str, np.ndarray]:
+        """Posterior mean/std/variance maps for one arbitrary-size raster."""
+        return self._post_array(
+            "/v1/uncertainty_tile", lr,
+            samples=samples, overlap=overlap, batch=batch,
+        )

@@ -43,6 +43,28 @@ def _post(url, body, ctype):
         return resp.read(), resp.headers.get("Content-Type")
 
 
+def test_client_roundtrip(server_url):
+    """The stdlib Client drives every endpoint: npy fast path for plain
+    arrays, JSON when options ride along, error surfacing."""
+    from simple_vae_rs_tpu.client import Client, ServerError
+
+    c = Client(server_url, timeout=120)
+    assert c.health()["status"] == "ok"
+    lr = np.random.default_rng(11).random((2, 8, 8, 4)).astype(np.float32)
+    sr = c.super_resolve(lr)  # npy body -> npy response
+    assert sr.shape == (2, 16, 16, 4)
+    raster = np.random.default_rng(12).random((10, 14, 4)).astype(np.float32)
+    big = c.super_resolve_tile(raster, overlap=2, batch=4)  # JSON body
+    assert big.shape == (20, 28, 4)
+    maps = c.uncertainty(lr[0], samples=3, chunk=3)
+    assert set(maps) == {"mean", "std", "variance"}
+    assert maps["mean"].shape == (16, 16, 4)
+    tile_maps = c.uncertainty_tile(raster, samples=3, overlap=2, batch=4)
+    assert tile_maps["mean"].shape == (20, 28, 4)
+    with pytest.raises(ServerError, match="404"):
+        c._request("/v1/nope", b"{}")
+
+
 def test_healthz(server_url):
     with urllib.request.urlopen(server_url + "/healthz", timeout=30) as resp:
         info = json.loads(resp.read())
