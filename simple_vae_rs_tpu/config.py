@@ -54,7 +54,9 @@ class VAEConfig:
     latent_size_override: int = 0
 
     def __post_init__(self) -> None:
-        if self.latent_size_override and self.latent_size_override % 64:
+        if self.latent_size_override and (
+            self.latent_size_override < 0 or self.latent_size_override % 64
+        ):
             raise ValueError(
                 "latent_size_override must be a positive multiple of 64 "
                 f"(got {self.latent_size_override})"
@@ -106,7 +108,9 @@ class CondSRVAEConfig:
     latent_size_override: int = 0
 
     def __post_init__(self) -> None:
-        if self.latent_size_override and self.latent_size_override % 256:
+        if self.latent_size_override and (
+            self.latent_size_override < 0 or self.latent_size_override % 256
+        ):
             raise ValueError(
                 "latent_size_override must be a positive multiple of 256 "
                 f"(got {self.latent_size_override})"

@@ -257,32 +257,35 @@ class SuperResolver:
         return out[:b] if (self._batch_sharding is not None and pad) else out
 
     def super_resolve_tile(
-        self, y, overlap: int = 4, batch: int = 16, samples: int = 1
+        self, y, overlap: Optional[int] = None, batch: int = 16,
+        samples: int = 1,
     ) -> np.ndarray:
         """Arbitrary-size LR raster (H, W, C) -> seam-free SR (2H, 2W, C).
 
         The reference (and ``super_resolve``) only handles model-sized
         patches; this covers a whole tile: one normalization over the FULL
         raster (per-window min-max would shift brightness between
-        windows), an overlapping window grid (``ops/tiling.grid_starts``),
-        fixed-shape batches through the compiled endpoint (every chunk is
-        padded to ``batch`` so one compile serves any tile size), and a
-        feathered blend of the SR windows — overlap doubles in SR space
-        (``ops/tiling.stitch``). Rasters smaller than one window are
-        reflect-padded up and cropped after. ``samples > 1`` averages
-        that many posterior draws per window (an MMSE-flavored output
-        whose extra smoothness also suppresses seam variance).
+        windows), an overlapping window grid (``ops/tiling.grid_starts``;
+        ``overlap=None`` -> min(4, window//2)), fixed-shape batches
+        through the compiled endpoint (every chunk is padded to ``batch``
+        so one compile serves any tile size), and a feathered blend of the
+        SR windows — overlap doubles in SR space (``ops/tiling.stitch``).
+        Rasters smaller than one window are reflect-padded up and cropped
+        after. ``samples > 1`` averages that many posterior draws per
+        window (an MMSE-flavored output whose extra smoothness also
+        suppresses seam variance); (window, draw) pairs pack into the same
+        fixed-shape batches, so extra draws cost dispatches proportional
+        to ``samples / batch``, not ``samples``.
         """
         from simple_vae_rs_tpu.ops.tiling import stitch
 
         if samples < 1:
             raise ValueError(f"samples must be >= 1 (got {samples})")
-        wins, starts, (h, w), (hp, wp) = self._tile_windows(y, overlap)
-        acc = None
-        for _ in range(samples):
-            draw = self._tile_pass(wins, batch)
-            acc = draw if acc is None else acc + draw
-        sr_wins = acc / samples
+        wins, starts, (h, w), (hp, wp), overlap = self._tile_windows(y, overlap)
+        if samples == 1:
+            sr_wins = self._tile_pass(wins, batch)
+        else:
+            sr_wins, _ = self._tile_draw_moments(wins, samples, batch)
         out = stitch(
             sr_wins, [(2 * a, 2 * b) for a, b in starts],
             (2 * hp, 2 * wp), 2 * overlap,
@@ -290,13 +293,15 @@ class SuperResolver:
         return out[:2 * h, :2 * w]
 
     def uncertainty_tile(
-        self, y, samples: int = 32, overlap: int = 4, batch: int = 16
+        self, y, samples: int = 32, overlap: Optional[int] = None,
+        batch: int = 16,
     ) -> Dict[str, np.ndarray]:
         """Whole-raster posterior SR statistics: mean/std/variance maps.
 
         Same window grid as ``super_resolve_tile``; per-pixel first and
-        second moments over ``samples`` draws are accumulated per window,
-        then each moment field is feather-stitched. The stitched variance
+        second moments over ``samples`` draws are accumulated per window
+        (packed batches — see ``_tile_draw_moments``), then each moment
+        field is feather-stitched. The stitched variance
         ``blend(E[x^2]) - blend(E[x])^2`` is the variance of the blended
         posterior mixture: inside overlap bands it adds the between-window
         disagreement on top of the blended within-window variance (Jensen
@@ -306,13 +311,8 @@ class SuperResolver:
 
         if samples < 2:
             raise ValueError(f"samples must be >= 2 (got {samples})")
-        wins, starts, (h, w), (hp, wp) = self._tile_windows(y, overlap)
-        s1 = s2 = None
-        for _ in range(samples):
-            draw = self._tile_pass(wins, batch)
-            s1 = draw if s1 is None else s1 + draw
-            s2 = draw * draw if s2 is None else s2 + draw * draw
-        m1, m2 = s1 / samples, s2 / samples
+        wins, starts, (h, w), (hp, wp), overlap = self._tile_windows(y, overlap)
+        m1, m2 = self._tile_draw_moments(wins, samples, batch)
         starts_sr = [(2 * a, 2 * b) for a, b in starts]
         out_hw = (2 * hp, 2 * wp)
         mean = stitch(m1, starts_sr, out_hw, 2 * overlap)[:2 * h, :2 * w]
@@ -321,12 +321,16 @@ class SuperResolver:
         return {"mean": mean, "std": np.sqrt(var), "variance": var}
 
     # ------------------------------------------------------ tile plumbing
-    def _tile_windows(self, y, overlap: int):
+    def _tile_windows(self, y, overlap: Optional[int]):
         """Normalize a raster once, cover it with the overlapping window
-        grid: (N, p, p, C) windows + their starts + original/padded HW."""
+        grid: (N, p, p, C) windows + starts + original/padded HW + the
+        resolved overlap. All host-side numpy — the raster never touches
+        the device until the windows go through the compiled endpoint
+        (min-max + pad are trivial next to a full-raster transfer on a
+        remote link)."""
         from simple_vae_rs_tpu.ops.tiling import grid_starts
 
-        y = jnp.asarray(y)
+        y = np.asarray(y, np.float32)
         if y.ndim == 4:
             if y.shape[0] != 1:
                 raise ValueError("tile endpoints serve one raster per call")
@@ -334,24 +338,28 @@ class SuperResolver:
         if y.ndim != 3:
             raise ValueError(f"expected (H, W, C) raster, got shape {y.shape}")
         p = int(self.model.config.patch_size) // 2
+        if overlap is None:
+            overlap = min(4, p // 2)
         if not 0 <= overlap <= p // 2:
             raise ValueError(f"overlap must be in [0, {p // 2}] (got {overlap})")
         if self.normalize:
-            y = normalize_image(y.astype(jnp.float32))
-        h, w = int(y.shape[0]), int(y.shape[1])
+            # host mirror of utils.image.normalize_image (same formula)
+            mn = y.min(axis=(0, 1), keepdims=True)
+            mx = y.max(axis=(0, 1), keepdims=True)
+            y = (y - mn) / (mx - mn + 1e-5)
+        h, w = y.shape[:2]
         pad_h, pad_w = max(0, p - h), max(0, p - w)
         if pad_h or pad_w:
-            y = jnp.pad(y, ((0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
-        hp, wp = int(y.shape[0]), int(y.shape[1])
+            y = np.pad(y, ((0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
+        hp, wp = y.shape[:2]
         stride = p - overlap if overlap else p
         starts = [
             (sh, sw)
             for sh in grid_starts(hp, p, stride)
             for sw in grid_starts(wp, p, stride)
         ]
-        y_np = np.asarray(y)
-        wins = np.stack([y_np[a:a + p, b:b + p] for a, b in starts])
-        return wins, starts, (h, w), (hp, wp)
+        wins = np.stack([y[a:a + p, b:b + p] for a, b in starts])
+        return wins, starts, (h, w), (hp, wp), overlap
 
     def _tile_pass(self, wins: np.ndarray, batch: int) -> np.ndarray:
         """One posterior draw for every window, in fixed-shape batches
@@ -369,6 +377,33 @@ class SuperResolver:
             sr = np.asarray(self.super_resolve(chunk, normalize=False))
             outs.append(sr[:len(sr) - short] if short else sr)
         return np.concatenate(outs)
+
+    def _tile_draw_moments(
+        self, wins: np.ndarray, samples: int, batch: int
+    ) -> tuple:
+        """Per-window first/second per-pixel sample moments over
+        ``samples`` posterior draws. The (window, draw) work list is
+        window-major and packs into fixed-shape batches — so the cost is
+        ceil(N*samples/batch) dispatches, not samples*ceil(N/batch):
+        per-dispatch latency dominates on remote links, and a free batch
+        slot might as well carry the next window's draw. Slots past the
+        end repeat the last window and are dropped from the sums."""
+        if batch < 1:
+            raise ValueError(f"batch must be >= 1 (got {batch})")
+        n = len(wins)
+        total = n * samples
+        s1 = s2 = None
+        for i in range(0, total, batch):
+            idx = np.minimum(np.arange(i, i + batch) // samples, n - 1)
+            sr = np.asarray(self.super_resolve(wins[idx], normalize=False),
+                            dtype=np.float32)
+            if s1 is None:
+                s1 = np.zeros((n, *sr.shape[1:]), np.float32)
+                s2 = np.zeros_like(s1)
+            valid = min(batch, total - i)
+            np.add.at(s1, idx[:valid], sr[:valid])
+            np.add.at(s2, idx[:valid], sr[:valid] ** 2)
+        return s1 / samples, s2 / samples
 
     def uncertainty(self, y, samples: int = 32,
                     chunk: Optional[int] = None) -> Dict[str, Array]:

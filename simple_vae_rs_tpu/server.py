@@ -106,7 +106,8 @@ class ModelService:
 
     def super_resolve_tile(self, body: bytes, ctype: str) -> Tuple[bytes, str]:
         lr, payload = self._decode(body, ctype)
-        overlap = int(payload.get("overlap", 4))
+        overlap = payload.get("overlap")  # None -> min(4, window//2)
+        overlap = int(overlap) if overlap is not None else None
         batch = int(payload.get("batch", 16))
         samples = int(payload.get("samples", 1))
         with self.lock:
@@ -120,7 +121,8 @@ class ModelService:
     def uncertainty_tile(self, body: bytes, ctype: str) -> Tuple[bytes, str]:
         lr, payload = self._decode(body, ctype)
         samples = int(payload.get("samples", 32))
-        overlap = int(payload.get("overlap", 4))
+        overlap = payload.get("overlap")  # None -> min(4, window//2)
+        overlap = int(overlap) if overlap is not None else None
         batch = int(payload.get("batch", 16))
         with self.lock:
             maps = self.resolver.uncertainty_tile(

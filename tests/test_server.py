@@ -61,6 +61,14 @@ def test_client_roundtrip(server_url):
     assert maps["mean"].shape == (16, 16, 4)
     tile_maps = c.uncertainty_tile(raster, samples=3, overlap=2, batch=4)
     assert tile_maps["mean"].shape == (20, 28, 4)
+    # option-less calls take the npy fast path end to end (npz decode
+    # for the multi-array uncertainty response)
+    big2 = c.super_resolve_tile(raster)
+    assert big2.shape == (20, 28, 4)
+    maps2 = c.uncertainty(lr[0])
+    assert set(maps2) == {"mean", "std", "variance"}
+    tile2 = c.uncertainty_tile(raster, samples=3)  # JSON (one option)
+    assert set(tile2) == {"mean", "std", "variance"}
     with pytest.raises(ServerError, match="404"):
         c._request("/v1/nope", b"{}")
 

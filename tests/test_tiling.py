@@ -180,16 +180,53 @@ def test_uncertainty_tile_maps(resolver):
 
 def test_uncertainty_tile_single_window_matches_moments():
     """On a window-sized raster the stitched moments reduce to plain
-    per-pixel sample moments of the draws the endpoint would produce."""
+    per-pixel sample moments: the packed work list for one window is the
+    window repeated ``samples`` times in one batch, so a fresh same-seed
+    resolver fed exactly that batch reproduces the draws."""
     lr = np.random.default_rng(10).random((8, 8, 4)).astype(np.float32)
     a = _make_resolver(seed=11)
-    maps = a.uncertainty_tile(lr, samples=5, overlap=0, batch=1)
+    maps = a.uncertainty_tile(lr, samples=5, overlap=0, batch=5)
+    mn = lr.min((0, 1), keepdims=True)
+    mx = lr.max((0, 1), keepdims=True)
+    norm = (lr - mn) / (mx - mn + 1e-5)
     b = _make_resolver(seed=11)
-    draws = np.stack(
-        [np.asarray(b.super_resolve_tile(lr, overlap=0, batch=1))
-         for _ in range(5)]
+    draws = np.asarray(
+        b.super_resolve(np.repeat(norm[None], 5, axis=0), normalize=False)
     )
     np.testing.assert_allclose(maps["mean"], draws.mean(0), rtol=1e-5,
                                atol=1e-6)
     np.testing.assert_allclose(maps["variance"], draws.var(0), rtol=1e-4,
                                atol=1e-6)
+
+
+def test_uncertainty_tile_packs_draws_into_batches(resolver, monkeypatch):
+    """(window, draw) pairs share batch slots: 4 windows x 8 draws at
+    batch=16 is 2 dispatches, not 8 passes of 1."""
+    calls = []
+    orig = type(resolver).super_resolve
+
+    def counting(self, y, normalize=None):
+        calls.append(np.asarray(y).shape)
+        return orig(self, y, normalize=normalize)
+
+    monkeypatch.setattr(type(resolver), "super_resolve", counting)
+    lr = np.random.default_rng(13).random((16, 16, 4)).astype(np.float32)
+    maps = resolver.uncertainty_tile(lr, samples=8, overlap=0, batch=16)
+    assert maps["mean"].shape == (32, 32, 4)
+    assert len(calls) == 2 and all(s == (16, 8, 8, 4) for s in calls)
+
+
+def test_tile_default_overlap_adapts_to_small_windows():
+    """overlap=None resolves to min(4, window//2), so defaults stay valid
+    for small-patch models (window 8 -> overlap 4 allowed; explicit 5 not)."""
+    r = _make_resolver()
+    lr = np.random.default_rng(14).random((10, 12, 4)).astype(np.float32)
+    out = r.super_resolve_tile(lr)  # default overlap must not raise
+    assert out.shape == (20, 24, 4)
+    with pytest.raises(ValueError):
+        r.super_resolve_tile(lr, overlap=5)
+
+
+def test_latent_override_rejects_negative():
+    with pytest.raises(ValueError):
+        CondSRVAEConfig(latent_size_override=-13568)
