@@ -435,8 +435,20 @@ class SuperResolver:
         return self.uncertainty(y, samples=samples, chunk=chunk)["mean"]
 
 
-def warmup(resolver: SuperResolver, lr_shape=(1, 32, 32, 4)) -> None:
-    """Compile the serving endpoints ahead of traffic."""
+def warmup(
+    resolver: SuperResolver, lr_shape=(1, 32, 32, 4),
+    tile_batch: Optional[int] = 16,
+) -> None:
+    """Compile the serving endpoints ahead of traffic.
+
+    ``tile_batch`` also pre-compiles the fixed window-batch shape the
+    ``*_tile`` endpoints dispatch (their default ``batch=16``) — otherwise
+    the first whole-raster request pays that compile (~13 s measured on
+    the tunneled v5e). Pass ``None`` to skip it.
+    """
     y = np.zeros(lr_shape, np.float32)
     jax.block_until_ready(resolver.super_resolve(y))
     jax.block_until_ready(resolver.uncertainty(y, samples=2, chunk=2)["mean"])
+    if tile_batch:
+        wins = np.zeros((tile_batch, *lr_shape[1:]), np.float32)
+        jax.block_until_ready(resolver.super_resolve(wins, normalize=False))

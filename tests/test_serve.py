@@ -68,6 +68,7 @@ def test_uncertainty_auto_chunk_default(resolver):
 
 def test_warmup(resolver):
     warmup(resolver, lr_shape=(1, 8, 8, 4))
+    warmup(resolver, lr_shape=(1, 8, 8, 4), tile_batch=None)
 
 
 def test_from_checkpoint_srvae(tmp_path):
