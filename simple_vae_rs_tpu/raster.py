@@ -1,0 +1,205 @@
+"""Whole-raster SR command: GeoTIFF in -> super-resolved GeoTIFF out.
+
+The last mile of the serving story: the reference's inference is a fixed
+patch task inside training (``/root/reference/train.py:54-59``,
+``models/base.py:306-348``) and it never writes a raster product. This
+command covers the full workflow a remote-sensing user actually has — a
+satellite tile on disk in, a 2x SR tile (and optionally a per-pixel
+posterior-std map) out, radiometry preserved:
+
+    # local model
+    python -m simple_vae_rs_tpu.raster scene_lr.tif scene_sr.tif \
+        --model_ckpt ckpt/job -cr 1.2 --patch_size 64 [--int8]
+
+    # against a running model server (no local accelerator needed)
+    python -m simple_vae_rs_tpu.raster scene_lr.tif scene_sr.tif \
+        --url http://tpu-host:8471 --uncertainty
+
+Behavior:
+
+- Reads any TIFF the codec handles (``data/tiffio.read_tiff``: striped,
+  uint8/16/32 / int16/32 / float32, band-interleaved or band-sequential,
+  LZW/deflate + predictor). Output mirrors the input's band layout.
+- The model consumes min-max-normalized [0,1] inputs and emits [0,1]
+  (both decoders end in sigmoid); by default the SR output is mapped
+  back through the exact inverse of the serving normalization
+  (``x * (max - min + 1e-5) + min`` per channel) and cast to the input
+  dtype, so the product is radiometrically comparable to the input.
+  ``--scale unit`` writes the raw [0,1] float32 instead.
+- ``--uncertainty`` additionally writes the per-pixel posterior std map
+  (float32, in input units under ``--scale input``) next to the output
+  (or at ``--std_out``), and makes the main output the posterior MEAN
+  over ``--samples`` draws rather than a single draw.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from simple_vae_rs_tpu.data.tiffio import read_tiff, write_tiff
+
+_EPS = 1e-5  # matches utils.image.normalize_image / serve._tile_windows
+
+
+def _to_hwc(arr: np.ndarray, channels: Optional[int]) -> Tuple[np.ndarray, str]:
+    """Raster as (H, W, C) plus the layout tag needed to write it back.
+
+    ``read_tiff`` returns (H, W) single-band, (H, W, C) interleaved or
+    (C, H, W) band-sequential; a bare 3-D array does not carry which.
+    The expected channel count (from the model config or the server's
+    /healthz) disambiguates; otherwise the small-axis heuristic does.
+    """
+    if arr.ndim == 2:
+        return arr[:, :, None], "hw"
+    if arr.ndim != 3:
+        raise ValueError(f"expected a 2-D or 3-D raster, got shape {arr.shape}")
+    first, last = arr.shape[0], arr.shape[-1]
+    if channels is not None and (first == channels) != (last == channels):
+        chw = first == channels
+    else:
+        chw = first <= 16 < last
+    return (np.moveaxis(arr, 0, -1), "chw") if chw else (arr, "hwc")
+
+
+def _from_hwc(arr: np.ndarray, layout: str) -> np.ndarray:
+    if layout == "hw":
+        return arr[:, :, 0]
+    if layout == "chw":
+        return np.moveaxis(arr, -1, 0)
+    return arr
+
+
+def _cast_like(arr: np.ndarray, dtype: np.dtype) -> np.ndarray:
+    if np.issubdtype(dtype, np.integer):
+        info = np.iinfo(dtype)
+        return np.clip(np.rint(arr), info.min, info.max).astype(dtype)
+    return arr.astype(dtype)
+
+
+def _open_endpoints(args):
+    """(sr_tile, unc_tile, expected_channels) for local or remote mode."""
+    if args.url:
+        from simple_vae_rs_tpu.client import Client
+
+        c = Client(args.url, timeout=args.timeout)
+        info = c.health()
+        return c.super_resolve_tile, c.uncertainty_tile, info.get("channels")
+    if not args.model_ckpt:
+        raise SystemExit("one of --model_ckpt or --url is required")
+    from simple_vae_rs_tpu.serve import SuperResolver
+
+    r = SuperResolver.from_checkpoint(
+        args.model_ckpt, cr=args.compression_ratio,
+        patch_size=args.patch_size, channels=args.channels,
+        latent_size=args.latent_size, model_type=args.model_type,
+        seed=args.seed, int8=args.int8,
+    )
+    return r.super_resolve_tile, r.uncertainty_tile, args.channels
+
+
+def run(args) -> None:
+    sr_tile, unc_tile, channels = _open_endpoints(args)
+    raw = read_tiff(args.input)
+    hwc, layout = _to_hwc(raw, channels)
+    if channels is not None and hwc.shape[-1] != channels:
+        raise SystemExit(
+            f"{args.input}: {hwc.shape[-1]} band(s), model expects {channels}"
+        )
+    in_dtype = raw.dtype
+    lr = hwc.astype(np.float32)
+    mn = lr.min(axis=(0, 1), keepdims=True)
+    denom = lr.max(axis=(0, 1), keepdims=True) - mn + _EPS
+
+    opts = dict(overlap=args.overlap, batch=args.batch)
+    if args.uncertainty:
+        maps = unc_tile(lr, samples=args.samples or 32, **opts)
+        sr, std = np.asarray(maps["mean"]), np.asarray(maps["std"])
+    else:
+        sr = np.asarray(sr_tile(lr, samples=args.samples, **opts))
+        std = None
+
+    predictor = args.predictor and not np.issubdtype(in_dtype, np.floating)
+    if args.scale == "input":
+        out = _cast_like(sr * denom + mn, in_dtype)
+    else:
+        out = sr.astype(np.float32)
+        predictor = False
+    write_tiff(args.output, _from_hwc(out, layout),
+               planar_channels_first=layout == "chw",
+               compression=args.compression, predictor=predictor)
+    print(f"wrote {args.output}: {out.shape} {out.dtype} "
+          f"({'input-scale' if args.scale == 'input' else '[0,1] float'})")
+
+    if std is not None:
+        std_out = args.std_out
+        if not std_out:
+            stem, ext = os.path.splitext(args.output)
+            std_out = f"{stem}_std{ext or '.tif'}"
+        if args.scale == "input":
+            std = std * denom  # std is scale-equivariant; no offset
+        write_tiff(std_out, _from_hwc(std.astype(np.float32), layout),
+                   planar_channels_first=layout == "chw",
+                   compression=args.compression, predictor=False)
+        print(f"wrote {std_out}: posterior std, float32")
+
+
+def main(argv: Optional[list] = None) -> None:
+    p = argparse.ArgumentParser(
+        prog="python -m simple_vae_rs_tpu.raster",
+        description="2x super-resolve a whole GeoTIFF raster "
+                    "(optionally with a posterior-uncertainty map).",
+    )
+    p.add_argument("input", help="LR raster (any size the codec reads)")
+    p.add_argument("output", help="SR raster to write (2H x 2W)")
+    src = p.add_argument_group("model source (one of)")
+    src.add_argument("--model_ckpt", help="local checkpoint path")
+    src.add_argument("--url", help="running model server, e.g. "
+                     "http://127.0.0.1:8471 (ignores the local-model flags)")
+    loc = p.add_argument_group("local model config")
+    loc.add_argument("-cr", "--compression_ratio", type=float, default=1.2)
+    loc.add_argument("--patch_size", type=int, default=64)
+    loc.add_argument("--channels", type=int, default=4)
+    loc.add_argument("--latent_size", type=int, default=0)
+    loc.add_argument("--model_type", default="Cond_SRVAE",
+                     choices=["Cond_SRVAE", "SRVAE"])
+    loc.add_argument("--int8", action="store_true",
+                     help="serve through the int8 W8A8 decoder")
+    loc.add_argument("--seed", type=int, default=0)
+    p.add_argument("--uncertainty", action="store_true",
+                   help="output = posterior mean; also write the std map")
+    p.add_argument("--samples", type=int, default=None,
+                   help="posterior draws per window (SR default 1; "
+                   "uncertainty default 32)")
+    p.add_argument("--overlap", type=int, default=None,
+                   help="window overlap in LR pixels (default: auto)")
+    p.add_argument("--batch", type=int, default=None,
+                   help="windows per compiled dispatch (default 16)")
+    p.add_argument("--std_out", help="path for the std map "
+                   "(default: <output>_std.<ext>)")
+    p.add_argument("--scale", choices=["input", "unit"], default="input",
+                   help="'input': map SR back to the input radiometry and "
+                   "dtype (default); 'unit': raw [0,1] float32")
+    p.add_argument("--compression", choices=["none", "deflate", "lzw"],
+                   default="deflate", help="output compression (default "
+                   "deflate; lzw uses the pure-Python encoder — slow on "
+                   "large rasters)")
+    p.add_argument("--no_predictor", dest="predictor", action="store_false",
+                   help="disable horizontal-differencing on integer output")
+    p.add_argument("--timeout", type=float, default=600.0,
+                   help="HTTP timeout for --url mode")
+    args = p.parse_args(argv)
+    # client endpoints reject batch=None-substitutes themselves; local
+    # endpoints want concrete defaults
+    if not args.url:
+        args.batch = 16 if args.batch is None else args.batch
+        if args.samples is None and not args.uncertainty:
+            args.samples = 1
+    run(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Whole-raster CLI: TIFF in -> SR (+std) TIFF out, radiometry preserved."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from simple_vae_rs_tpu import raster
+from simple_vae_rs_tpu.config import CondSRVAEConfig, TrainConfig
+from simple_vae_rs_tpu.data.tiffio import read_tiff, write_tiff
+from simple_vae_rs_tpu.models import CondSRVAE
+from simple_vae_rs_tpu.train.checkpoint import save_checkpoint
+from simple_vae_rs_tpu.train.state import create_train_state, make_optimizer
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    cfg = CondSRVAEConfig(cr=2.0, patch_size=16)
+    model = CondSRVAE(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 16, 16, 4)),
+        jnp.zeros((1, 8, 8, 4)),
+        jax.random.PRNGKey(1),
+        train=False,
+    )
+    state = create_train_state(variables, make_optimizer(TrainConfig()),
+                               jax.random.PRNGKey(2))
+    path = str(tmp_path_factory.mktemp("ck") / "model")
+    save_checkpoint(path, state, epoch=1)
+    return path
+
+
+def _model_flags(ckpt):
+    return ["--model_ckpt", ckpt, "-cr", "2.0", "--patch_size", "16"]
+
+
+def test_sr_roundtrip_input_scale(ckpt, tmp_path):
+    rng = np.random.default_rng(0)
+    lr = (rng.random((20, 27, 4)) * 3000 + 500).astype(np.uint16)
+    src, dst = str(tmp_path / "lr.tif"), str(tmp_path / "sr.tif")
+    write_tiff(src, lr, compression="deflate", predictor=True)
+    raster.main([src, dst, *_model_flags(ckpt)])
+    out = read_tiff(dst)
+    assert out.shape == (40, 54, 4)
+    assert out.dtype == np.uint16
+    # radiometry preserved: output lives in the input's per-channel range
+    # (model emits [0,1]; inverse normalization maps it back)
+    for c in range(4):
+        assert out[..., c].min() >= lr[..., c].min() - 1
+        assert out[..., c].max() <= lr[..., c].max() + 1
+
+
+def test_sr_unit_scale_float(ckpt, tmp_path):
+    lr = np.random.default_rng(1).random((10, 10, 4)).astype(np.float32)
+    src, dst = str(tmp_path / "lr.tif"), str(tmp_path / "sr.tif")
+    write_tiff(src, lr)
+    raster.main([src, dst, *_model_flags(ckpt), "--scale", "unit",
+                 "--compression", "none"])
+    out = read_tiff(dst)
+    assert out.dtype == np.float32
+    assert 0.0 <= out.min() and out.max() <= 1.0
+
+
+def test_uncertainty_writes_std_map(ckpt, tmp_path):
+    lr = (np.random.default_rng(2).random((12, 12, 4)) * 900).astype(np.uint16)
+    src, dst = str(tmp_path / "lr.tif"), str(tmp_path / "sr.tif")
+    write_tiff(src, lr)
+    raster.main([src, dst, *_model_flags(ckpt), "--uncertainty",
+                 "--samples", "4"])
+    std_path = str(tmp_path / "sr_std.tif")
+    assert os.path.exists(std_path)
+    std = read_tiff(std_path)
+    assert std.shape == (24, 24, 4)
+    assert std.dtype == np.float32
+    assert (std >= 0).all() and np.isfinite(std).all()
+
+
+def test_planar_layout_preserved(ckpt, tmp_path):
+    lr = (np.random.default_rng(3).random((4, 18, 22)) * 100).astype(np.uint16)
+    src, dst = str(tmp_path / "lr.tif"), str(tmp_path / "sr.tif")
+    write_tiff(src, lr, planar_channels_first=True)
+    raster.main([src, dst, *_model_flags(ckpt)])
+    out = read_tiff(dst)
+    assert out.shape == (4, 36, 44)  # band-sequential in, band-sequential out
+
+
+def test_band_count_mismatch_is_clean(ckpt, tmp_path):
+    lr = np.random.default_rng(4).random((12, 12, 3)).astype(np.float32)
+    src, dst = str(tmp_path / "lr.tif"), str(tmp_path / "sr.tif")
+    write_tiff(src, lr)
+    with pytest.raises(SystemExit, match="3 band"):
+        raster.main([src, dst, *_model_flags(ckpt)])
+
+
+def test_layout_helpers():
+    hwc, layout = raster._to_hwc(np.zeros((4, 30, 40), np.float32), 4)
+    assert layout == "chw" and hwc.shape == (30, 40, 4)
+    hwc, layout = raster._to_hwc(np.zeros((30, 40, 4), np.float32), 4)
+    assert layout == "hwc" and hwc.shape == (30, 40, 4)
+    hwc, layout = raster._to_hwc(np.zeros((30, 40), np.float32), 1)
+    assert layout == "hw" and hwc.shape == (30, 40, 1)
+    # ambiguous (both axes == channels) falls back to interleaved
+    hwc, layout = raster._to_hwc(np.zeros((4, 40, 4), np.float32), 4)
+    assert layout == "hwc"
+    back = raster._from_hwc(hwc, layout)
+    assert back.shape == (4, 40, 4)
+
+
+def test_cast_like_clips_and_rounds():
+    arr = np.array([-5.4, 10.6, 70000.2])
+    out = raster._cast_like(arr, np.dtype(np.uint16))
+    assert out.dtype == np.uint16
+    assert list(out) == [0, 11, 65535]
+    f = raster._cast_like(arr, np.dtype(np.float32))
+    assert f.dtype == np.float32
