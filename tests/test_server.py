@@ -174,6 +174,23 @@ def test_error_paths(server_url):
     assert e.value.code == 404
 
 
+def test_raster_cli_remote_mode(server_url, tmp_path):
+    """python -m simple_vae_rs_tpu.raster --url drives a live server:
+    TIFF in -> SR TIFF out with no local model."""
+    from simple_vae_rs_tpu import raster
+    from simple_vae_rs_tpu.data.tiffio import read_tiff, write_tiff
+
+    lr = (np.random.default_rng(21).random((12, 14, 4)) * 500).astype(
+        np.uint16
+    )
+    src, dst = str(tmp_path / "lr.tif"), str(tmp_path / "sr.tif")
+    write_tiff(src, lr)
+    raster.main([src, dst, "--url", server_url, "--batch", "4"])
+    out = read_tiff(dst)
+    assert out.shape == (24, 28, 4)
+    assert out.dtype == np.uint16
+
+
 def test_concurrent_requests_serialize_cleanly(server_url):
     lr = json.dumps(
         {"lr": np.random.default_rng(4).random((1, 8, 8, 4)).tolist()}
