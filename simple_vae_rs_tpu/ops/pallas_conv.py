@@ -38,6 +38,7 @@ accumulator. ``fits_vmem`` guards applicability; callers fall back to
 from __future__ import annotations
 
 import os as _os
+from contextlib import contextmanager as _contextmanager
 from functools import partial
 from typing import Optional
 
@@ -847,6 +848,25 @@ def enable(value: bool = True) -> None:
 
 def is_enabled() -> bool:
     return _ENABLED
+
+
+@_contextmanager
+def force_xla():
+    """Trace-time scope that routes every conv dispatch gate to XLA.
+
+    GSPMD cannot partition a ``pallas_call``: a fused kernel traced into a
+    jit whose operands are sharded over a >1-device mesh fails to compile
+    (or silently replicates). Callers that jit eval-mode model graphs over
+    a mesh (the training engine's val/metric/image steps) trace under this
+    scope; meshed *serving* instead runs its endpoints per-shard inside
+    ``jax.shard_map``, which keeps the fused kernels alive (serve.py)."""
+    global _ENABLED
+    prev = _ENABLED
+    _ENABLED = False
+    try:
+        yield
+    finally:
+        _ENABLED = prev
 
 
 # Channel- and spatial-aware refinements (v5e, 2026-08-17 healthy-tunnel

@@ -217,6 +217,27 @@ class Trainer:
         self._val_step = jax.jit(val_step)
         self._eval_metrics_step = jax.jit(self._eval_metrics)
         self._eval_images_step = jax.jit(self._eval_images)
+        if self.mesh is not None and self.mesh.size > 1:
+            # The steps above run eval-mode model graphs (train=False)
+            # under plain jit with mesh-sharded batches. The train step is
+            # safe (the conv dispatch gates route training traces to XLA),
+            # but at eval shapes the fused Pallas conv kernels can pass
+            # their thresholds — and GSPMD cannot partition a pallas_call.
+            # Trace those steps with the conv routing forced to XLA; the
+            # fused ELBO row kernels inside val_step stay alive (they run
+            # per-shard via the mesh= argument to fused_*_loss), as do the
+            # serving endpoints (shard_map, serve.py).
+            from simple_vae_rs_tpu.ops import pallas_conv as _pc
+
+            def _xla_eval(f):
+                def g(*a, **k):
+                    with _pc.force_xla():
+                        return f(*a, **k)
+                return g
+
+            self._val_step = _xla_eval(self._val_step)
+            self._eval_metrics_step = _xla_eval(self._eval_metrics_step)
+            self._eval_images_step = _xla_eval(self._eval_images_step)
 
     # ------------------------------------------------------------ evaluation
     def _eval_metrics(self, state: TrainState, batch):

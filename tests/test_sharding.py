@@ -297,3 +297,52 @@ def test_dp_train_step_with_remat_matches_single_device():
     np.testing.assert_allclose(
         float(terms1["loss"]), float(terms2["loss"]), rtol=2e-4
     )
+
+
+def test_meshed_eval_steps_trace_with_pallas_conv_off():
+    """--pallas_conv on a >1-chip mesh: the engine's eval-mode steps
+    (val/metrics/images) must trace with the conv routing forced to XLA —
+    GSPMD cannot partition a pallas_call — while single-device trainers
+    keep the fused routing, and the process switch survives the calls."""
+    from simple_vae_rs_tpu.ops import pallas_conv as pc
+
+    batch = _batch(bs=8, ps=16, seed=7)
+    model = CondSRVAE(CondSRVAEConfig(cr=2.0, patch_size=16))
+    seen = []
+    orig = pc.is_enabled
+
+    def spy():
+        v = orig()
+        seen.append(v)
+        return v
+
+    pc.enable(True)
+    pc.is_enabled = spy
+    try:
+        mesh = make_mesh(MeshConfig(data=8, model=1))
+        t = Trainer(model, TrainConfig(), mesh=mesh)
+        s = t.init_state(batch)
+        t.state = s
+        dev = t._device_batch(batch)
+        seen.clear()  # init traces are train-mode; only eval traces matter
+        terms = t._val_step(s, dev)
+        assert np.isfinite(float(terms["loss"]))
+        sums = t._eval_metrics_step(s, dev)
+        assert np.isfinite(float(sums["ssim_sr"]))
+        imgs = t._eval_images_step(s, dev)
+        assert "Images/SR_Output" in imgs
+        # every dispatch gate consulted during those meshed eval traces
+        # saw the routing OFF
+        assert seen and not any(seen)
+        assert pc.is_enabled()  # scope restored after the calls
+
+        seen.clear()
+        t1 = Trainer(model, TrainConfig(), mesh=None)
+        s1 = t1.init_state(batch)
+        seen.clear()
+        t1._val_step(s1, t1._device_batch(batch))
+        # single-device eval keeps the fused routing available
+        assert seen and all(seen)
+    finally:
+        pc.is_enabled = orig
+        pc.enable(False)
