@@ -526,8 +526,14 @@ def tail_chain(mdl: nn.Module, h: Array, names, train: bool) -> Optional[Array]:
     opted in — it is measured-off by default, ``SVRS_CHAIN=1`` to enable;
     see the negative result in ``pallas_conv`` / BASELINE.md)."""
     from simple_vae_rs_tpu.ops import pallas_conv as pc
+    from simple_vae_rs_tpu.ops import quantize as qz
 
     if train or mdl.is_initializing() or not pc.chain_wanted():
+        return None
+    if qz.is_int8_enabled() and mdl.variables.get("quant"):
+        # int8 serving quantizes these tail convs per-layer; the float
+        # chain would silently de-quantize them — defer to the per-module
+        # path so the W8A8 kernels keep running under SVRS_CHAIN=1
         return None
     params = mdl.variables.get("params", {})
     if any(n not in params for n in names):

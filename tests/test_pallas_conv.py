@@ -489,3 +489,47 @@ def test_convT_deep_channel_dispatch_region():
     assert not pc.deep_channel_T(4096, 16, 16, 424)
     # channels unknown -> no exception
     assert not pc.deep_channel_T(250, 16, 16, None)
+
+
+def test_tail_chain_defers_to_int8_quant(monkeypatch):
+    """SVRS_CHAIN=1 must not silently de-quantize int8 serving: when the
+    int8 switch is on and the scope carries quant variables, tail_chain
+    defers to the per-module path (which dispatches the W8A8 kernels)."""
+    from simple_vae_rs_tpu.config import CondSRVAEConfig
+    from simple_vae_rs_tpu.models import CondSRVAE
+    from simple_vae_rs_tpu.ops import pallas_conv as pc
+    from simple_vae_rs_tpu.ops import quantize as qz
+
+    model = CondSRVAE(CondSRVAEConfig(cr=2.0, patch_size=16))
+    rng = np.random.default_rng(16)
+    x = jnp.array(rng.random((1, 16, 16, 4)).astype(np.float32))
+    y = jnp.array(rng.random((1, 8, 8, 4)).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, x, y, jax.random.PRNGKey(1),
+        train=False,
+    )
+    calls = []
+    orig = pc.fused_conv3x3_chain
+    monkeypatch.setattr(pc, "chain_wanted", lambda: True)
+    monkeypatch.setattr(
+        pc, "fused_conv3x3_chain",
+        lambda *a, **k: (calls.append(1), orig(*a, **k))[1],
+    )
+    key = jax.random.PRNGKey(9)
+
+    # float serving: the chain runs
+    model.apply(variables, x, y, key, train=False)
+    assert calls
+
+    # int8 serving: quant collection present + switch on -> chain defers
+    calls.clear()
+    qvars = dict(variables)
+    qvars["quant"] = qz.quantize_params_tree(
+        variables["params"], jax.random.PRNGKey(2)
+    )
+    qz.enable_int8(True)
+    try:
+        model.apply(qvars, x, y, key, train=False)
+    finally:
+        qz.enable_int8(False)
+    assert not calls
