@@ -13,9 +13,10 @@ little ceremony to hand-roll, so this stdlib-only client packages it:
     maps = c.uncertainty(lr_patch, samples=64)  # {mean, std, variance}
     maps = c.uncertainty_tile(lr_raster)        # same, any raster size
 
-Endpoint options (``samples``/``chunk``/``overlap``/``batch``) ride a JSON
-body instead (the npy encoding has no side-channel for them); array-only
-calls default to npy for speed. No third-party dependencies — mirrors the
+Endpoint options (``samples``/``chunk``/``overlap``/``batch``) ride the
+query string, so the array body stays binary npy even when options are
+set (a whole-raster payload as JSON lists would be ~4x the bytes plus a
+float text round trip). No third-party dependencies — mirrors the
 server's stdlib-only contract (the reference has no serving client at all;
 its inference story is ``/root/reference/train.py:54-59``).
 """
@@ -25,6 +26,7 @@ from __future__ import annotations
 import io
 import json
 import urllib.error
+import urllib.parse
 import urllib.request
 from typing import Any, Dict, Optional
 
@@ -81,15 +83,17 @@ class Client:
         return {k: np.asarray(v) for k, v in json.loads(body).items()}
 
     def _post_array(self, path: str, lr, **options) -> Dict[str, np.ndarray]:
-        """npy body when there are no options, JSON body otherwise."""
+        """Always the binary npy body; options ride the query string.
+
+        (An earlier revision fell back to a JSON ``tolist()`` body whenever
+        an option was set — ~4x the bytes plus a float text round trip,
+        exactly on the whole-raster endpoints where payloads are largest.
+        The server merges query params under JSON body fields, so both
+        encodings keep working for hand-rolled callers.)"""
         opts = {k: v for k, v in options.items() if v is not None}
         if opts:
-            body = json.dumps(
-                {"lr": np.asarray(lr, np.float32).tolist(), **opts}
-            ).encode()
-            out, ctype = self._request(path, body, _JSON)
-        else:
-            out, ctype = self._request(path, self._npy(lr), _NPY)
+            path = f"{path}?{urllib.parse.urlencode(opts)}"
+        out, ctype = self._request(path, self._npy(lr), _NPY)
         return self._decode(out, ctype)
 
     # ------------------------------------------------------------ endpoints

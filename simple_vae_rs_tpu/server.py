@@ -30,6 +30,11 @@ Two body encodings, negotiated by Content-Type:
   no float text round trip); response is ``.npy`` bytes (super_resolve) or
   a multi-array ``.npz`` (uncertainty).
 
+Endpoint options may also ride the query string on either encoding
+(``POST /v1/uncertainty?samples=64``) — that is how the typed client
+keeps the binary body when options are set; JSON body fields win over
+query params.
+
 Launch::
 
     python -m simple_vae_rs_tpu.server --model_ckpt ckpt/job -cr 1.2 \
@@ -44,6 +49,7 @@ import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, Optional, Tuple
+from urllib.parse import parse_qs, urlsplit
 
 import numpy as np
 
@@ -63,14 +69,21 @@ class ModelService:
 
     # ------------------------------------------------------------- decoding
     @staticmethod
-    def _decode(body: bytes, ctype: str) -> Tuple[np.ndarray, Dict[str, Any]]:
+    def _decode(
+        body: bytes, ctype: str, query: Optional[Dict[str, Any]] = None
+    ) -> Tuple[np.ndarray, Dict[str, Any]]:
+        """(lr array, options). Options merge query-string params (the
+        side channel that keeps the binary npy body viable when options
+        ride along — whole-raster payloads as JSON lists are ~4x the
+        bytes plus a float text round trip) under any JSON body fields
+        (explicit body wins)."""
         if ctype.startswith(_NPY):
             arr = np.load(io.BytesIO(body), allow_pickle=False)
-            return np.asarray(arr, np.float32), {}
+            return np.asarray(arr, np.float32), dict(query or {})
         payload = json.loads(body.decode("utf-8"))
         if "lr" not in payload:
             raise ValueError("missing 'lr' field")
-        return np.asarray(payload["lr"], np.float32), payload
+        return np.asarray(payload["lr"], np.float32), {**(query or {}), **payload}
 
     @staticmethod
     def _encode(arrays: Dict[str, np.ndarray], ctype: str) -> Tuple[bytes, str]:
@@ -98,14 +111,14 @@ class ModelService:
             "mesh": dict(r.mesh.shape) if r.mesh is not None else None,
         }
 
-    def super_resolve(self, body: bytes, ctype: str) -> Tuple[bytes, str]:
-        lr, _ = self._decode(body, ctype)
+    def super_resolve(self, body: bytes, ctype: str, query=None) -> Tuple[bytes, str]:
+        lr, _ = self._decode(body, ctype, query)
         with self.lock:
             out = np.asarray(self.resolver.super_resolve(lr))
         return self._encode({"sr": out}, ctype)
 
-    def super_resolve_tile(self, body: bytes, ctype: str) -> Tuple[bytes, str]:
-        lr, payload = self._decode(body, ctype)
+    def super_resolve_tile(self, body: bytes, ctype: str, query=None) -> Tuple[bytes, str]:
+        lr, payload = self._decode(body, ctype, query)
         overlap = payload.get("overlap")  # None -> min(4, window//2)
         overlap = int(overlap) if overlap is not None else None
         batch = int(payload.get("batch", 16))
@@ -118,8 +131,8 @@ class ModelService:
             )
         return self._encode({"sr": out}, ctype)
 
-    def uncertainty_tile(self, body: bytes, ctype: str) -> Tuple[bytes, str]:
-        lr, payload = self._decode(body, ctype)
+    def uncertainty_tile(self, body: bytes, ctype: str, query=None) -> Tuple[bytes, str]:
+        lr, payload = self._decode(body, ctype, query)
         samples = int(payload.get("samples", 32))
         overlap = payload.get("overlap")  # None -> min(4, window//2)
         overlap = int(overlap) if overlap is not None else None
@@ -132,8 +145,8 @@ class ModelService:
             {k: np.asarray(v) for k, v in maps.items()}, ctype
         )
 
-    def uncertainty(self, body: bytes, ctype: str) -> Tuple[bytes, str]:
-        lr, payload = self._decode(body, ctype)
+    def uncertainty(self, body: bytes, ctype: str, query=None) -> Tuple[bytes, str]:
+        lr, payload = self._decode(body, ctype, query)
         samples = int(payload.get("samples", 32))
         chunk = payload.get("chunk")  # None -> HBM-aware auto_chunk
         chunk = int(chunk) if chunk is not None else None
@@ -173,15 +186,17 @@ class _Handler(BaseHTTPRequestHandler):
             "/v1/uncertainty": self.service.uncertainty,
             "/v1/uncertainty_tile": self.service.uncertainty_tile,
         }
-        handler = routes.get(self.path)
+        split = urlsplit(self.path)
+        handler = routes.get(split.path)
         if handler is None:
             self._fail(404, f"unknown path {self.path}")
             return
         try:
+            query = {k: v[-1] for k, v in parse_qs(split.query).items()}
             length = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(length)
             ctype = self.headers.get("Content-Type", _JSON)
-            out, out_type = handler(body, ctype)
+            out, out_type = handler(body, ctype, query)
             self._reply(200, out, out_type)
         except (ValueError, KeyError, json.JSONDecodeError) as e:
             self._fail(400, str(e))

@@ -44,8 +44,8 @@ def _post(url, body, ctype):
 
 
 def test_client_roundtrip(server_url):
-    """The stdlib Client drives every endpoint: npy fast path for plain
-    arrays, JSON when options ride along, error surfacing."""
+    """The stdlib Client drives every endpoint: binary npy bodies
+    throughout (options ride the query string), error surfacing."""
     from simple_vae_rs_tpu.client import Client, ServerError
 
     c = Client(server_url, timeout=120)
@@ -54,7 +54,7 @@ def test_client_roundtrip(server_url):
     sr = c.super_resolve(lr)  # npy body -> npy response
     assert sr.shape == (2, 16, 16, 4)
     raster = np.random.default_rng(12).random((10, 14, 4)).astype(np.float32)
-    big = c.super_resolve_tile(raster, overlap=2, batch=4)  # JSON body
+    big = c.super_resolve_tile(raster, overlap=2, batch=4)  # npy + query opts
     assert big.shape == (20, 28, 4)
     maps = c.uncertainty(lr[0], samples=3, chunk=3)
     assert set(maps) == {"mean", "std", "variance"}
@@ -67,7 +67,7 @@ def test_client_roundtrip(server_url):
     assert big2.shape == (20, 28, 4)
     maps2 = c.uncertainty(lr[0])
     assert set(maps2) == {"mean", "std", "variance"}
-    tile2 = c.uncertainty_tile(raster, samples=3)  # JSON (one option)
+    tile2 = c.uncertainty_tile(raster, samples=3)  # npy + one query opt
     assert set(tile2) == {"mean", "std", "variance"}
     with pytest.raises(ServerError, match="404"):
         c._request("/v1/nope", b"{}")
@@ -172,6 +172,35 @@ def test_error_paths(server_url):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server_url + "/v1/nope", b"{}", "application/json")
     assert e.value.code == 404
+
+
+def test_query_string_options_with_npy_body(server_url):
+    """Options on the query string compose with the binary npy body (the
+    typed client's encoding for optioned calls); JSON body fields win
+    over query params."""
+    import io as _io
+
+    lr = np.random.default_rng(31).random((8, 8, 4)).astype(np.float32)
+    buf = _io.BytesIO()
+    np.save(buf, lr)
+    out, ctype = _post(
+        server_url + "/v1/uncertainty?samples=3&chunk=3",
+        buf.getvalue(), "application/x-npy",
+    )
+    assert ctype.startswith("application/x-npz")
+    with np.load(_io.BytesIO(out)) as z:
+        assert set(z.files) == {"mean", "std", "variance"}
+        assert z["mean"].shape == (16, 16, 4)
+
+    # JSON body value beats the query param: samples=2 in body is accepted
+    # even with samples=9999 in the query (which would be slow/huge)
+    body = json.dumps({"lr": lr.tolist(), "samples": 2, "chunk": 2}).encode()
+    out, ctype = _post(
+        server_url + "/v1/uncertainty?samples=4&chunk=2",
+        body, "application/json",
+    )
+    maps = json.loads(out)
+    assert np.asarray(maps["mean"]).shape == (16, 16, 4)
 
 
 def test_raster_cli_remote_mode(server_url, tmp_path):
