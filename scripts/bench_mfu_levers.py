@@ -149,6 +149,20 @@ if __name__ == "__main__":
     import sys
 
     if "--flags" in sys.argv:
+        # CLAUDE.md ("Environment gotchas"): on the tunneled TPU a single
+        # custom-flag recompile ran >50 min and wedged the remote compile
+        # service for over an hour. Require an explicit confirmation so
+        # nobody wedges the shared tunnel from the docstring alone.
+        if "--i_know_this_can_wedge_the_tunnel" not in sys.argv:
+            print(
+                "--flags recompiles the train step under custom XLA "
+                "compiler options. On THIS machine's tunneled TPU that "
+                "has wedged the remote compile service for >1 h (see "
+                "CLAUDE.md). The negative result is already recorded in "
+                "BASELINE.md; re-run only on a locally attached TPU with "
+                "--i_know_this_can_wedge_the_tunnel."
+            )
+            sys.exit(2)
         bench_flags()
     else:
         k = 8

@@ -185,18 +185,28 @@ def fused_conv3x3_bn_relu(
 _STRIPS_ENABLED = _os.environ.get("SVRS_PALLAS_STRIPS", "0") == "1"
 
 
-def _strip3_rows(h: int, w: int, c: int, o: int, itemsize: int) -> int:
-    """Largest strip height (a divisor of h, >= 8) whose tile fits."""
-    wgt = 9 * c * o * 4
+def strip_rows(h: int, tile_fits) -> int:
+    """Largest strip height (a divisor of h, >= 8) whose tile fits —
+    THE strip-height policy, shared by the f32/bf16 kernels here and the
+    int8 kernels (``pallas_int8``): the divisor ladder and the >= 8
+    sublane floor must stay in one place so the two dispatch regions
+    cannot drift apart."""
     for k in (2, 4, 8, 16):
         if h % k:
             continue
         th = h // k
         if th < 8:
             break
-        if _tile_bytes(th, w, c, o, itemsize) + wgt < _VMEM_BUDGET:
+        if tile_fits(th):
             return th
     return 0
+
+
+def _strip3_rows(h: int, w: int, c: int, o: int, itemsize: int) -> int:
+    wgt = 9 * c * o * 4
+    return strip_rows(
+        h, lambda th: _tile_bytes(th, w, c, o, itemsize) + wgt < _VMEM_BUDGET
+    )
 
 
 def can_fuse3(h: int, w: int, c: int, o: int, itemsize: int = 4) -> bool:

@@ -56,7 +56,12 @@ def _use_pallas() -> bool:
 
 
 def _mesh_batch_info(mesh) -> Tuple[Tuple[str, ...], int]:
-    axes = tuple(a for a in ("dcn", "data") if a in mesh.axis_names)
+    # single source of truth for which mesh axes carry the batch dim
+    # (parallel.mesh.batch_axes), filtered by presence so hand-built
+    # meshes without those axes degrade to the plain call
+    from simple_vae_rs_tpu.parallel.mesh import batch_axes
+
+    axes = tuple(a for a in batch_axes(mesh) if a in mesh.axis_names)
     n = 1
     for a in axes:
         n *= int(mesh.shape[a])

@@ -38,6 +38,7 @@ from simple_vae_rs_tpu.ops.pallas_conv import (
     _batch_tile,
     _rnd,
     _T_TAPS,
+    strip_rows,
 )
 
 try:  # SMEM for the global activation scale of the strip-tiled kernel
@@ -132,20 +133,13 @@ def fits_vmem3_int8(h, w, c, o, itemsize: int = 4) -> bool:
 # to re-enable for other shape regimes. The real tail lever is the fused
 # linear-chain kernel in ``pallas_conv.fused_conv3x3_chain``.
 def _strip3_rows(h, w, c, o, itemsize: int) -> int:
-    """Largest strip height (a divisor of h, >= 8) whose tile fits."""
-    for k in (2, 4, 8, 16):
-        if h % k:
-            continue
-        th = h // k
-        if th < 8:
-            break
-        if (
-            _tile_bytes_int8(th, w, c, o, itemsize=itemsize)
-            + _wbytes(9, c, o)
-            < _VMEM_BUDGET
-        ):
-            return th
-    return 0
+    """Largest strip height whose tile fits (policy: pallas_conv.strip_rows)."""
+    return strip_rows(
+        h,
+        lambda th: _tile_bytes_int8(th, w, c, o, itemsize=itemsize)
+        + _wbytes(9, c, o)
+        < _VMEM_BUDGET,
+    )
 
 
 def _kernel3_int8_strip(bt, th, w, relu):
