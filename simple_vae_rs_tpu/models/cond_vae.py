@@ -309,34 +309,45 @@ class CondSRVAE(nn.Module):
         return y_hat, flatten_map(mu_u), flatten_map(logvar_u)
 
     # ------------------------------------------------------------ inference
+    def _conditional_generation(self, y: Array, draw_u, draw_z) -> Array:
+        """y -> u ~ q(u|y) -> z ~ p(z|u,y) -> x_hat, with the latent draws
+        injected as ``(mu, logvar) -> latent`` callables — the ONE copy of
+        the SR sampling pipeline behind both public entry points (the
+        training-eval metrics use the rng form, serving the eps form;
+        their equivalence is what the meshed == single-chip tests rely
+        on)."""
+        mu_u, logvar_u = self.encode_y(y, train=False)
+        u = draw_u(mu_u, logvar_u)
+        y_feat = self.y_embedding(y, train=False)
+        mu_z_uy, logvar_z_uy = self.z_cond(y_feat, u, train=False)
+        z = draw_z(mu_z_uy, logvar_z_uy)
+        return self.decode_x_from_features(z, y_feat, train=False)
+
     def conditional_generation(self, y: Array, rng: jax.Array) -> Array:
         """Single-draw 2x super-resolution (reference ``cond_vae.py:288-297``)."""
         rng_u, rng_z = jax.random.split(rng)
-        mu_u, logvar_u = self.encode_y(y, train=False)
-        u = reparameterize(rng_u, mu_u, logvar_u)
-        y_feat = self.y_embedding(y, train=False)
-        mu_z_uy, logvar_z_uy = self.z_cond(y_feat, u, train=False)
-        z = reparameterize(rng_z, mu_z_uy, logvar_z_uy)
-        return self.decode_x_from_features(z, y_feat, train=False)
+        return self._conditional_generation(
+            y,
+            lambda mu, lv: reparameterize(rng_u, mu, lv),
+            lambda mu, lv: reparameterize(rng_z, mu, lv),
+        )
 
     def conditional_generation_eps(
         self, y: Array, eps_u: Array, eps_z: Array
     ) -> Array:
         """``conditional_generation`` with the noise passed in.
 
-        Same math as :meth:`conditional_generation` (reference
-        ``cond_vae.py:288-297``) but deterministic given ``(eps_u, eps_z)``
-        — the mesh-sharded serving path draws the noise once globally and
-        feeds each shard its slice, so multi-chip results match the
-        single-chip resolver exactly (``serve._sr_call``). Noise shapes
-        come from :meth:`generation_noise_shapes` under ``jax.eval_shape``.
+        Same math but deterministic given ``(eps_u, eps_z)`` — the
+        mesh-sharded serving path draws the noise once globally and feeds
+        each shard its slice, so multi-chip results match the single-chip
+        resolver exactly (``serve._sr_call``). Noise shapes come from
+        :meth:`generation_noise_shapes` under ``jax.eval_shape``.
         """
-        mu_u, logvar_u = self.encode_y(y, train=False)
-        u = mu_u + eps_u * jnp.exp(0.5 * logvar_u)
-        y_feat = self.y_embedding(y, train=False)
-        mu_z_uy, logvar_z_uy = self.z_cond(y_feat, u, train=False)
-        z = mu_z_uy + eps_z * jnp.exp(0.5 * logvar_z_uy)
-        return self.decode_x_from_features(z, y_feat, train=False)
+        return self._conditional_generation(
+            y,
+            lambda mu, lv: mu + eps_u * jnp.exp(0.5 * lv),
+            lambda mu, lv: mu + eps_z * jnp.exp(0.5 * lv),
+        )
 
     def generation_noise_shapes(self, y: Array) -> Tuple[Array, Array]:
         """Shape probe for :meth:`conditional_generation_eps` — returns
