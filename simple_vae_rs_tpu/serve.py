@@ -361,12 +361,31 @@ class SuperResolver:
         wins = np.stack([y[a:a + p, b:b + p] for a, b in starts])
         return wins, starts, (h, w), (hp, wp), overlap
 
+    # In-flight dispatch depth for the tile loops: JAX dispatch is async,
+    # so keeping a few window batches in flight overlaps the device decode
+    # and the device->host transfer of earlier batches with the dispatch of
+    # later ones (a serial fetch-per-batch loop pays compute + transfer
+    # end-to-end per batch). Bounded so a large raster's SR windows never
+    # pile up on HBM.
+    _TILE_PIPELINE = 4
+
     def _tile_pass(self, wins: np.ndarray, batch: int) -> np.ndarray:
         """One posterior draw for every window, in fixed-shape batches
-        (ragged last chunk padded so one compile serves any tile size)."""
+        (ragged last chunk padded so one compile serves any tile size);
+        dispatches ride ``_TILE_PIPELINE`` deep before the oldest is
+        fetched."""
         if batch < 1:
             raise ValueError(f"batch must be >= 1 (got {batch})")
+        from collections import deque
+
+        pending: deque = deque()
         outs = []
+
+        def fetch():
+            sr, short = pending.popleft()
+            sr = np.asarray(sr)
+            outs.append(sr[:len(sr) - short] if short else sr)
+
         for i in range(0, len(wins), batch):
             chunk = wins[i:i + batch]
             short = batch - len(chunk)
@@ -374,8 +393,11 @@ class SuperResolver:
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], short, axis=0)]
                 )
-            sr = np.asarray(self.super_resolve(chunk, normalize=False))
-            outs.append(sr[:len(sr) - short] if short else sr)
+            pending.append((self.super_resolve(chunk, normalize=False), short))
+            if len(pending) >= self._TILE_PIPELINE:
+                fetch()
+        while pending:
+            fetch()
         return np.concatenate(outs)
 
     def _tile_draw_moments(
@@ -390,19 +412,33 @@ class SuperResolver:
         end repeat the last window and are dropped from the sums."""
         if batch < 1:
             raise ValueError(f"batch must be >= 1 (got {batch})")
+        from collections import deque
+
         n = len(wins)
         total = n * samples
         s1 = s2 = None
-        for i in range(0, total, batch):
-            idx = np.minimum(np.arange(i, i + batch) // samples, n - 1)
-            sr = np.asarray(self.super_resolve(wins[idx], normalize=False),
-                            dtype=np.float32)
+        pending: deque = deque()
+
+        def fetch():
+            nonlocal s1, s2
+            sr_dev, idx, valid = pending.popleft()
+            sr = np.asarray(sr_dev, dtype=np.float32)
             if s1 is None:
                 s1 = np.zeros((n, *sr.shape[1:]), np.float32)
                 s2 = np.zeros_like(s1)
-            valid = min(batch, total - i)
             np.add.at(s1, idx[:valid], sr[:valid])
             np.add.at(s2, idx[:valid], sr[:valid] ** 2)
+
+        for i in range(0, total, batch):
+            idx = np.minimum(np.arange(i, i + batch) // samples, n - 1)
+            pending.append((
+                self.super_resolve(wins[idx], normalize=False),
+                idx, min(batch, total - i),
+            ))
+            if len(pending) >= self._TILE_PIPELINE:
+                fetch()
+        while pending:
+            fetch()
         return s1 / samples, s2 / samples
 
     def uncertainty(self, y, samples: int = 32,
