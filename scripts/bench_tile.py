@@ -9,6 +9,7 @@ shape-dependent only — so no checkpoint is needed.
     python scripts/bench_tile.py                 # 256x256 LR, bf16-ish f32
     python scripts/bench_tile.py --hw 512 --int8 # 512x512 LR, int8 decode
     python scripts/bench_tile.py --uncertainty --samples 32
+    python scripts/bench_tile.py --hw 512 --batch 64  # amortize dispatches
 
 Prints one JSON line per measurement. On this machine the tunnel's
 per-dispatch latency dominates (one compiled dispatch per window batch);

@@ -382,9 +382,10 @@ class SuperResolver:
         outs = []
 
         def fetch():
+            # slice the pad off ON DEVICE so the ragged chunk's padding
+            # never crosses the (slow) device->host link
             sr, short = pending.popleft()
-            sr = np.asarray(sr)
-            outs.append(sr[:len(sr) - short] if short else sr)
+            outs.append(np.asarray(sr[:sr.shape[0] - short] if short else sr))
 
         for i in range(0, len(wins), batch):
             chunk = wins[i:i + batch]
@@ -422,12 +423,15 @@ class SuperResolver:
         def fetch():
             nonlocal s1, s2
             sr_dev, idx, valid = pending.popleft()
+            # device-side slice: padding past `valid` never transfers
+            if valid < sr_dev.shape[0]:
+                sr_dev = sr_dev[:valid]
             sr = np.asarray(sr_dev, dtype=np.float32)
             if s1 is None:
                 s1 = np.zeros((n, *sr.shape[1:]), np.float32)
                 s2 = np.zeros_like(s1)
-            np.add.at(s1, idx[:valid], sr[:valid])
-            np.add.at(s2, idx[:valid], sr[:valid] ** 2)
+            np.add.at(s1, idx[:valid], sr)
+            np.add.at(s2, idx[:valid], sr ** 2)
 
         for i in range(0, total, batch):
             idx = np.minimum(np.arange(i, i + batch) // samples, n - 1)
