@@ -29,7 +29,7 @@ Usage:
   python scripts/quality_parity.py --side reference --epochs 40
   python scripts/quality_parity.py --side tpu --epochs 40
   python scripts/quality_parity.py --report
-Writes results/quality_parity_{side}.json.
+Writes results/quality_parity_{side}_e{epochs}.json.
 """
 
 from __future__ import annotations
@@ -304,7 +304,9 @@ def main() -> None:
         result = run_reference(args.epochs, args.seed)
     else:
         result = run_tpu(args.epochs, args.seed, args.backend)
-    out = os.path.join(OUT_DIR, f"quality_parity_{args.side}.json")
+    out = os.path.join(
+        OUT_DIR, f"quality_parity_{args.side}_e{args.epochs}.json"
+    )
     with open(out, "w") as fh:
         json.dump(result, fh, indent=1)
     print(f"wrote {out}")
