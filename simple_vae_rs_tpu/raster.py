@@ -111,6 +111,17 @@ def run(args) -> None:
         )
     in_dtype = raw.dtype
     lr = hwc.astype(np.float32)
+    bad = ~np.isfinite(lr)
+    if bad.any():
+        # nodata/NaN pixels (routine in real satellite tiles — the
+        # reference's FloodDataset filters them too, dataset.py:93) would
+        # poison the min-max normalize and the model; fill with the
+        # per-channel finite minimum (the darkest valid value) and say so
+        fill = np.nanmin(np.where(bad, np.nan, lr), axis=(0, 1))
+        fill = np.where(np.isfinite(fill), fill, 0.0)
+        lr = np.where(bad, fill[None, None], lr)
+        print(f"warning: {int(bad.sum())} non-finite sample(s) in "
+              f"{args.input} filled with the per-channel finite minimum")
     mn = lr.min(axis=(0, 1), keepdims=True)
     denom = lr.max(axis=(0, 1), keepdims=True) - mn + _EPS
 

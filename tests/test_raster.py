@@ -116,3 +116,19 @@ def test_cast_like_clips_and_rounds():
     assert list(out) == [0, 11, 65535]
     f = raster._cast_like(arr, np.dtype(np.float32))
     assert f.dtype == np.float32
+
+
+def test_nan_nodata_pixels_are_filled(ckpt, tmp_path, capsys):
+    """Non-finite nodata samples (routine in real satellite tiles) must
+    not poison the normalize or the model — they are filled with the
+    per-channel finite minimum, with a warning."""
+    lr = np.random.default_rng(5).random((12, 12, 4)).astype(np.float32)
+    lr[0, 0, 0] = np.nan
+    lr[3, 4, 2] = np.inf
+    src, dst = str(tmp_path / "lr.tif"), str(tmp_path / "sr.tif")
+    write_tiff(src, lr)
+    raster.main([src, dst, *_model_flags(ckpt), "--scale", "unit",
+                 "--compression", "none"])
+    out = read_tiff(dst)
+    assert np.isfinite(out).all()
+    assert "non-finite" in capsys.readouterr().out
