@@ -269,10 +269,31 @@ def run_tpu(epochs: int, seed: int, backend: str = "") -> dict:
 
 
 # ---------------------------------------------------------------- report
-def report() -> None:
+def report(epochs: int | None = None) -> None:
+    """Print the side-by-side table from the archived curves.
+
+    With --epochs, reads that run's files; otherwise each side's
+    highest-epoch archive (files are named quality_parity_{side}_e{N}.json
+    so runs don't clobber).
+    """
+    import glob
+
     rows = {}
     for side in ("reference", "tpu"):
-        path = os.path.join(OUT_DIR, f"quality_parity_{side}.json")
+        if epochs is not None:
+            path = os.path.join(OUT_DIR, f"quality_parity_{side}_e{epochs}.json")
+        else:
+            cands = glob.glob(
+                os.path.join(OUT_DIR, f"quality_parity_{side}_e*.json")
+            )
+            if not cands:
+                raise FileNotFoundError(
+                    f"no quality_parity_{side}_e*.json in {OUT_DIR}"
+                )
+            path = max(
+                cands,
+                key=lambda p: int(p.rsplit("_e", 1)[1].split(".")[0]),
+            )
         with open(path) as fh:
             rows[side] = json.load(fh)
     print(f"{'side':<10} {'params':>12} {'epochs':>6} {'val_loss':>12} "
@@ -294,7 +315,7 @@ def main() -> None:
     ap.add_argument("--report", action="store_true")
     args = ap.parse_args()
     if args.report:
-        report()
+        report(args.epochs if "--epochs" in sys.argv else None)
         return
     if not args.side:
         ap.error("--side or --report required")
