@@ -183,7 +183,8 @@ def run_reference(epochs: int, seed: int) -> dict:
 
 
 # ------------------------------------------------------------------- tpu
-def run_tpu(epochs: int, seed: int, backend: str = "") -> dict:
+def run_tpu(epochs: int, seed: int, backend: str = "",
+            torch_regroup: bool = False) -> dict:
     import jax
 
     if backend:
@@ -199,7 +200,14 @@ def run_tpu(epochs: int, seed: int, backend: str = "") -> dict:
     (lr_tr, hr_tr), (lr_va, hr_va) = build_dataset()
     metric_sums = make_metric_fns(force_cpu=False)
 
-    model = CondSRVAE(CondSRVAEConfig(cr=CFG["cr"], patch_size=CFG["patch_size"]))
+    # torch_regroup reproduces the reference's exact C-major latent wiring
+    # (models/cond_vae.py regroup bijection) — with it on, the two sides
+    # differ only in framework/init RNG, isolating the pixel-shuffle
+    # redesign's contribution from the ELBO comparison.
+    model = CondSRVAE(CondSRVAEConfig(
+        cr=CFG["cr"], patch_size=CFG["patch_size"],
+        torch_regroup=torch_regroup,
+    ))
     cfg = TrainConfig(learning_rate=CFG["lr"], grad_clip_norm=CFG["clip"], seed=seed)
     trainer = Trainer(model, cfg)
 
@@ -264,7 +272,8 @@ def run_tpu(epochs: int, seed: int, backend: str = "") -> dict:
         }
         records.append(rec)
         print(json.dumps(rec), flush=True)
-    return {"side": "tpu", "n_params": n_params_no_gamma, "seed": seed,
+    side = "tpu_torchwire" if torch_regroup else "tpu"
+    return {"side": side, "n_params": n_params_no_gamma, "seed": seed,
             "config": CFG, "epochs": records}
 
 
@@ -312,6 +321,10 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--backend", default="", help="jax platform override (tpu side)")
+    ap.add_argument("--torch_regroup", action="store_true",
+                    help="tpu side: use the reference's exact C-major latent "
+                         "wiring instead of the pixel-shuffle redesign, so "
+                         "the ELBO comparison isolates framework from wiring")
     ap.add_argument("--report", action="store_true")
     args = ap.parse_args()
     if args.report:
@@ -324,9 +337,10 @@ def main() -> None:
     if args.side == "reference":
         result = run_reference(args.epochs, args.seed)
     else:
-        result = run_tpu(args.epochs, args.seed, args.backend)
+        result = run_tpu(args.epochs, args.seed, args.backend,
+                         torch_regroup=args.torch_regroup)
     out = os.path.join(
-        OUT_DIR, f"quality_parity_{args.side}_e{args.epochs}.json"
+        OUT_DIR, f"quality_parity_{result['side']}_e{args.epochs}.json"
     )
     with open(out, "w") as fh:
         json.dump(result, fh, indent=1)
