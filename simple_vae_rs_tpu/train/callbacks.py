@@ -106,12 +106,17 @@ class ModelCheckpoint(Callback):
         monitor: str = "val_loss",
         mode: str = "min",
         save_best_only: bool = True,
+        async_save: bool = False,
     ) -> None:
         self.job_id = job_id
         self.save_path = save_path
         self.monitor = monitor
         self.mode = mode
         self.save_best_only = save_best_only
+        # async_save commits the checkpoint on a background writer thread
+        # so the train loop doesn't stall on serialize + disk IO; the
+        # engine flushes pending saves when fit() exits
+        self.async_save = async_save
         self.best_metric = float("inf") if mode == "min" else float("-inf")
         self.best_epoch = 0
 
@@ -150,7 +155,8 @@ class ModelCheckpoint(Callback):
                 self.best_metric = current
                 self.best_epoch = epoch
                 save_checkpoint(
-                    f"{self.save_path}/{self.job_id}", state, epoch=epoch, extra=extra
+                    f"{self.save_path}/{self.job_id}", state, epoch=epoch,
+                    extra=extra, block=not self.async_save,
                 )
         else:
             save_checkpoint(
@@ -158,5 +164,6 @@ class ModelCheckpoint(Callback):
                 state,
                 epoch=epoch,
                 extra=extra,
+                block=not self.async_save,
             )
         return False

@@ -12,36 +12,39 @@ Logical-content mapping vs the reference (for the judge):
 
 Backend: orbax (async-capable, multi-host-safe) when writable; falls back
 to flax msgpack serialization into a single file.
+
+Async saves (``block=False``): the state is fetched to host on the caller
+thread (that device->host transfer is unavoidable either way), then the
+serialize + file write runs on a single background writer thread so the
+train loop continues into the next epoch while the previous best
+checkpoint is still being committed to disk. One worker thread keeps
+same-path saves ordered; ``wait_for_saves()`` flushes and re-raises the
+first writer error, and every load/exists/blocking-save flushes first so
+readers always observe completed saves.
 """
 
 from __future__ import annotations
 
 import json
 import os
-from typing import Any, Dict, Optional, Tuple
+import threading
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 
 from simple_vae_rs_tpu.train.state import TrainState
+
+_WRITER_LOCK = threading.Lock()
+_WRITER = None  # lazily-created single-thread executor
+_PENDING: List[Any] = []  # futures of in-flight async saves
 
 
 def _meta_path(path: str) -> str:
     return path + ".meta.json"
 
 
-def save_checkpoint(
-    path: str, state: TrainState, epoch: int = 0, extra: Optional[Dict] = None
-) -> None:
-    path = os.path.abspath(path)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    state = jax.device_get(state)
-    tree = {
-        "params": state.params,
-        "batch_stats": state.batch_stats,
-        "opt_state": state.opt_state,
-        "rng": state.rng,
-        "step": state.step,
-    }
+def _write_tree(path: str, tree: Dict[str, Any], meta: Dict[str, Any]) -> None:
+    """Serialize a host-side state tree + sidecar meta to disk."""
     try:
         import orbax.checkpoint as ocp
 
@@ -54,13 +57,58 @@ def save_checkpoint(
         with open(path + ".msgpack", "wb") as fh:
             fh.write(serialization.to_bytes(tree))
     with open(_meta_path(path), "w") as fh:
-        json.dump({"epoch": epoch, **(extra or {})}, fh)
+        json.dump(meta, fh)
+
+
+def wait_for_saves() -> None:
+    """Block until every scheduled async save has committed; re-raise the
+    first writer error (a failed checkpoint must not pass silently)."""
+    with _WRITER_LOCK:
+        pending, _PENDING[:] = _PENDING[:], []
+    for fut in pending:
+        fut.result()
+
+
+def save_checkpoint(
+    path: str,
+    state: TrainState,
+    epoch: int = 0,
+    extra: Optional[Dict] = None,
+    block: bool = True,
+) -> None:
+    path = os.path.abspath(path)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    state = jax.device_get(state)
+    tree = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "rng": state.rng,
+        "step": state.step,
+    }
+    meta = {"epoch": epoch, **(extra or {})}
+    if block:
+        # flush in-flight async saves first so an older async write can
+        # never land on top of this newer blocking one
+        wait_for_saves()
+        _write_tree(path, tree, meta)
+        return
+    global _WRITER
+    with _WRITER_LOCK:
+        if _WRITER is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            _WRITER = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="svrs-ckpt"
+            )
+        _PENDING.append(_WRITER.submit(_write_tree, path, tree, meta))
 
 
 def load_checkpoint(
     path: str, target: TrainState
 ) -> Tuple[TrainState, Dict[str, Any]]:
     """Restore into the structure of ``target`` (an initialized state)."""
+    wait_for_saves()  # a load right after an async save must see it
     path = os.path.abspath(path)
     target_tree = {
         "params": jax.device_get(target.params),
@@ -96,5 +144,6 @@ def load_checkpoint(
 
 
 def checkpoint_exists(path: str) -> bool:
+    wait_for_saves()
     path = os.path.abspath(path)
     return os.path.isdir(path + ".orbax") or os.path.exists(path + ".msgpack")

@@ -453,7 +453,15 @@ class Trainer:
                 val_metrics_every, prefix,
             )
         finally:
-            self.logger.finish()
+            # flush any in-flight async checkpoint saves before returning —
+            # callers (e.g. --test right after fit) may load the best
+            # checkpoint immediately, and a writer error must surface
+            from simple_vae_rs_tpu.train.checkpoint import wait_for_saves
+
+            try:
+                wait_for_saves()
+            finally:
+                self.logger.finish()
 
     def _fit_epochs(
         self, train_loader, val_loader, epochs, start_epoch,

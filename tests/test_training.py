@@ -280,6 +280,86 @@ def test_checkpoint_roundtrip_exact_resume(tmp_path):
     assert int(restored.step) == int(state.step)
 
 
+def test_async_checkpoint_roundtrip_and_ordering(tmp_path):
+    """block=False commits on the writer thread: wait_for_saves/load see the
+    finished file, and a newer blocking save to the same path wins over an
+    older in-flight async one."""
+    import jax
+
+    from simple_vae_rs_tpu.train import checkpoint as ck
+
+    batches = _sr_batches(n=1, ps=32)
+    model = VAE(VAEConfig(cr=2.0, patch_size=16))
+    trainer = Trainer(model, TrainConfig(learning_rate=1e-3))
+    state0 = trainer.init_state(batches[0])
+    # a distinct second state without the donating train step (which would
+    # delete state0's buffers)
+    state1 = state0.replace(
+        params=jax.tree.map(lambda x: x + 1.0, state0.params),
+        step=state0.step + 1,
+    )
+
+    path = str(tmp_path / "ck")
+    ck.save_checkpoint(path, state0, epoch=1, block=False)
+    ck.wait_for_saves()
+    restored, meta = ck.load_checkpoint(path, trainer.init_state(batches[0]))
+    assert meta["epoch"] == 1
+    for a, b in zip(jax.tree.leaves(state0.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # older async save, then newer blocking save: the blocking one flushes
+    # first, so the final file on disk is state1/epoch 2
+    ck.save_checkpoint(path, state0, epoch=1, block=False)
+    ck.save_checkpoint(path, state1, epoch=2, block=True)
+    restored, meta = ck.load_checkpoint(path, trainer.init_state(batches[0]))
+    assert meta["epoch"] == 2
+    for a, b in zip(jax.tree.leaves(state1.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_async_checkpoint_writer_errors_surface(tmp_path, monkeypatch):
+    """A failed background save must raise at the flush point, not vanish."""
+    import pytest as _pytest
+
+    from simple_vae_rs_tpu.train import checkpoint as ck
+
+    batches = _sr_batches(n=1, ps=32)
+    model = VAE(VAEConfig(cr=2.0, patch_size=16))
+    trainer = Trainer(model, TrainConfig(learning_rate=1e-3))
+    state = trainer.init_state(batches[0])
+
+    def boom(path, tree, meta):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(ck, "_write_tree", boom)
+    ck.save_checkpoint(str(tmp_path / "ck"), state, epoch=1, block=False)
+    with _pytest.raises(OSError, match="disk full"):
+        ck.wait_for_saves()
+    # the queue is drained — the next flush is clean
+    ck.wait_for_saves()
+
+
+def test_async_checkpoint_through_engine(tmp_path):
+    """ModelCheckpoint(async_save=True) through a real fit: the checkpoint
+    is on disk (flushed by fit's exit path) and resumes exactly."""
+    from simple_vae_rs_tpu.train.checkpoint import checkpoint_exists, load_checkpoint
+
+    batches = _sr_batches(ps=16)
+    loader = ArrayLoader(batches)
+    model = CondSRVAE(CondSRVAEConfig(cr=2.0, patch_size=16))
+    cb = ModelCheckpoint("job", str(tmp_path), monitor="Loss/val_loss",
+                         async_save=True)
+    trainer = Trainer(model, TrainConfig(epochs=1, learning_rate=1e-3),
+                      callbacks=[cb])
+    state = trainer.fit(loader, loader, epochs=1, val_metrics_every=1)
+    assert checkpoint_exists(str(tmp_path / "job"))
+    restored, meta = load_checkpoint(
+        str(tmp_path / "job"), trainer.init_state(batches[0])
+    )
+    assert meta["epoch"] == 1
+    assert int(restored.step) == int(state.step)
+
+
 def test_bf16_moments_flag_changes_mu_dtype_and_trains():
     """TrainConfig(bf16_moments=True) keeps Adam's first moment in bf16
     (second stays f32) and a train step still runs and updates params."""
