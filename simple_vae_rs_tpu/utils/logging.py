@@ -119,12 +119,30 @@ class WandbLogger:
 
 
 def make_logger(
-    project: str, name: str, config: Dict[str, Any], run_dir: str = "runs"
+    project: str,
+    name: str,
+    config: Dict[str, Any],
+    run_dir: str = "runs",
+    tensorboard: bool = False,
 ) -> Logger:
-    """wandb when available, else JSONL (reference wandb-spine, SURVEY §5.e)."""
+    """wandb when available, else JSONL (reference wandb-spine, SURVEY §5.e).
+
+    ``tensorboard=True`` tees the stream into a TensorBoard event file under
+    the run dir as well (the reference *declares* tensorboard but never
+    writes it — SURVEY §5.a; here it's a real sink, stdlib-only).
+    """
+    out_dir = os.path.join(run_dir, f"{project}-{name}")
     try:
         import wandb  # noqa: F401
 
-        return WandbLogger(project, name, config)
+        base: Logger = WandbLogger(project, name, config)
     except Exception:
-        return JsonlLogger(os.path.join(run_dir, f"{project}-{name}"))
+        base = JsonlLogger(out_dir)
+    if tensorboard:
+        from simple_vae_rs_tpu.utils.tensorboard import (
+            TeeLogger,
+            TensorBoardLogger,
+        )
+
+        return TeeLogger(base, TensorBoardLogger(os.path.join(out_dir, "tb")))
+    return base
