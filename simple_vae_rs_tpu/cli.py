@@ -124,6 +124,23 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
         "(per-shard optimizer update + param all-gather via GSPMD).",
     )
     parser.add_argument(
+        "--backend", default="",
+        help="jax platform override, e.g. 'cpu' (train on the host when the "
+        "TPU link is unavailable; the compile cache switches to the CPU "
+        "cache dir).",
+    )
+    parser.add_argument(
+        "--tensorboard", action="store_true",
+        help="Also write TensorBoard event files under runs/<name>/tb "
+        "(stdlib writer — no tensorboard package needed to produce them).",
+    )
+    parser.add_argument(
+        "--async_ckpt", action="store_true",
+        help="Commit checkpoints on a background writer thread so the train "
+        "loop doesn't stall on serialize + disk IO (flushed at fit exit; "
+        "writer errors surface there).",
+    )
+    parser.add_argument(
         "--pallas_conv", action="store_true",
         help="Route conv blocks through the fused Pallas kernels where the "
         "measured per-shape thresholds favor them (adaptive per-pass "
@@ -144,7 +161,13 @@ def main(args: argparse.Namespace) -> None:
     import jax.numpy as jnp
     from simple_vae_rs_tpu.utils.cache import enable_compilation_cache
 
-    enable_compilation_cache()
+    _apply_backend(args)
+    if getattr(args, "backend", ""):
+        enable_compilation_cache(
+            os.path.expanduser(f"~/.cache/svrs_jax_cache_{args.backend}")
+        )
+    else:
+        enable_compilation_cache()
 
     from simple_vae_rs_tpu.config import (
         CondSRVAEConfig,
@@ -214,7 +237,8 @@ def main(args: argparse.Namespace) -> None:
         )
 
     callbacks = [
-        ModelCheckpoint(job_id, "ckpt", monitor="Loss/val_loss", mode="min"),
+        ModelCheckpoint(job_id, "ckpt", monitor="Loss/val_loss", mode="min",
+                        async_save=args.async_ckpt),
         EarlyStopping(patience=25, delta=0.01),
     ]
     logger = make_logger(
@@ -229,6 +253,7 @@ def main(args: argparse.Namespace) -> None:
             "slurm_job_id": job_id,
             "cr": cr,
         },
+        tensorboard=args.tensorboard,
     )
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
@@ -306,8 +331,19 @@ def main(args: argparse.Namespace) -> None:
     )
 
 
+def _apply_backend(args: argparse.Namespace) -> None:
+    """Apply --backend before ANY device use (idempotent). The baked
+    sitecustomize force-sets jax_platforms="axon,cpu", so an env var alone
+    cannot switch backends, and once a backend has initialized the setting
+    is frozen — entrypoint() applies this before its device banner."""
+    if getattr(args, "backend", "") and not getattr(args, "_backend_applied", False):
+        jax.config.update("jax_platforms", args.backend)
+        args._backend_applied = True
+
+
 def entrypoint() -> None:
     arguments = parse_args()
+    _apply_backend(arguments)
     print("==========================")
     print("Initializing training with the following arguments:")
     print(arguments)
