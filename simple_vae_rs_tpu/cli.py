@@ -114,6 +114,12 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
         help="Rematerialize the forward in backward (activation memory ↓).",
     )
     parser.add_argument(
+        "--accum_steps", type=int, default=1,
+        help="Gradient accumulation: scan this many microbatches inside one "
+        "jit step (activation memory scales with batch_size/accum_steps), "
+        "average grads, one optimizer update. batch_size must divide evenly.",
+    )
+    parser.add_argument(
         "--bf16_moments", action="store_true",
         help="Keep Adam's first moment in bf16 (halves that state's HBM "
         "traffic; optimizer numerics change slightly).",
@@ -271,6 +277,7 @@ def main(args: argparse.Namespace) -> None:
         remat=args.remat,
         bf16_moments=args.bf16_moments,
         zero1=args.zero1,
+        accum_steps=args.accum_steps,
     )
     trainer = Trainer(
         model, train_cfg, callbacks=callbacks, logger=logger, mesh=mesh, job_id=job_id

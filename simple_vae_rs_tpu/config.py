@@ -219,3 +219,10 @@ class TrainConfig:
     # trades ~1 extra forward of FLOPs for dropping all activation storage —
     # for configs whose activations outgrow HBM (large patch/batch).
     remat: bool = False
+    # Gradient accumulation: lax.scan the forward/backward over this many
+    # microbatches inside ONE jit step (activation memory scales with the
+    # microbatch), average the grads, apply ONE optimizer update. Effective
+    # batches beyond HBM without host-loop overhead; composes with remat.
+    # BatchNorm normalizes per microbatch (running stats thread through
+    # the scan) — the standard accumulation semantics.
+    accum_steps: int = 1

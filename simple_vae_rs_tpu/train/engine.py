@@ -180,18 +180,73 @@ class Trainer:
         new_stats = aux.get("batch_stats") if mutable else batch_stats
         return loss, (terms, new_stats)
 
+    def _micro_grads(self, params, batch_stats, batch, rng):
+        """One microbatch forward/backward: (grads, terms, new_stats)."""
+        loss_fn = lambda p: self._loss_and_terms(p, batch_stats, batch, rng, True)
+        if self.cfg.remat:
+            # recompute the forward during backward instead of storing
+            # activations (HBM headroom for large patch/batch configs)
+            loss_fn = jax.checkpoint(loss_fn)
+        (_, (terms, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        return grads, terms, new_stats
+
     def _build_steps(self) -> None:
+        accum = max(1, int(getattr(self.cfg, "accum_steps", 1)))
+
+        def accum_grads(state: TrainState, batch, step_rng):
+            """lax.scan the microbatches inside the one jit step: grads and
+            loss terms averaged (the losses are per-element means, so the
+            equal-size microbatch average equals the full-batch value),
+            BatchNorm running stats threaded through the scan carry."""
+            b = jax.tree.leaves(batch)[0].shape[0]
+            if b % accum:
+                raise ValueError(
+                    f"batch size {b} not divisible by accum_steps {accum}"
+                )
+            micro = jax.tree.map(
+                lambda a: a.reshape(accum, b // accum, *a.shape[1:]), batch
+            )
+            first = jax.tree.map(lambda a: a[0], micro)
+            rest = jax.tree.map(lambda a: a[1:], micro)
+            g0, t0, stats = self._micro_grads(
+                state.params, state.batch_stats, first,
+                jax.random.fold_in(step_rng, 0),
+            )
+
+            def one(carry, xs):
+                stats, gsum, tsum = carry
+                mb, i = xs
+                g, t, new_stats = self._micro_grads(
+                    state.params, stats, mb, jax.random.fold_in(step_rng, i)
+                )
+                return (
+                    new_stats if new_stats is not None else stats,
+                    jax.tree.map(jnp.add, gsum, g),
+                    jax.tree.map(jnp.add, tsum, t),
+                ), None
+
+            (stats, gsum, tsum), _ = jax.lax.scan(
+                one,
+                (stats if stats is not None else state.batch_stats, g0, t0),
+                (rest, jnp.arange(1, accum)),
+            )
+            inv = 1.0 / accum
+            return (
+                jax.tree.map(lambda g: g * inv, gsum),
+                jax.tree.map(lambda t: t * inv, tsum),
+                stats,
+            )
+
         def train_step(state: TrainState, batch, lr):
             step_rng = jax.random.fold_in(state.rng, state.step)
-            loss_fn = lambda p: self._loss_and_terms(
-                p, state.batch_stats, batch, step_rng, True
-            )
-            if self.cfg.remat:
-                # recompute the forward during backward instead of storing
-                # activations (HBM headroom for large patch/batch configs)
-                loss_fn = jax.checkpoint(loss_fn)
-            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-            (_, (terms, new_stats)), grads = grad_fn(state.params)
+            if accum > 1:
+                grads, terms, new_stats = accum_grads(state, batch, step_rng)
+            else:
+                grads, terms, new_stats = self._micro_grads(
+                    state.params, state.batch_stats, batch, step_rng
+                )
             updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
             new_params = jax.tree.map(
                 lambda p, u: p - lr * u, state.params, updates

@@ -346,3 +346,28 @@ def test_meshed_eval_steps_trace_with_pallas_conv_off():
     finally:
         pc.is_enabled = orig
         pc.enable(False)
+
+
+def test_accumulation_under_data_mesh_matches_single_device():
+    """accum_steps=2 composes with DP sharding: the microbatch scan runs on
+    mesh-sharded batches and matches the single-device accumulated step."""
+    batch = _batch(bs=8, ps=16, seed=4)
+    model = CondSRVAE(CondSRVAEConfig(cr=2.0, patch_size=16))
+
+    mesh = make_mesh(MeshConfig(data=4, model=1))
+    t_m = Trainer(model, TrainConfig(learning_rate=1e-3, accum_steps=2),
+                  mesh=mesh)
+    s1 = t_m.init_state(batch)
+    s1, terms1 = t_m._train_step(s1, t_m._device_batch(batch), jnp.float32(1e-3))
+
+    t_s = Trainer(model, TrainConfig(learning_rate=1e-3, accum_steps=2),
+                  mesh=None)
+    s2 = t_s.init_state(batch)
+    s2, terms2 = t_s._train_step(s2, t_s._device_batch(batch), jnp.float32(1e-3))
+
+    np.testing.assert_allclose(
+        float(terms1["loss"]), float(terms2["loss"]), rtol=2e-4
+    )
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)

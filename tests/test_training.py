@@ -418,3 +418,76 @@ def test_full_val_evaluate_iterates_loader_once():
     # image-only call (no full val): one pass for the first batch
     trainer.evaluate(loader, epoch=10, full_val=False)
     assert loader.iterations == 3
+
+
+# --------------------------------------------------------- grad accumulation
+def test_gradient_accumulation_matches_manual_average():
+    """accum_steps=2 must equal: per-microbatch grads (same rng folding,
+    BN stats threaded micro 0 -> micro 1), averaged, ONE optimizer update.
+    Re-derived here with the engine's own loss fn and optax update."""
+    import jax
+
+    batch = _sr_batches(n=1, bs=4, ps=16, seed=11)[0]
+    model = CondSRVAE(CondSRVAEConfig(cr=2.0, patch_size=16))
+
+    t_acc = Trainer(model, TrainConfig(learning_rate=1e-3, accum_steps=2))
+    s0 = t_acc.init_state(batch)
+    lr = jnp.float32(1e-3)
+    s1, terms = t_acc._train_step(s0, t_acc._device_batch(batch), lr)
+
+    # manual re-derivation on an identical fresh state
+    t_ref = Trainer(model, TrainConfig(learning_rate=1e-3))
+    r0 = t_ref.init_state(batch)
+    step_rng = jax.random.fold_in(r0.rng, r0.step)
+    mb0 = tuple(a[:2] for a in batch)
+    mb1 = tuple(a[2:] for a in batch)
+    g0, tm0, stats0 = t_ref._micro_grads(
+        r0.params, r0.batch_stats, t_ref._device_batch(mb0),
+        jax.random.fold_in(step_rng, 0),
+    )
+    g1, tm1, stats1 = t_ref._micro_grads(
+        r0.params, stats0, t_ref._device_batch(mb1),
+        jax.random.fold_in(step_rng, 1),
+    )
+    gavg = jax.tree.map(lambda a, b: (a + b) / 2.0, g0, g1)
+    updates, _ = t_ref.tx.update(gavg, r0.opt_state, r0.params)
+    expect_params = jax.tree.map(lambda p, u: p - lr * u, r0.params, updates)
+
+    # scan-vs-inline grad summation reassociates float adds, and Adam's
+    # rsqrt amplifies that near zero — tolerance reflects update noise
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(expect_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-5)
+    # terms are the microbatch average
+    expect_loss = (float(tm0["loss"]) + float(tm1["loss"])) / 2.0
+    np.testing.assert_allclose(float(terms["loss"]), expect_loss, rtol=1e-5)
+    # BN running stats came through the scan (micro 1's output)
+    for a, b in zip(jax.tree.leaves(s1.batch_stats), jax.tree.leaves(stats1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+    assert int(s1.step) == 1  # ONE optimizer step, not accum_steps
+
+
+def test_gradient_accumulation_trains_through_engine():
+    """A 1-epoch fit with accum_steps=4 runs, loss finite, params move."""
+    import jax
+
+    batches = _sr_batches(n=2, bs=4, ps=32, seed=5)
+    loader = ArrayLoader(batches)
+    model = VAE(VAEConfig(cr=2.0, patch_size=16))
+    trainer = Trainer(model, TrainConfig(epochs=1, learning_rate=1e-3,
+                                         accum_steps=4))
+    state = trainer.fit(loader, loader, epochs=1, val_metrics_every=10)
+    assert int(state.step) == len(batches)
+    leaves = jax.tree.leaves(state.params)
+    assert all(np.isfinite(np.asarray(v)).all() for v in leaves)
+
+
+def test_gradient_accumulation_rejects_ragged_batch():
+    batch = _sr_batches(n=1, bs=3, ps=32)[0]
+    model = VAE(VAEConfig(cr=2.0, patch_size=16))
+    trainer = Trainer(model, TrainConfig(accum_steps=2))
+    trainer.init_state(batch)
+    with pytest.raises(ValueError, match="not divisible"):
+        trainer._train_step(trainer.state, trainer._device_batch(batch),
+                            jnp.float32(1e-3))
