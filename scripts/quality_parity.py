@@ -49,15 +49,22 @@ OUT_DIR = os.path.join(REPO, "results")
 CFG = dict(cr=1.2, patch_size=64, batch_size=8, lr=1e-4, clip=1.0,
            n_tiles=256, data_seed=0)
 
+# Plain-VAE arm: the canonical train_vae.sh hyperparameters (reference
+# scripts — ps=64 bs=32 cr=1.28; the VAE trains on the LR stream at
+# patch_size//2, reference train.py:35-40). Param parity asserted at run
+# time (both sides build the same graph).
+VAE_CFG = dict(cr=1.28, patch_size=64, batch_size=32, lr=1e-4, clip=1.0,
+               n_tiles=256, data_seed=0)
+
 
 # ------------------------------------------------------------------ data
-def build_dataset():
+def build_dataset(cfg=CFG):
     """(lr, hr) float32 pairs, NHWC, in [0,1]; deterministic."""
     sys.path.insert(0, REPO)
     from simple_vae_rs_tpu.data.datasets import SyntheticSRDataset
 
     ds = SyntheticSRDataset(
-        length=CFG["n_tiles"], hr_size=CFG["patch_size"], seed=CFG["data_seed"]
+        length=cfg["n_tiles"], hr_size=cfg["patch_size"], seed=cfg["data_seed"]
     )
 
     def norm(a):  # per-channel min-max, the normalize_image semantics
@@ -182,6 +189,154 @@ def run_reference(epochs: int, seed: int) -> dict:
             "config": CFG, "epochs": records}
 
 
+# -------------------------------------------------------- reference (VAE)
+def run_reference_vae(epochs: int, seed: int) -> dict:
+    """Drive the reference's plain VAE (models/vae.py train/val_step,
+    gamma joining the optimizer as in on_train_start, vae.py:229-231) on
+    the LR stream of the shared synthetic set."""
+    sys.path.insert(0, REFERENCE)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from measure_reference_baseline import _stub_missing_modules
+
+    _stub_missing_modules()
+    import torch
+
+    import models  # reference package
+
+    (lr_tr, _), (lr_va, _) = build_dataset(VAE_CFG)
+    metric_sums = make_metric_fns()
+
+    torch.manual_seed(seed)
+    model = models.VAE(VAE_CFG["cr"], VAE_CFG["patch_size"] // 2)
+    n_params = sum(p.numel() for p in model.parameters())
+    optimizer = torch.optim.Adam(model.parameters(), lr=VAE_CFG["lr"])
+    model.gamma.requires_grad = True
+    optimizer.add_param_group({"params": [model.gamma]})
+
+    def to_torch(a):
+        return torch.from_numpy(np.transpose(a, (0, 3, 1, 2)).copy())
+
+    bs = VAE_CFG["batch_size"]
+    records = []
+    for epoch in range(1, epochs + 1):
+        t0 = time.perf_counter()
+        model.train()
+        tr_sum, n_tr = 0.0, 0
+        for idx in epoch_batches(len(lr_tr), bs, epoch, True):
+            batch = (to_torch(lr_tr[idx]), 0)
+            optimizer.zero_grad()
+            loss, _ = model.train_step(batch, "cpu")
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(model.parameters(), VAE_CFG["clip"])
+            optimizer.step()
+            tr_sum += float(loss.item())
+            n_tr += 1
+        model.eval()
+        va_sum, n_va = 0.0, 0
+        ssim_sum, psnr_sum, n_img = 0.0, 0.0, 0
+        for idx in epoch_batches(len(lr_va), bs, 0, False):
+            batch = (to_torch(lr_va[idx]), 0)
+            loss, _ = model.val_step(batch, "cpu")
+            va_sum += float(loss.item())
+            n_va += 1
+            with torch.no_grad():
+                x_hat, _, _ = model.forward(batch[0])
+            x_np = np.transpose(x_hat.numpy(), (0, 2, 3, 1))
+            s, p = metric_sums(lr_va[idx], x_np)
+            ssim_sum += s
+            psnr_sum += p
+            n_img += len(idx)
+        rec = {
+            "epoch": epoch,
+            "train_loss": tr_sum / n_tr,
+            "val_loss": va_sum / n_va,
+            "ssim_recon": ssim_sum / n_img,
+            "psnr_recon": psnr_sum / n_img,
+            "gamma": float(model.gamma.item()),
+            "seconds": time.perf_counter() - t0,
+        }
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+    return {"side": "reference_vae", "n_params": n_params, "seed": seed,
+            "config": VAE_CFG, "epochs": records}
+
+
+# -------------------------------------------------------------- tpu (VAE)
+def run_tpu_vae(epochs: int, seed: int, backend: str = "") -> dict:
+    import jax
+
+    if backend:
+        jax.config.update("jax_platforms", backend)
+    import jax.numpy as jnp
+
+    from simple_vae_rs_tpu.config import TrainConfig, VAEConfig
+    from simple_vae_rs_tpu.models import VAE
+    from simple_vae_rs_tpu.train.engine import Trainer
+    from simple_vae_rs_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    (lr_tr, _), (lr_va, _) = build_dataset(VAE_CFG)
+    metric_sums = make_metric_fns(force_cpu=False)
+
+    model = VAE(VAEConfig(cr=VAE_CFG["cr"],
+                          patch_size=VAE_CFG["patch_size"] // 2))
+    cfg = TrainConfig(learning_rate=VAE_CFG["lr"],
+                      grad_clip_norm=VAE_CFG["clip"], seed=seed)
+    trainer = Trainer(model, cfg)
+    bs = VAE_CFG["batch_size"]
+    # the vae trainer consumes (x, _) batches and trains on x
+    state = trainer.init_state((lr_tr[:bs], lr_tr[:bs]), seed=seed)
+    n_params = sum(
+        int(np.prod(p.shape)) for p in jax.tree.leaves(state.params)
+        if hasattr(p, "shape")
+    ) - 1  # exclude gamma for the reference-comparable count
+
+    records = []
+    for epoch in range(1, epochs + 1):
+        t0 = time.perf_counter()
+        lr_now = jnp.float32(trainer.scheduler.lr)
+        tr_sum, n_tr = 0.0, 0
+        for idx in epoch_batches(len(lr_tr), bs, epoch, True):
+            batch = (lr_tr[idx], lr_tr[idx])
+            trainer.state, terms = trainer._train_step(
+                trainer.state, trainer._device_batch(batch), lr_now
+            )
+            tr_sum += float(jax.device_get(terms["loss"]))
+            n_tr += 1
+        va_sum, n_va = 0.0, 0
+        ssim_sum, psnr_sum, n_img = 0.0, 0.0, 0
+        for idx in epoch_batches(len(lr_va), bs, 0, False):
+            batch = (lr_va[idx], lr_va[idx])
+            terms = trainer._val_step(trainer.state, trainer._device_batch(batch))
+            va_sum += float(jax.device_get(terms["loss"]))
+            n_va += 1
+            variables = trainer._variables(trainer.state)
+            rng = jax.random.fold_in(trainer.state.rng, 0xE0A2 + n_va)
+            x_hat, _, _ = model.apply(
+                variables, jnp.asarray(lr_va[idx], jnp.float32), rng,
+                train=False,
+            )
+            s, p = metric_sums(lr_va[idx], np.asarray(jax.device_get(x_hat)))
+            ssim_sum += s
+            psnr_sum += p
+            n_img += len(idx)
+        params = trainer.state.params
+        rec = {
+            "epoch": epoch,
+            "train_loss": tr_sum / n_tr,
+            "val_loss": va_sum / n_va,
+            "ssim_recon": ssim_sum / n_img,
+            "psnr_recon": psnr_sum / n_img,
+            "gamma": float(jax.device_get(params["gamma"])),
+            "seconds": time.perf_counter() - t0,
+        }
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+    return {"side": "tpu_vae", "n_params": n_params, "seed": seed,
+            "backend": jax.default_backend(),
+            "config": VAE_CFG, "epochs": records}
+
+
 # ------------------------------------------------------------------- tpu
 def run_tpu(epochs: int, seed: int, backend: str = "",
             torch_regroup: bool = False) -> dict:
@@ -274,6 +429,7 @@ def run_tpu(epochs: int, seed: int, backend: str = "",
         print(json.dumps(rec), flush=True)
     side = "tpu_torchwire" if torch_regroup else "tpu"
     return {"side": side, "n_params": n_params_no_gamma, "seed": seed,
+            "backend": jax.default_backend(),
             "config": CFG, "epochs": records}
 
 
@@ -318,6 +474,9 @@ def report(epochs: int | None = None) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--side", choices=["reference", "tpu"])
+    ap.add_argument("--model", choices=["cond", "vae"], default="cond",
+                    help="model family: the canonical Cond_SRVAE arm or the "
+                         "plain-VAE arm (train_vae.sh hyperparams)")
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--backend", default="", help="jax platform override (tpu side)")
@@ -334,7 +493,12 @@ def main() -> None:
         ap.error("--side or --report required")
     os.makedirs(OUT_DIR, exist_ok=True)
     sys.path.insert(0, REPO)
-    if args.side == "reference":
+    if args.model == "vae":
+        if args.side == "reference":
+            result = run_reference_vae(args.epochs, args.seed)
+        else:
+            result = run_tpu_vae(args.epochs, args.seed, args.backend)
+    elif args.side == "reference":
         result = run_reference(args.epochs, args.seed)
     else:
         result = run_tpu(args.epochs, args.seed, args.backend,
