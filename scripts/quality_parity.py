@@ -444,31 +444,39 @@ def report(epochs: int | None = None) -> None:
     import glob
 
     rows = {}
-    for side in ("reference", "tpu"):
+    for side in ("reference", "tpu", "tpu_torchwire",
+                 "reference_vae", "tpu_vae"):
         if epochs is not None:
             path = os.path.join(OUT_DIR, f"quality_parity_{side}_e{epochs}.json")
+            if not os.path.exists(path):
+                continue
         else:
             cands = glob.glob(
                 os.path.join(OUT_DIR, f"quality_parity_{side}_e*.json")
             )
+            cands = [c for c in cands  # 'reference' must not match '_vae'
+                     if os.path.basename(c).startswith(
+                         f"quality_parity_{side}_e")]
             if not cands:
-                raise FileNotFoundError(
-                    f"no quality_parity_{side}_e*.json in {OUT_DIR}"
-                )
+                continue
             path = max(
                 cands,
                 key=lambda p: int(p.rsplit("_e", 1)[1].split(".")[0]),
             )
         with open(path) as fh:
             rows[side] = json.load(fh)
-    print(f"{'side':<10} {'params':>12} {'epochs':>6} {'val_loss':>12} "
-          f"{'ssim_sr':>8} {'psnr_sr':>8} {'s/epoch':>8}")
+    if not rows:
+        raise FileNotFoundError(f"no quality_parity archives in {OUT_DIR}")
+    print(f"{'side':<14} {'params':>12} {'epochs':>6} {'val_loss':>12} "
+          f"{'ssim':>8} {'psnr':>8} {'s/epoch':>8}")
     for side, data in rows.items():
         last = data["epochs"][-1]
         secs = np.mean([e["seconds"] for e in data["epochs"]])
-        print(f"{side:<10} {data['n_params']:>12,} {last['epoch']:>6} "
-              f"{last['val_loss']:>12.2f} {last['ssim_sr']:>8.4f} "
-              f"{last['psnr_sr']:>8.2f} {secs:>8.1f}")
+        ssim = last.get("ssim_sr", last.get("ssim_recon"))
+        psnr = last.get("psnr_sr", last.get("psnr_recon"))
+        print(f"{side:<14} {data['n_params']:>12,} {last['epoch']:>6} "
+              f"{last['val_loss']:>12.2f} {ssim:>8.4f} "
+              f"{psnr:>8.2f} {secs:>8.1f}")
 
 
 def main() -> None:
