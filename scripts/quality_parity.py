@@ -454,9 +454,6 @@ def report(epochs: int | None = None) -> None:
             cands = glob.glob(
                 os.path.join(OUT_DIR, f"quality_parity_{side}_e*.json")
             )
-            cands = [c for c in cands  # 'reference' must not match '_vae'
-                     if os.path.basename(c).startswith(
-                         f"quality_parity_{side}_e")]
             if not cands:
                 continue
             path = max(
@@ -485,7 +482,9 @@ def main() -> None:
     ap.add_argument("--model", choices=["cond", "vae"], default="cond",
                     help="model family: the canonical Cond_SRVAE arm or the "
                          "plain-VAE arm (train_vae.sh hyperparams)")
-    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--epochs", type=int, default=None,
+                    help="epoch count (default 40 for runs; for --report, "
+                         "picks that run's archives instead of the latest)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--backend", default="", help="jax platform override (tpu side)")
     ap.add_argument("--torch_regroup", action="store_true",
@@ -495,8 +494,10 @@ def main() -> None:
     ap.add_argument("--report", action="store_true")
     args = ap.parse_args()
     if args.report:
-        report(args.epochs if "--epochs" in sys.argv else None)
+        report(args.epochs)  # None -> each side's latest archive
         return
+    if args.epochs is None:
+        args.epochs = 40
     if not args.side:
         ap.error("--side or --report required")
     os.makedirs(OUT_DIR, exist_ok=True)

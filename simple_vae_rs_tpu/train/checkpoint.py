@@ -62,11 +62,21 @@ def _write_tree(path: str, tree: Dict[str, Any], meta: Dict[str, Any]) -> None:
 
 def wait_for_saves() -> None:
     """Block until every scheduled async save has committed; re-raise the
-    first writer error (a failed checkpoint must not pass silently)."""
+    first writer error (a failed checkpoint must not pass silently).
+    Every future is awaited even when an early one fails — otherwise a
+    still-running later write could be observed torn by the next load,
+    and its error would vanish."""
     with _WRITER_LOCK:
         pending, _PENDING[:] = _PENDING[:], []
+    first_err: Optional[BaseException] = None
     for fut in pending:
-        fut.result()
+        try:
+            fut.result()
+        except BaseException as e:  # noqa: BLE001 - re-raised below
+            if first_err is None:
+                first_err = e
+    if first_err is not None:
+        raise first_err
 
 
 def save_checkpoint(

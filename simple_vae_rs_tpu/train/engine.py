@@ -510,11 +510,24 @@ class Trainer:
         finally:
             # flush any in-flight async checkpoint saves before returning —
             # callers (e.g. --test right after fit) may load the best
-            # checkpoint immediately, and a writer error must surface
+            # checkpoint immediately, and a writer error must surface.
+            # When fit is ALREADY unwinding with an exception (NaN abort,
+            # early-stop error), a deferred writer error must not replace
+            # it as the propagating exception — report it and let the
+            # original through.
+            import sys as _sys
+
             from simple_vae_rs_tpu.train.checkpoint import wait_for_saves
 
+            in_flight = _sys.exc_info()[1]
             try:
-                wait_for_saves()
+                try:
+                    wait_for_saves()
+                except Exception as ckpt_err:
+                    if in_flight is None:
+                        raise
+                    print(f"checkpoint writer error (suppressed by the "
+                          f"original failure): {ckpt_err!r}")
             finally:
                 self.logger.finish()
 

@@ -77,19 +77,33 @@ class JsonlLogger:
         self._fh.close()
 
 
-def _save_png(path: str, img: np.ndarray) -> None:
-    """img: (H, W, C) float in [0,1]; saves BGR->RGB bands [2,1,0] like the
-    reference's visualizations (``models/base.py:317``)."""
+def to_png_bytes(img: np.ndarray) -> Optional[bytes]:
+    """(H, W, C) float [0,1] -> PNG bytes, BGR->RGB bands [2,1,0] like the
+    reference's visualizations (``models/base.py:317``); None without PIL.
+    The single band-convention/encoding choke point — the JSONL panels and
+    the TensorBoard image summaries both go through here."""
     try:
+        from io import BytesIO
+
         from PIL import Image
     except ImportError:
-        return
+        return None
     if img.shape[-1] >= 3:
         img = img[..., [2, 1, 0]]
     else:
         img = np.repeat(img[..., :1], 3, axis=-1)
     arr = np.clip(np.nan_to_num(img) * 255.0, 0, 255).astype(np.uint8)
-    Image.fromarray(arr).save(path)
+    buf = BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _save_png(path: str, img: np.ndarray) -> None:
+    data = to_png_bytes(img)
+    if data is None:
+        return
+    with open(path, "wb") as fh:
+        fh.write(data)
 
 
 class WandbLogger:

@@ -102,10 +102,16 @@ class TensorBoardLogger:
     """Scalar + image panels to ``{run_dir}/events.out.tfevents.*``."""
 
     def __init__(self, run_dir: str) -> None:
+        import socket
+
         self.run_dir = run_dir
         os.makedirs(run_dir, exist_ok=True)
-        fname = f"events.out.tfevents.{int(time.time())}.svrs"
-        self._fh = open(os.path.join(run_dir, fname), "ab")
+        # hostname+pid disambiguate concurrent writers / same-second
+        # restarts (the standard tfevents convention) — two processes
+        # appending 4-part records to one file would corrupt its framing
+        fname = (f"events.out.tfevents.{int(time.time())}."
+                 f"{socket.gethostname()}.{os.getpid()}.svrs")
+        self._fh = open(os.path.join(run_dir, fname), "wb")
         self._write(_event(None, file_version="brain.Event:2"))
 
     def _write(self, record: bytes) -> None:
@@ -134,7 +140,7 @@ class TensorBoardLogger:
             for i, img in enumerate(arr):
                 png = _encode_png(img)
                 if png is None:
-                    return  # no PIL — images are best-effort, like JsonlLogger
+                    return  # no PIL: images are best-effort, like JsonlLogger
                 image_msg = (
                     _field_varint(1, img.shape[0]) + _field_varint(2, img.shape[1])
                     + _field_varint(3, 3) + _field_bytes(4, png)
@@ -151,21 +157,10 @@ class TensorBoardLogger:
 
 
 def _encode_png(img: np.ndarray) -> Optional[bytes]:
-    """(H, W, C) float [0,1] -> PNG bytes, BGR->RGB bands [2,1,0] like the
-    reference's panels (``models/base.py:317``)."""
-    try:
-        from io import BytesIO
+    """Shared with the JSONL panels: one band-convention choke point."""
+    from simple_vae_rs_tpu.utils.logging import to_png_bytes
 
-        from PIL import Image
-    except ImportError:
-        return None
-    img = img[..., [2, 1, 0]] if img.shape[-1] >= 3 else np.repeat(
-        img[..., :1], 3, axis=-1
-    )
-    arr = np.clip(np.nan_to_num(img) * 255.0, 0, 255).astype(np.uint8)
-    buf = BytesIO()
-    Image.fromarray(arr).save(buf, format="PNG")
-    return buf.getvalue()
+    return to_png_bytes(img)
 
 
 class TeeLogger:
