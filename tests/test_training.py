@@ -491,3 +491,35 @@ def test_gradient_accumulation_rejects_ragged_batch():
     with pytest.raises(ValueError, match="not divisible"):
         trainer._train_step(trainer.state, trainer._device_batch(batch),
                             jnp.float32(1e-3))
+
+
+def test_async_checkpoint_flush_awaits_all_saves(tmp_path, monkeypatch):
+    """An early writer failure must not abandon later in-flight saves: the
+    flush awaits every future (no torn reads), then re-raises the first."""
+    import time as _time
+
+    from simple_vae_rs_tpu.train import checkpoint as ck
+
+    marker = tmp_path / "second_done"
+    real_write = ck._write_tree
+    calls = []
+
+    def first_fails(path, tree, meta):
+        calls.append(path)
+        if len(calls) == 1:
+            raise OSError("disk full")
+        _time.sleep(0.2)  # make the second save observably in-flight
+        real_write(path, tree, meta)
+        marker.touch()
+
+    monkeypatch.setattr(ck, "_write_tree", first_fails)
+    batches = _sr_batches(n=1, ps=32)
+    model = VAE(VAEConfig(cr=2.0, patch_size=16))
+    trainer = Trainer(model, TrainConfig(learning_rate=1e-3))
+    state = trainer.init_state(batches[0])
+    ck.save_checkpoint(str(tmp_path / "a"), state, epoch=1, block=False)
+    ck.save_checkpoint(str(tmp_path / "b"), state, epoch=2, block=False)
+    with pytest.raises(OSError, match="disk full"):
+        ck.wait_for_saves()
+    # the second save completed BEFORE the error was re-raised
+    assert marker.exists()
