@@ -485,6 +485,10 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=None,
                     help="epoch count (default 40 for runs; for --report, "
                          "picks that run's archives instead of the latest)")
+    ap.add_argument("--preset", choices=["canonical", "small"],
+                    default="canonical",
+                    help="small = cr=2/ps=32 Cond arm (CPU-affordable "
+                         "wiring experiments; archives get a _ps32 suffix)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--backend", default="", help="jax platform override (tpu side)")
     ap.add_argument("--torch_regroup", action="store_true",
@@ -498,6 +502,8 @@ def main() -> None:
         return
     if args.epochs is None:
         args.epochs = 40
+    if args.preset == "small":
+        CFG.update(cr=2.0, patch_size=32)
     if not args.side:
         ap.error("--side or --report required")
     os.makedirs(OUT_DIR, exist_ok=True)
@@ -512,6 +518,8 @@ def main() -> None:
     else:
         result = run_tpu(args.epochs, args.seed, args.backend,
                          torch_regroup=args.torch_regroup)
+    if args.preset == "small":
+        result["side"] += "_ps32"
     out = os.path.join(
         OUT_DIR, f"quality_parity_{result['side']}_e{args.epochs}.json"
     )
