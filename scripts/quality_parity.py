@@ -520,6 +520,8 @@ def main() -> None:
                          torch_regroup=args.torch_regroup)
     if args.preset == "small":
         result["side"] += "_ps32"
+    if args.seed != 0:  # non-default seeds get their own archives
+        result["side"] += f"_s{args.seed}"
     out = os.path.join(
         OUT_DIR, f"quality_parity_{result['side']}_e{args.epochs}.json"
     )
