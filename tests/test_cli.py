@@ -32,3 +32,36 @@ def test_negative_cr_raises():
     args = parse_args(["-cr", "-1"])
     with pytest.raises(ValueError, match="Compression ratio"):
         main(args)
+
+
+def test_new_flags_parse_with_safe_defaults():
+    args = parse_args([])
+    assert args.backend == ""          # no override by default
+    assert args.accum_steps == 1       # no accumulation by default
+    assert not args.async_ckpt
+    assert not args.tensorboard
+    args = parse_args(["--backend", "cpu", "--accum_steps", "4",
+                       "--async_ckpt", "--tensorboard"])
+    assert (args.backend, args.accum_steps) == ("cpu", 4)
+    assert args.async_ckpt and args.tensorboard
+
+
+def test_apply_backend_is_idempotent(monkeypatch):
+    """_apply_backend must config-update exactly once per Namespace — a
+    second call (entrypoint then main) must not touch jax again, which
+    would raise after the backend has initialized."""
+    import simple_vae_rs_tpu.cli as cli
+
+    calls = []
+    monkeypatch.setattr(
+        cli.jax.config, "update",
+        lambda k, v: calls.append((k, v)),
+    )
+    args = parse_args(["--backend", "cpu"])
+    cli._apply_backend(args)
+    cli._apply_backend(args)
+    assert calls == [("jax_platforms", "cpu")]
+    # no override -> no update at all
+    calls.clear()
+    cli._apply_backend(parse_args([]))
+    assert calls == []
