@@ -41,6 +41,30 @@ def _series(data, key):
     return [e["epoch"] for e in eps], [e[key] for e in eps]
 
 
+def _seed_replicates():
+    """All small-preset (ps32) seed replicates, keyed by side.
+
+    Returns {"reference": [data, ...], "tpu": [...]} or None when fewer
+    than two replicates exist on either side (no spread to show). The
+    torchwire wiring arm is a different experiment and is excluded.
+    """
+    import re
+
+    groups = {"reference": [], "tpu": []}
+    for path in glob.glob(os.path.join(OUT_DIR, "quality_parity_*ps32*.json")):
+        name = os.path.basename(path)
+        if "torchwire" in name:
+            continue
+        side = "reference" if name.startswith(
+            "quality_parity_reference") else "tpu"
+        m = re.search(r"_s(\d+)_e", name)
+        with open(path) as fh:
+            groups[side].append((int(m.group(1)) if m else 0, json.load(fh)))
+    if len(groups["reference"]) < 2 or len(groups["tpu"]) < 2:
+        return None
+    return {s: [d for _, d in sorted(runs)] for s, runs in groups.items()}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(OUT_DIR,
@@ -63,11 +87,13 @@ def main() -> None:
                      "ssim_recon", "val SSIM (reconstruction)"))
     if not arms:
         raise SystemExit("no quality_parity archives in results/")
+    seed_groups = _seed_replicates()
 
+    nrows = len(arms) + (1 if seed_groups else 0)
     fig, axes = plt.subplots(
-        len(arms), 2, figsize=(11, 4.2 * len(arms)), facecolor=SURFACE
+        nrows, 2, figsize=(11, 4.2 * nrows), facecolor=SURFACE
     )
-    axes = axes.reshape(len(arms), 2)
+    axes = axes.reshape(nrows, 2)
     for row, (title, rd, td, ssim_key, ssim_label) in enumerate(arms):
         for col, (key, ylabel) in enumerate(
             [("val_loss", "val ELBO (lower = tighter bound)"),
@@ -93,6 +119,35 @@ def main() -> None:
                     xytext=(4, 9 - 18 * k), fontsize=8, color=INK2,
                 )
             ax.set_title(f"{title}", fontsize=10, color=INK, loc="left")
+            ax.set_xlabel("epoch", fontsize=9, color=INK2)
+            ax.set_ylabel(ylabel, fontsize=9, color=INK2)
+            ax.grid(True, color=GRID, linewidth=0.6)
+            for spine in ("top", "right"):
+                ax.spines[spine].set_visible(False)
+            for spine in ("left", "bottom"):
+                ax.spines[spine].set_color(GRID)
+            ax.tick_params(colors=INK2, labelsize=8)
+            ax.margins(x=0.02)
+    if seed_groups:
+        # seed-spread row: every ps32 replicate as its own thin line, so
+        # the cross-framework gap can be read against each side's own
+        # seed-to-seed spread (the seed policy makes this THE comparison)
+        row = len(arms)
+        for col, (key, ylabel) in enumerate(
+            [("val_loss", "val ELBO (lower = tighter bound)"),
+             ("ssim_sr", "val SSIM (SR output)")]
+        ):
+            ax = axes[row][col]
+            ax.set_facecolor(SURFACE)
+            for side, color in (("reference", C_REF), ("tpu", C_TPU)):
+                for data in seed_groups[side]:
+                    x, y = _series(data, key)
+                    ax.plot(x, y, color=color, linewidth=1.2, alpha=0.75)
+            title = ("Seed spread — Cond_SRVAE small preset (cr=2, ps=32)"
+                     if col == 0 else
+                     f"{len(seed_groups['reference'])}+"
+                     f"{len(seed_groups['tpu'])} seed replicates")
+            ax.set_title(title, fontsize=10, color=INK, loc="left")
             ax.set_xlabel("epoch", fontsize=9, color=INK2)
             ax.set_ylabel(ylabel, fontsize=9, color=INK2)
             ax.grid(True, color=GRID, linewidth=0.6)

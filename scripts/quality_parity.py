@@ -434,6 +434,60 @@ def run_tpu(epochs: int, seed: int, backend: str = "",
 
 
 # ---------------------------------------------------------------- report
+def report_seeds(epochs: int = 40) -> None:
+    """Seed-spread table for the small-preset arms.
+
+    The seed policy (torch/JAX RNG streams cannot be matched bitwise,
+    SURVEY §7) means each side runs its own init/reparam seeds, so the
+    honest question is whether the cross-framework ELBO gap exceeds each
+    side's OWN seed-to-seed spread. This reads every archived
+    ``quality_parity_{reference,tpu}_ps32[_sN]_e{epochs}.json`` and prints
+    per-seed finals plus the within-side spread vs the cross-side gap.
+    """
+    import glob
+    import re
+
+    groups: dict[str, dict[int, dict]] = {"reference": {}, "tpu": {}}
+    for path in glob.glob(
+        os.path.join(OUT_DIR, f"quality_parity_*ps32*_e{epochs}.json")
+    ):
+        name = os.path.basename(path)
+        if "torchwire" in name:  # wiring arm, not a seed replicate
+            continue
+        side = "reference" if name.startswith(
+            "quality_parity_reference") else "tpu"
+        m = re.search(r"_s(\d+)_e", name)
+        seed = int(m.group(1)) if m else 0
+        with open(path) as fh:
+            groups[side][seed] = json.load(fh)
+    if not (groups["reference"] and groups["tpu"]):
+        raise FileNotFoundError(
+            f"need ps32 archives for both sides at e{epochs} in {OUT_DIR}"
+        )
+    finals: dict[str, list[float]] = {}
+    print(f"{'side':<12} {'seed':>4} {'val_elbo':>12} {'ssim_sr':>8}")
+    for side, runs in groups.items():
+        vals = []
+        for seed in sorted(runs):
+            last = runs[seed]["epochs"][-1]
+            vals.append(last["val_loss"])
+            print(f"{side:<12} {seed:>4} {last['val_loss']:>12.1f} "
+                  f"{last['ssim_sr']:>8.4f}")
+        finals[side] = vals
+    mean = {s: float(np.mean(v)) for s, v in finals.items()}
+    spread = {s: float(np.max(v) - np.min(v)) for s, v in finals.items()}
+    scale = abs(np.mean(list(mean.values())))
+    gap = abs(mean["reference"] - mean["tpu"])
+    print(f"\nwithin-side spread: reference {spread['reference']:.1f} "
+          f"({spread['reference'] / scale:.1%}), "
+          f"tpu {spread['tpu']:.1f} ({spread['tpu'] / scale:.1%})")
+    print(f"cross-side gap of means: {gap:.1f} ({gap / scale:.1%})")
+    widest = max(spread.values())
+    verdict = ("WITHIN seed noise" if gap <= widest
+               else f"{gap / widest:.1f}x the widest within-side spread")
+    print(f"verdict: cross-framework gap is {verdict}")
+
+
 def report(epochs: int | None = None) -> None:
     """Print the side-by-side table from the archived curves.
 
@@ -496,9 +550,15 @@ def main() -> None:
                          "wiring instead of the pixel-shuffle redesign, so "
                          "the ELBO comparison isolates framework from wiring")
     ap.add_argument("--report", action="store_true")
+    ap.add_argument("--report_seeds", action="store_true",
+                    help="seed-spread table across the archived ps32 seed "
+                         "replicates: within-side spread vs cross-side gap")
     args = ap.parse_args()
     if args.report:
         report(args.epochs)  # None -> each side's latest archive
+        return
+    if args.report_seeds:
+        report_seeds(args.epochs or 40)
         return
     if args.epochs is None:
         args.epochs = 40
