@@ -1,0 +1,91 @@
+"""Tests for the quality-parity reporting tools (scripts/quality_parity.py).
+
+The training arms themselves are long-running measurement jobs exercised
+out-of-band (BASELINE.md records their archives); these tests pin the
+cheap, deterministic layer on top — archive discovery, seed parsing, and
+the spread-vs-gap arithmetic of ``report_seeds``.
+"""
+
+import importlib.util
+import json
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture()
+def qp():
+    spec = importlib.util.spec_from_file_location(
+        "quality_parity", os.path.join(REPO, "scripts", "quality_parity.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["quality_parity"] = mod
+    spec.loader.exec_module(mod)
+    yield mod
+    del sys.modules["quality_parity"]
+
+
+def _archive(path, side, seed, finals):
+    data = {
+        "side": side, "n_params": 4504892, "seed": seed,
+        "epochs": [
+            {"epoch": i + 1, "train_loss": v, "val_loss": v,
+             "ssim_sr": 0.7, "psnr_sr": 20.0, "seconds": 1.0}
+            for i, v in enumerate(finals)
+        ],
+    }
+    with open(path, "w") as fh:
+        json.dump(data, fh)
+
+
+def test_report_seeds_spread_vs_gap(qp, tmp_path, monkeypatch, capsys):
+    """Verdict compares the cross-side gap against the WIDEST within-side
+    spread, parsing seeds out of the _sN-suffixed archive names."""
+    monkeypatch.setattr(qp, "OUT_DIR", str(tmp_path))
+    _archive(tmp_path / "quality_parity_reference_ps32_e40.json",
+             "reference_ps32", 0, [-100.0, -4000.0])
+    _archive(tmp_path / "quality_parity_reference_ps32_s1_e40.json",
+             "reference_ps32_s1", 1, [-100.0, -4100.0])
+    _archive(tmp_path / "quality_parity_tpu_ps32_e40.json",
+             "tpu_ps32", 0, [-100.0, -3900.0])
+    _archive(tmp_path / "quality_parity_tpu_ps32_s2_e40.json",
+             "tpu_ps32_s2", 2, [-100.0, -3700.0])
+    # the wiring arm must NOT count as a seed replicate
+    _archive(tmp_path / "quality_parity_tpu_torchwire_ps32_e40.json",
+             "tpu_torchwire_ps32", 0, [-100.0, -1000.0])
+    qp.report_seeds(40)
+    out = capsys.readouterr().out
+    # per-seed rows present, torchwire excluded
+    assert "reference       0      -4000.0" in out
+    assert "tpu             2      -3700.0" in out
+    assert "-1000.0" not in out
+    # spreads: ref 100, tpu 200; gap |(-4050)-(-3800)| = 250 -> 1.2x widest
+    assert "reference 100.0" in out and "tpu 200.0" in out
+    assert "cross-side gap of means: 250.0" in out
+    assert "1.2x the widest within-side spread" in out
+
+
+def test_report_seeds_within_noise_verdict(qp, tmp_path, monkeypatch, capsys):
+    monkeypatch.setattr(qp, "OUT_DIR", str(tmp_path))
+    _archive(tmp_path / "quality_parity_reference_ps32_e40.json",
+             "reference_ps32", 0, [-4000.0])
+    _archive(tmp_path / "quality_parity_reference_ps32_s1_e40.json",
+             "reference_ps32_s1", 1, [-3600.0])
+    _archive(tmp_path / "quality_parity_tpu_ps32_e40.json",
+             "tpu_ps32", 0, [-3900.0])
+    _archive(tmp_path / "quality_parity_tpu_ps32_s1_e40.json",
+             "tpu_ps32_s1", 1, [-3750.0])
+    qp.report_seeds(40)
+    out = capsys.readouterr().out
+    assert "WITHIN seed noise" in out
+
+
+def test_report_seeds_requires_both_sides(qp, tmp_path, monkeypatch):
+    monkeypatch.setattr(qp, "OUT_DIR", str(tmp_path))
+    _archive(tmp_path / "quality_parity_reference_ps32_e40.json",
+             "reference_ps32", 0, [-4000.0])
+    with pytest.raises(FileNotFoundError):
+        qp.report_seeds(40)
