@@ -1,15 +1,21 @@
 #!/usr/bin/env python
-"""Convert a reference PyTorch checkpoint into this framework's format.
+"""Convert checkpoints between the reference's format and this framework's.
 
-Usage:
+Import (reference .pth -> our checkpoint):
     python scripts/convert_checkpoint.py ckpt.pth out_ckpt \
         --model_type Cond_SRVAE -cr 1.2 --patch_size 64
 
-Produces ``out_ckpt.orbax`` (or ``.msgpack``) loadable via ``--model_ckpt``.
-Conversion is functionally exact for both model types: Cond_SRVAE models are
-built with ``torch_regroup=True`` (the reference's C-major latent
-reinterpretations as explicit reshapes — see ``utils/convert.py`` and
-``tests/test_torch_parity.py``).
+Export (our checkpoint -> reference-loadable .pth):
+    python scripts/convert_checkpoint.py ckpt/best out.pth --to_torch \
+        --model_type Cond_SRVAE -cr 1.2 --patch_size 64
+
+Import produces ``out_ckpt.orbax`` (or ``.msgpack``) loadable via
+``--model_ckpt``; export produces a plain-tensor ``state_dict`` the
+reference loads strictly (``model.load_state_dict(torch.load(...))``).
+Both directions are functionally exact for both model types: Cond_SRVAE
+models are built with ``torch_regroup=True`` (the reference's C-major
+latent reinterpretations as explicit reshapes — see ``utils/convert.py``
+and ``tests/test_torch_parity.py``).
 """
 
 import argparse
@@ -31,16 +37,59 @@ def main():
                     help="Permit the legacy torch unpickler for "
                     "checkpoints with non-tensor pickle content "
                     "(executes pickle bytecode; trusted files only).")
+    ap.add_argument("--to_torch", action="store_true",
+                    help="Reverse direction: src is one of OUR checkpoints "
+                    "(path without .orbax/.msgpack extension), dst a .pth "
+                    "state_dict the reference loads strictly.")
+    ap.add_argument("--keep_gammas", action="store_true",
+                    help="With --to_torch: also store the trained gamma "
+                    "scalars (lossless re-import here; the reference then "
+                    "needs load_state_dict(strict=False)).")
     args = ap.parse_args()
 
     import jax
+
+    # conversion is a host-side job: tensor transposes + one tracing init
+    # for the structure check. Never pull in an accelerator backend for it
+    # (on the tunneled-TPU box that would mean minutes of remote compile —
+    # or a hang when the tunnel is down).
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from simple_vae_rs_tpu.config import CondSRVAEConfig, TrainConfig, VAEConfig
     from simple_vae_rs_tpu.models import VAE, CondSRVAE
-    from simple_vae_rs_tpu.train.checkpoint import save_checkpoint
+    from simple_vae_rs_tpu.train.checkpoint import load_checkpoint, save_checkpoint
     from simple_vae_rs_tpu.train.state import create_train_state, make_optimizer
     from simple_vae_rs_tpu.utils import convert as cv
+
+    if args.to_torch:
+        if args.model_type == "VAE":
+            cfg = VAEConfig(cr=args.compression_ratio,
+                            patch_size=args.patch_size)
+            model = VAE(cfg)
+            x = jnp.zeros((1, cfg.patch_size, cfg.patch_size, cfg.channels))
+            init_args = (x, jax.random.PRNGKey(1))
+        else:
+            cfg = CondSRVAEConfig(cr=args.compression_ratio,
+                                  patch_size=args.patch_size,
+                                  torch_regroup=True)
+            model = CondSRVAE(cfg)
+            x = jnp.zeros((1, cfg.patch_size, cfg.patch_size, cfg.channels))
+            y = jnp.zeros((1, cfg.lr_patch_size, cfg.lr_patch_size,
+                           cfg.channels))
+            init_args = (x, y, jax.random.PRNGKey(1))
+        variables = model.init({"params": jax.random.PRNGKey(0)}, *init_args,
+                               train=False)
+        state = create_train_state(variables, make_optimizer(TrainConfig()),
+                                   jax.random.PRNGKey(0))
+        state, _ = load_checkpoint(args.src, state)
+        tree = {"params": state.params, "batch_stats": state.batch_stats}
+        sd = (cv.export_vae_state_dict(tree, args.keep_gammas)
+              if args.model_type == "VAE"
+              else cv.export_cond_state_dict(tree, args.keep_gammas))
+        cv.save_torch_state_dict(args.dst, sd)
+        print(f"exported {args.src} -> {args.dst} ({len(sd)} tensors)")
+        return
 
     sd = cv.load_torch_state_dict(args.src, allow_pickle=args.allow_pickle)
     if args.model_type == "VAE":

@@ -1,8 +1,10 @@
-"""Convert reference PyTorch ``state_dict`` checkpoints to this framework.
+"""Convert checkpoints between the reference's PyTorch format and ours.
 
-Migration path for users of the reference: a ``.pth`` ``state_dict`` saved
-by the reference's ``ModelCheckpoint`` (``callbacks.py:140-143``) maps onto
-this framework's parameter tree. Tensor-level rules:
+Both migration directions: a ``.pth`` ``state_dict`` saved by the
+reference's ``ModelCheckpoint`` (``callbacks.py:140-143``) maps onto this
+framework's parameter tree (``convert_*``), and a tree trained here
+exports back to a strict-loadable reference ``state_dict``
+(``export_*``) for torch-side serving. Tensor-level rules:
 
 - ``Conv2d.weight``  (out, in, kh, kw)  -> kernel (kh, kw, in, out)
 - ``ConvTranspose2d.weight`` (in, out, kh, kw) -> kernel (kh, kw, in, out),
@@ -172,6 +174,110 @@ def convert_cond_state_dict(src: Tensors) -> Dict[str, Any]:
     params["gammax"] = np.float32(src.get("gammax", 1.0))
     params["gammay"] = np.float32(src.get("gammay", 1.0))
     return {"params": params, "batch_stats": stats}
+
+
+# ----------------------------------------------------------------- export
+# The inverse direction: this framework's variable trees -> a reference
+# PyTorch ``state_dict``, so models trained here drop into the reference's
+# own code (``Cond_SRVAE.load_state_dict``) and any torch serving stack.
+# Exact inverses of the tensor rules above; gammas are NOT emitted because
+# the reference's checkpoints never contain them (plain tensors, SURVEY
+# §2.2-7) — its ``state_dict`` loads strictly without them.
+
+
+def _conv_export(params: Dict, torch_prefix: str,
+                 transpose: bool = False) -> Tensors:
+    k = np.asarray(params["kernel"], np.float32)
+    if transpose:
+        # inverse of (in,out,kh,kw)->transpose(2,3,0,1)->spatial flip
+        w = np.ascontiguousarray(k[::-1, ::-1].transpose(2, 3, 0, 1))
+    else:
+        w = np.ascontiguousarray(k.transpose(3, 2, 0, 1))
+    out = {f"{torch_prefix}.weight": w}
+    if "bias" in params:
+        out[f"{torch_prefix}.bias"] = np.asarray(params["bias"], np.float32)
+    return out
+
+
+def _bn_export(params: Dict, stats: Dict, torch_prefix: str) -> Tensors:
+    return {
+        f"{torch_prefix}.weight": np.asarray(params["scale"], np.float32),
+        f"{torch_prefix}.bias": np.asarray(params["bias"], np.float32),
+        f"{torch_prefix}.running_mean": np.asarray(stats["mean"], np.float32),
+        f"{torch_prefix}.running_var": np.asarray(stats["var"], np.float32),
+        # BatchNorm2d state_dicts carry this buffer; torch's strict load
+        # requires the key, and the value only matters for momentum=None
+        # cumulative averaging (the reference uses the default momentum)
+        f"{torch_prefix}.num_batches_tracked": np.asarray(0, np.int64),
+    }
+
+
+def _export(mapping, params: Dict, stats: Dict) -> Tensors:
+    sd: Tensors = {}
+    for ours, theirs, is_block, is_up in mapping:
+        mod = params[ours]
+        if is_block:
+            sub = "upsample" if is_up else "downsample"
+            sd.update(_conv_export(mod["conv"], f"{theirs}.conv"))
+            sd.update(_conv_export(mod[sub], f"{theirs}.{sub}", transpose=is_up))
+            if "bn" in mod:
+                sd.update(_bn_export(mod["bn"], stats[ours]["bn"],
+                                     f"{theirs}.bn"))
+        else:
+            sd.update(_conv_export(mod, theirs))
+    return sd
+
+
+def export_vae_state_dict(tree: Dict[str, Any],
+                          include_gammas: bool = False) -> Tensors:
+    """{'params', 'batch_stats'} trees -> reference VAE ``state_dict``.
+
+    Functionally exact (the latent flattening-order difference is internal
+    to matched encoder/decoder pairs — see the conversion notes above).
+    ``include_gammas`` adds the trained ``gamma`` as an extra key: a
+    LOSSLESS roundtrip through ``convert_vae_state_dict`` (which reads
+    it), but the reference's ``load_state_dict`` then needs
+    ``strict=False``.
+    """
+    import jax
+
+    params = jax.device_get(tree["params"])
+    sd = _export(_VAE_ENCODER + _VAE_DECODER, params,
+                 jax.device_get(tree.get("batch_stats", {})))
+    if include_gammas:
+        sd["gamma"] = np.asarray(params["gamma"], np.float32)
+    return sd
+
+
+def export_cond_state_dict(tree: Dict[str, Any],
+                           include_gammas: bool = False) -> Tensors:
+    """{'params', 'batch_stats'} trees -> reference Cond_SRVAE ``state_dict``.
+
+    Exact for models built with ``torch_regroup=True``; with the default
+    pixel-shuffle regrouping the prior heads see a permuted latent in the
+    reference graph (mirror of the import caveat) — fine-tune after
+    loading in that case. ``include_gammas`` as in
+    :func:`export_vae_state_dict` (adds ``gammax``/``gammay``).
+    """
+    import jax
+
+    params = jax.device_get(tree["params"])
+    sd = _export(_COND_MAP, params,
+                 jax.device_get(tree.get("batch_stats", {})))
+    if include_gammas:
+        sd["gammax"] = np.asarray(params["gammax"], np.float32)
+        sd["gammay"] = np.asarray(params["gammay"], np.float32)
+    return sd
+
+
+def save_torch_state_dict(path: str, sd: Tensors) -> None:
+    """Write an exported state_dict as a ``.pth`` loadable by the reference
+    (plain tensor leaves — survives ``torch.load(weights_only=True)``)."""
+    import torch
+
+    # copy=True: device_get views can be non-writable, which torch rejects
+    torch.save({k: torch.from_numpy(np.array(v, copy=True))
+                for k, v in sd.items()}, path)
 
 
 def load_torch_state_dict(path: str, allow_pickle: bool = False) -> Tensors:

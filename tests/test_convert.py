@@ -121,6 +121,76 @@ def test_convtranspose_conversion_value_parity():
     )
 
 
+def test_export_vae_roundtrips_exactly():
+    """torch sd -> our tree -> torch sd must reproduce every tensor
+    bit-exactly, with only the BN ``num_batches_tracked`` buffers added
+    (torch's strict load requires those keys; the reference's own
+    state_dicts contain them)."""
+    cfg = VAEConfig(cr=2.0, patch_size=16)
+    model = VAE(cfg)
+    x = jnp.zeros((1, 16, 16, 4))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x,
+                           jax.random.PRNGKey(1), train=False)
+    sd = _synthesize_state_dict(cv._VAE_ENCODER + cv._VAE_DECODER, variables)
+    back = cv.export_vae_state_dict(cv.convert_vae_state_dict(sd))
+    extras = set(back) - set(sd)
+    assert extras and all(k.endswith("num_batches_tracked") for k in extras)
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+
+def test_export_cond_roundtrips_exactly():
+    cfg = CondSRVAEConfig(cr=2.0, patch_size=16)
+    model = CondSRVAE(cfg)
+    x = jnp.zeros((1, 16, 16, 4))
+    y = jnp.zeros((1, 8, 8, 4))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, x, y, jax.random.PRNGKey(1),
+        train=False
+    )
+    sd = _synthesize_state_dict(cv._COND_MAP, variables)
+    back = cv.export_cond_state_dict(cv.convert_cond_state_dict(sd))
+    extras = set(back) - set(sd)
+    assert extras and all(k.endswith("num_batches_tracked") for k in extras)
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+    # gammas stay out of the exported dict by default (reference
+    # checkpoints never contain them — SURVEY §2.2-7) ...
+    assert not any("gamma" in k for k in back)
+    # ... but include_gammas makes the roundtrip lossless
+    tree = cv.convert_cond_state_dict(sd)
+    tree["params"]["gammax"] = np.float32(0.5)
+    sd2 = cv.export_cond_state_dict(tree, include_gammas=True)
+    again = cv.convert_cond_state_dict(sd2)
+    assert float(again["params"]["gammax"]) == 0.5
+    assert float(again["params"]["gammay"]) == 1.0
+
+
+def test_export_convtranspose_value_parity(tmp_path):
+    """An exported ConvT kernel must reproduce OUR outputs when run through
+    torch's ConvTranspose2d — the serving-stack handoff in miniature."""
+    torch = pytest.importorskip("torch")
+    from simple_vae_rs_tpu.ops.conv_blocks import torch_conv_transpose
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, 5, 5, 3)).astype(np.float32)
+    mod = torch_conv_transpose(2, 3, 4, 2, 1)
+    params = mod.init(jax.random.PRNGKey(0), jnp.array(x))["params"]
+    ours = mod.apply({"params": params}, jnp.array(x))
+
+    sd = cv._conv_export(jax.device_get(params), "m", transpose=True)
+    p = str(tmp_path / "w.pth")
+    cv.save_torch_state_dict(p, sd)
+    loaded = torch.load(p, weights_only=True)
+    tconv = torch.nn.ConvTranspose2d(3, 2, 4, stride=2, padding=1)
+    tconv.load_state_dict({"weight": loaded["m.weight"],
+                           "bias": loaded["m.bias"]})
+    got = tconv(torch.tensor(x.transpose(0, 3, 1, 2))).detach().numpy()
+    np.testing.assert_allclose(
+        got, np.asarray(ours).transpose(0, 3, 1, 2), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_load_torch_state_dict_handles_numpy_pickles(tmp_path):
     """torch>=2.6 defaults weights_only=True, which rejects checkpoints
     whose leaves pickled as numpy arrays — the legacy unpickler (arbitrary
