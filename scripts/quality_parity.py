@@ -434,23 +434,27 @@ def run_tpu(epochs: int, seed: int, backend: str = "",
 
 
 # ---------------------------------------------------------------- report
-def report_seeds(epochs: int = 40) -> None:
-    """Seed-spread table for the small-preset arms.
+def report_seeds(epochs: int = 40, family: str = "cond") -> None:
+    """Seed-spread table across a family's archived seed replicates.
 
     The seed policy (torch/JAX RNG streams cannot be matched bitwise,
     SURVEY §7) means each side runs its own init/reparam seeds, so the
     honest question is whether the cross-framework ELBO gap exceeds each
-    side's OWN seed-to-seed spread. This reads every archived
-    ``quality_parity_{reference,tpu}_ps32[_sN]_e{epochs}.json`` and prints
-    per-seed finals plus the within-side spread vs the cross-side gap.
+    side's OWN seed-to-seed spread. ``family='cond'`` reads the ps32
+    small-preset Cond arms, ``'vae'`` the plain-VAE arms. Archives longer
+    than ``epochs`` are truncated to it (per-epoch records are unaffected
+    by how long the run continued), so e80 and e40 replicates compare at
+    the same point.
     """
     import glob
     import re
 
+    if family == "cond":
+        pattern, ssim_key = "quality_parity_*ps32*_e*.json", "ssim_sr"
+    else:
+        pattern, ssim_key = "quality_parity_*_vae*_e*.json", "ssim_recon"
     groups: dict[str, dict[int, dict]] = {"reference": {}, "tpu": {}}
-    for path in glob.glob(
-        os.path.join(OUT_DIR, f"quality_parity_*ps32*_e{epochs}.json")
-    ):
+    for path in glob.glob(os.path.join(OUT_DIR, pattern)):
         name = os.path.basename(path)
         if "torchwire" in name:  # wiring arm, not a seed replicate
             continue
@@ -459,20 +463,26 @@ def report_seeds(epochs: int = 40) -> None:
         m = re.search(r"_s(\d+)_e", name)
         seed = int(m.group(1)) if m else 0
         with open(path) as fh:
-            groups[side][seed] = json.load(fh)
+            data = json.load(fh)
+        if len(data["epochs"]) < epochs:
+            continue
+        prev = groups[side].get(seed)
+        if prev is None or len(data["epochs"]) > len(prev["epochs"]):
+            groups[side][seed] = data
     if not (groups["reference"] and groups["tpu"]):
         raise FileNotFoundError(
-            f"need ps32 archives for both sides at e{epochs} in {OUT_DIR}"
+            f"need {family} archives for both sides at >= e{epochs} "
+            f"in {OUT_DIR}"
         )
     finals: dict[str, list[float]] = {}
-    print(f"{'side':<12} {'seed':>4} {'val_elbo':>12} {'ssim_sr':>8}")
+    print(f"{'side':<12} {'seed':>4} {'val_elbo':>12} {ssim_key:>10}")
     for side, runs in groups.items():
         vals = []
         for seed in sorted(runs):
-            last = runs[seed]["epochs"][-1]
+            last = runs[seed]["epochs"][epochs - 1]
             vals.append(last["val_loss"])
             print(f"{side:<12} {seed:>4} {last['val_loss']:>12.1f} "
-                  f"{last['ssim_sr']:>8.4f}")
+                  f"{last[ssim_key]:>10.4f}")
         finals[side] = vals
     mean = {s: float(np.mean(v)) for s, v in finals.items()}
     spread = {s: float(np.max(v) - np.min(v)) for s, v in finals.items()}
@@ -558,7 +568,8 @@ def main() -> None:
         report(args.epochs)  # None -> each side's latest archive
         return
     if args.report_seeds:
-        report_seeds(args.epochs or 40)
+        report_seeds(args.epochs or 40,
+                     "vae" if args.model == "vae" else "cond")
         return
     if args.epochs is None:
         args.epochs = 40

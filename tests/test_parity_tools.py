@@ -56,7 +56,7 @@ def test_report_seeds_spread_vs_gap(qp, tmp_path, monkeypatch, capsys):
     # the wiring arm must NOT count as a seed replicate
     _archive(tmp_path / "quality_parity_tpu_torchwire_ps32_e40.json",
              "tpu_torchwire_ps32", 0, [-100.0, -1000.0])
-    qp.report_seeds(40)
+    qp.report_seeds(2)
     out = capsys.readouterr().out
     # per-seed rows present, torchwire excluded
     assert "reference       0      -4000.0" in out
@@ -78,7 +78,7 @@ def test_report_seeds_within_noise_verdict(qp, tmp_path, monkeypatch, capsys):
              "tpu_ps32", 0, [-3900.0])
     _archive(tmp_path / "quality_parity_tpu_ps32_s1_e40.json",
              "tpu_ps32_s1", 1, [-3750.0])
-    qp.report_seeds(40)
+    qp.report_seeds(1)
     out = capsys.readouterr().out
     assert "WITHIN seed noise" in out
 
@@ -88,4 +88,4 @@ def test_report_seeds_requires_both_sides(qp, tmp_path, monkeypatch):
     _archive(tmp_path / "quality_parity_reference_ps32_e40.json",
              "reference_ps32", 0, [-4000.0])
     with pytest.raises(FileNotFoundError):
-        qp.report_seeds(40)
+        qp.report_seeds(1)
