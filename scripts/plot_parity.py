@@ -41,28 +41,38 @@ def _series(data, key):
     return [e["epoch"] for e in eps], [e[key] for e in eps]
 
 
-def _seed_replicates():
-    """All small-preset (ps32) seed replicates, keyed by side.
+def _seed_replicates(family="cond"):
+    """A family's seed replicates, keyed by side.
 
-    Returns {"reference": [data, ...], "tpu": [...]} or None when fewer
-    than two replicates exist on either side (no spread to show). The
-    torchwire wiring arm is a different experiment and is excluded.
+    ``family='cond'`` reads the ps32 small-preset Cond archives, ``'vae'``
+    the plain-VAE archives. Returns {"reference": [data, ...], "tpu":
+    [...]} or None when fewer than two replicates exist on either side
+    (no spread to show). The torchwire wiring arm is a different
+    experiment and is excluded; per (side, seed) the longest archive
+    wins.
     """
     import re
 
-    groups = {"reference": [], "tpu": []}
-    for path in glob.glob(os.path.join(OUT_DIR, "quality_parity_*ps32*.json")):
+    pattern = ("quality_parity_*ps32*.json" if family == "cond"
+               else "quality_parity_*_vae*_e*.json")
+    groups = {"reference": {}, "tpu": {}}
+    for path in glob.glob(os.path.join(OUT_DIR, pattern)):
         name = os.path.basename(path)
         if "torchwire" in name:
             continue
         side = "reference" if name.startswith(
             "quality_parity_reference") else "tpu"
         m = re.search(r"_s(\d+)_e", name)
+        seed = int(m.group(1)) if m else 0
         with open(path) as fh:
-            groups[side].append((int(m.group(1)) if m else 0, json.load(fh)))
+            data = json.load(fh)
+        prev = groups[side].get(seed)
+        if prev is None or len(data["epochs"]) > len(prev["epochs"]):
+            groups[side][seed] = data
     if len(groups["reference"]) < 2 or len(groups["tpu"]) < 2:
         return None
-    return {s: [d for _, d in sorted(runs)] for s, runs in groups.items()}
+    return {s: [d for _, d in sorted(runs.items())]
+            for s, runs in groups.items()}
 
 
 def main() -> None:
@@ -87,9 +97,18 @@ def main() -> None:
                      "ssim_recon", "val SSIM (reconstruction)"))
     if not arms:
         raise SystemExit("no quality_parity archives in results/")
-    seed_groups = _seed_replicates()
+    seed_rows = []  # (row title, groups, ssim key, ssim label)
+    for family, title, key, label in (
+        ("cond", "Seed spread — Cond_SRVAE small preset (cr=2, ps=32)",
+         "ssim_sr", "val SSIM (SR output)"),
+        ("vae", "Seed spread — VAE (cr=1.28, ps=32)",
+         "ssim_recon", "val SSIM (reconstruction)"),
+    ):
+        groups = _seed_replicates(family)
+        if groups:
+            seed_rows.append((title, groups, key, label))
 
-    nrows = len(arms) + (1 if seed_groups else 0)
+    nrows = len(arms) + len(seed_rows)
     fig, axes = plt.subplots(
         nrows, 2, figsize=(11, 4.2 * nrows), facecolor=SURFACE
     )
@@ -128,25 +147,27 @@ def main() -> None:
                 ax.spines[spine].set_color(GRID)
             ax.tick_params(colors=INK2, labelsize=8)
             ax.margins(x=0.02)
-    if seed_groups:
-        # seed-spread row: every ps32 replicate as its own thin line, so
-        # the cross-framework gap can be read against each side's own
-        # seed-to-seed spread (the seed policy makes this THE comparison)
-        row = len(arms)
+    # seed-spread rows: every replicate as its own thin line, so the
+    # cross-framework gap can be read against each side's own
+    # seed-to-seed spread (the seed policy makes this THE comparison)
+    for i, (row_title, groups, ssim_key, ssim_label) in enumerate(seed_rows):
+        row = len(arms) + i
+        # common epoch range: replicate lengths differ (e40 vs e80 runs)
+        n = min(len(d["epochs"]) for s in groups.values() for d in s)
         for col, (key, ylabel) in enumerate(
             [("val_loss", "val ELBO (lower = tighter bound)"),
-             ("ssim_sr", "val SSIM (SR output)")]
+             (ssim_key, ssim_label)]
         ):
             ax = axes[row][col]
             ax.set_facecolor(SURFACE)
             for side, color in (("reference", C_REF), ("tpu", C_TPU)):
-                for data in seed_groups[side]:
+                for data in groups[side]:
                     x, y = _series(data, key)
-                    ax.plot(x, y, color=color, linewidth=1.2, alpha=0.75)
-            title = ("Seed spread — Cond_SRVAE small preset (cr=2, ps=32)"
-                     if col == 0 else
-                     f"{len(seed_groups['reference'])}+"
-                     f"{len(seed_groups['tpu'])} seed replicates")
+                    ax.plot(x[:n], y[:n], color=color, linewidth=1.2,
+                            alpha=0.75)
+            title = (row_title if col == 0 else
+                     f"{len(groups['reference'])}+"
+                     f"{len(groups['tpu'])} seed replicates")
             ax.set_title(title, fontsize=10, color=INK, loc="left")
             ax.set_xlabel("epoch", fontsize=9, color=INK2)
             ax.set_ylabel(ylabel, fontsize=9, color=INK2)
