@@ -28,12 +28,12 @@ def qp():
     del sys.modules["quality_parity"]
 
 
-def _archive(path, side, seed, finals):
+def _archive(path, side, seed, finals, ssim_key="ssim_sr"):
     data = {
         "side": side, "n_params": 4504892, "seed": seed,
         "epochs": [
             {"epoch": i + 1, "train_loss": v, "val_loss": v,
-             "ssim_sr": 0.7, "psnr_sr": 20.0, "seconds": 1.0}
+             ssim_key: 0.7, "psnr_sr": 20.0, "seconds": 1.0}
             for i, v in enumerate(finals)
         ],
     }
@@ -80,6 +80,35 @@ def test_report_seeds_within_noise_verdict(qp, tmp_path, monkeypatch, capsys):
              "tpu_ps32_s1", 1, [-3750.0])
     qp.report_seeds(1)
     out = capsys.readouterr().out
+    assert "WITHIN seed noise" in out
+
+
+def test_report_seeds_vae_family(qp, tmp_path, monkeypatch, capsys):
+    """The vae family reads the _vae archives (ssim_recon metric) and
+    compares e80 and e40 replicates at the same truncation epoch; cond
+    ps32 archives in the same directory must not leak in."""
+    monkeypatch.setattr(qp, "OUT_DIR", str(tmp_path))
+    # seed-0 replicates ran to e80; later seeds stopped at e40
+    _archive(tmp_path / "quality_parity_reference_vae_e80.json",
+             "reference_vae", 0, [-100.0] + [-2000.0] * 79, "ssim_recon")
+    _archive(tmp_path / "quality_parity_reference_vae_s1_e40.json",
+             "reference_vae_s1", 1, [-100.0, -2200.0], "ssim_recon")
+    _archive(tmp_path / "quality_parity_tpu_vae_e80.json",
+             "tpu_vae", 0, [-100.0] + [-1900.0] * 79, "ssim_recon")
+    _archive(tmp_path / "quality_parity_tpu_vae_s1_e40.json",
+             "tpu_vae_s1", 1, [-100.0, -2100.0], "ssim_recon")
+    # a cond-family archive must not be picked up by the vae pattern
+    _archive(tmp_path / "quality_parity_reference_ps32_e40.json",
+             "reference_ps32", 0, [-100.0, -9000.0])
+    qp.report_seeds(2, family="vae")
+    out = capsys.readouterr().out
+    assert "ssim_recon" in out
+    # e80 archives truncate to the comparison epoch (value at epoch 2)
+    assert "reference       0      -2000.0" in out
+    assert "tpu             1      -2100.0" in out
+    assert "-9000.0" not in out
+    # ref mean -2100, tpu mean -2000 -> gap 100; spreads 200 each
+    assert "cross-side gap of means: 100.0" in out
     assert "WITHIN seed noise" in out
 
 
