@@ -33,6 +33,10 @@ def main():
                     choices=["Cond_SRVAE", "VAE"])
     ap.add_argument("-cr", "--compression_ratio", type=float, required=True)
     ap.add_argument("--patch_size", type=int, required=True)
+    ap.add_argument("--latent_size", type=int, default=0,
+                    help="Fixed latent budget override; must match the "
+                    "--latent_size the checkpoint was trained with "
+                    "(0 = the cr-derived default).")
     ap.add_argument("--allow_pickle", action="store_true",
                     help="Permit the legacy torch unpickler for "
                     "checkpoints with non-tensor pickle content "
@@ -65,14 +69,16 @@ def main():
     if args.to_torch:
         if args.model_type == "VAE":
             cfg = VAEConfig(cr=args.compression_ratio,
-                            patch_size=args.patch_size)
+                            patch_size=args.patch_size,
+                            latent_size_override=args.latent_size)
             model = VAE(cfg)
             x = jnp.zeros((1, cfg.patch_size, cfg.patch_size, cfg.channels))
             init_args = (x, jax.random.PRNGKey(1))
         else:
             cfg = CondSRVAEConfig(cr=args.compression_ratio,
                                   patch_size=args.patch_size,
-                                  torch_regroup=True)
+                                  torch_regroup=True,
+                                  latent_size_override=args.latent_size)
             model = CondSRVAE(cfg)
             x = jnp.zeros((1, cfg.patch_size, cfg.patch_size, cfg.channels))
             y = jnp.zeros((1, cfg.lr_patch_size, cfg.lr_patch_size,
@@ -93,7 +99,8 @@ def main():
 
     sd = cv.load_torch_state_dict(args.src, allow_pickle=args.allow_pickle)
     if args.model_type == "VAE":
-        cfg = VAEConfig(cr=args.compression_ratio, patch_size=args.patch_size)
+        cfg = VAEConfig(cr=args.compression_ratio, patch_size=args.patch_size,
+                        latent_size_override=args.latent_size)
         model = VAE(cfg)
         x = jnp.zeros((1, cfg.patch_size, cfg.patch_size, cfg.channels))
         init_args = (x, jax.random.PRNGKey(1))
@@ -104,6 +111,7 @@ def main():
         cfg = CondSRVAEConfig(
             cr=args.compression_ratio, patch_size=args.patch_size,
             torch_regroup=True,
+            latent_size_override=args.latent_size,
         )
         model = CondSRVAE(cfg)
         x = jnp.zeros((1, cfg.patch_size, cfg.patch_size, cfg.channels))

@@ -44,35 +44,39 @@ def _series(data, key):
 def _seed_replicates(family="cond"):
     """A family's seed replicates, keyed by side.
 
-    ``family='cond'`` reads the ps32 small-preset Cond archives, ``'vae'``
-    the plain-VAE archives. Returns {"reference": [data, ...], "tpu":
-    [...]} or None when fewer than two replicates exist on either side
-    (no spread to show). The torchwire wiring arm is a different
-    experiment and is excluded; per (side, seed) the longest archive
-    wins.
+    Discovery (globs, torchwire exclusion, seed parsing, smoke-run
+    filter) is delegated to ``quality_parity.seed_replicates`` so the
+    plot and the ``--report_seeds`` table always agree on what counts
+    as a replicate. Returns {"reference": [data, ...], "tpu": [...]} or
+    None when fewer than two replicates exist on either side (no spread
+    to show).
     """
-    import re
+    import importlib.util
 
-    pattern = ("quality_parity_*ps32*.json" if family == "cond"
-               else "quality_parity_*_vae*_e*.json")
-    groups = {"reference": {}, "tpu": {}}
-    for path in glob.glob(os.path.join(OUT_DIR, pattern)):
-        name = os.path.basename(path)
-        if "torchwire" in name:
-            continue
-        side = "reference" if name.startswith(
-            "quality_parity_reference") else "tpu"
-        m = re.search(r"_s(\d+)_e", name)
-        seed = int(m.group(1)) if m else 0
-        with open(path) as fh:
-            data = json.load(fh)
-        prev = groups[side].get(seed)
-        if prev is None or len(data["epochs"]) > len(prev["epochs"]):
-            groups[side][seed] = data
+    spec = importlib.util.spec_from_file_location(
+        "quality_parity", os.path.join(REPO, "scripts", "quality_parity.py")
+    )
+    qp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(qp)
+    groups = qp.seed_replicates(family, min_epochs=40)
     if len(groups["reference"]) < 2 or len(groups["tpu"]) < 2:
         return None
     return {s: [d for _, d in sorted(runs.items())]
             for s, runs in groups.items()}
+
+
+def _style_axis(ax, title, ylabel):
+    """The figure's shared axis styling (titles, ink/grid tokens)."""
+    ax.set_title(title, fontsize=10, color=INK, loc="left")
+    ax.set_xlabel("epoch", fontsize=9, color=INK2)
+    ax.set_ylabel(ylabel, fontsize=9, color=INK2)
+    ax.grid(True, color=GRID, linewidth=0.6)
+    for spine in ("top", "right"):
+        ax.spines[spine].set_visible(False)
+    for spine in ("left", "bottom"):
+        ax.spines[spine].set_color(GRID)
+    ax.tick_params(colors=INK2, labelsize=8)
+    ax.margins(x=0.02)
 
 
 def main() -> None:
@@ -137,16 +141,7 @@ def main() -> None:
                     (x[-1], y[-1]), textcoords="offset points",
                     xytext=(4, 9 - 18 * k), fontsize=8, color=INK2,
                 )
-            ax.set_title(f"{title}", fontsize=10, color=INK, loc="left")
-            ax.set_xlabel("epoch", fontsize=9, color=INK2)
-            ax.set_ylabel(ylabel, fontsize=9, color=INK2)
-            ax.grid(True, color=GRID, linewidth=0.6)
-            for spine in ("top", "right"):
-                ax.spines[spine].set_visible(False)
-            for spine in ("left", "bottom"):
-                ax.spines[spine].set_color(GRID)
-            ax.tick_params(colors=INK2, labelsize=8)
-            ax.margins(x=0.02)
+            _style_axis(ax, title, ylabel)
     # seed-spread rows: every replicate as its own thin line, so the
     # cross-framework gap can be read against each side's own
     # seed-to-seed spread (the seed policy makes this THE comparison)
@@ -168,16 +163,7 @@ def main() -> None:
             title = (row_title if col == 0 else
                      f"{len(groups['reference'])}+"
                      f"{len(groups['tpu'])} seed replicates")
-            ax.set_title(title, fontsize=10, color=INK, loc="left")
-            ax.set_xlabel("epoch", fontsize=9, color=INK2)
-            ax.set_ylabel(ylabel, fontsize=9, color=INK2)
-            ax.grid(True, color=GRID, linewidth=0.6)
-            for spine in ("top", "right"):
-                ax.spines[spine].set_visible(False)
-            for spine in ("left", "bottom"):
-                ax.spines[spine].set_color(GRID)
-            ax.tick_params(colors=INK2, labelsize=8)
-            ax.margins(x=0.02)
+            _style_axis(ax, title, ylabel)
     # one legend for the figure (2 series, also direct-labeled)
     handles, labels = axes[0][0].get_legend_handles_labels()
     fig.legend(handles, labels, loc="upper right", fontsize=9,

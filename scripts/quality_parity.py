@@ -434,25 +434,22 @@ def run_tpu(epochs: int, seed: int, backend: str = "",
 
 
 # ---------------------------------------------------------------- report
-def report_seeds(epochs: int = 40, family: str = "cond") -> None:
-    """Seed-spread table across a family's archived seed replicates.
+def seed_replicates(family: str = "cond",
+                    min_epochs: int = 40) -> dict[str, dict[int, dict]]:
+    """A family's archived seed replicates, keyed by side then seed.
 
-    The seed policy (torch/JAX RNG streams cannot be matched bitwise,
-    SURVEY §7) means each side runs its own init/reparam seeds, so the
-    honest question is whether the cross-framework ELBO gap exceeds each
-    side's OWN seed-to-seed spread. ``family='cond'`` reads the ps32
-    small-preset Cond arms, ``'vae'`` the plain-VAE arms. Archives longer
-    than ``epochs`` are truncated to it (per-epoch records are unaffected
-    by how long the run continued), so e80 and e40 replicates compare at
-    the same point.
+    The single source of truth for what counts as a replicate (the plot
+    and the table must agree): ``family='cond'`` reads the ps32
+    small-preset Cond arms, ``'vae'`` the plain-VAE arms; the torchwire
+    wiring arm is a different experiment and is excluded; archives
+    shorter than ``min_epochs`` (smoke runs) are dropped; per
+    (side, seed) the longest archive wins.
     """
     import glob
     import re
 
-    if family == "cond":
-        pattern, ssim_key = "quality_parity_*ps32*_e*.json", "ssim_sr"
-    else:
-        pattern, ssim_key = "quality_parity_*_vae*_e*.json", "ssim_recon"
+    pattern = ("quality_parity_*ps32*_e*.json" if family == "cond"
+               else "quality_parity_*_vae*_e*.json")
     groups: dict[str, dict[int, dict]] = {"reference": {}, "tpu": {}}
     for path in glob.glob(os.path.join(OUT_DIR, pattern)):
         name = os.path.basename(path)
@@ -464,15 +461,32 @@ def report_seeds(epochs: int = 40, family: str = "cond") -> None:
         seed = int(m.group(1)) if m else 0
         with open(path) as fh:
             data = json.load(fh)
-        if len(data["epochs"]) < epochs:
+        if len(data["epochs"]) < min_epochs:
             continue
         prev = groups[side].get(seed)
         if prev is None or len(data["epochs"]) > len(prev["epochs"]):
             groups[side][seed] = data
-    if not (groups["reference"] and groups["tpu"]):
+    return groups
+
+
+def report_seeds(epochs: int = 40, family: str = "cond") -> None:
+    """Seed-spread table across a family's archived seed replicates.
+
+    The seed policy (torch/JAX RNG streams cannot be matched bitwise,
+    SURVEY §7) means each side runs its own init/reparam seeds, so the
+    honest question is whether the cross-framework ELBO gap exceeds each
+    side's OWN seed-to-seed spread. Archives longer than ``epochs`` are
+    truncated to it (per-epoch records are unaffected by how long the
+    run continued), so e80 and e40 replicates compare at the same point.
+    """
+    ssim_key = "ssim_sr" if family == "cond" else "ssim_recon"
+    groups = seed_replicates(family, min_epochs=epochs)
+    if min(len(runs) for runs in groups.values()) < 2:
         raise FileNotFoundError(
-            f"need {family} archives for both sides at >= e{epochs} "
-            f"in {OUT_DIR}"
+            f"need >=2 {family} seed replicates per side at >= e{epochs} "
+            f"in {OUT_DIR} (no within-side spread to compare otherwise); "
+            f"have reference={sorted(groups['reference'])}, "
+            f"tpu={sorted(groups['tpu'])}"
         )
     finals: dict[str, list[float]] = {}
     print(f"{'side':<12} {'seed':>4} {'val_elbo':>12} {ssim_key:>10}")
@@ -574,6 +588,12 @@ def main() -> None:
     if args.epochs is None:
         args.epochs = 40
     if args.preset == "small":
+        if args.model == "vae":
+            # the small preset only rewrites the Cond arm's CFG; silently
+            # accepting it here would archive a canonical-config VAE run
+            # under a _ps32 name that the cond-family seed globs pick up
+            ap.error("--preset small applies to the cond family only "
+                     "(the VAE arm always runs its canonical config)")
         CFG.update(cr=2.0, patch_size=32)
     if not args.side:
         ap.error("--side or --report required")

@@ -191,6 +191,50 @@ def test_export_convtranspose_value_parity(tmp_path):
     )
 
 
+def test_converter_script_exports_latent_override_checkpoints(tmp_path):
+    """The converter script must rebuild its template model with the
+    checkpoint's --latent_size (CLAUDE.md's documented large-patch path);
+    without it the orbax restore fails on head-shape mismatch."""
+    import importlib.util
+    import os
+    import sys
+
+    from simple_vae_rs_tpu.config import TrainConfig
+    from simple_vae_rs_tpu.train.checkpoint import save_checkpoint
+    from simple_vae_rs_tpu.train.state import create_train_state, make_optimizer
+
+    cfg = VAEConfig(cr=2.0, patch_size=16, latent_size_override=128)
+    model = VAE(cfg)
+    x = jnp.zeros((1, 16, 16, 4))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x,
+                           jax.random.PRNGKey(1), train=False)
+    state = create_train_state(variables, make_optimizer(TrainConfig()),
+                               jax.random.PRNGKey(0))
+    src = str(tmp_path / "trained")
+    save_checkpoint(src, state, epoch=0)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "convert_checkpoint", os.path.join(repo, "scripts",
+                                           "convert_checkpoint.py")
+    )
+    script = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(script)
+    dst = str(tmp_path / "out.pth")
+    argv = ["convert_checkpoint.py", src, dst, "--to_torch",
+            "--model_type", "VAE", "-cr", "2.0", "--patch_size", "16",
+            "--latent_size", "128"]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        script.main()
+    finally:
+        sys.argv = old
+    sd = cv.load_torch_state_dict(dst)
+    # the latent head carries the override's channel count (128//64 * 2)
+    assert sd["encoder.5.weight"].shape[0] == 2 * (128 // 64)
+
+
 def test_load_torch_state_dict_handles_numpy_pickles(tmp_path):
     """torch>=2.6 defaults weights_only=True, which rejects checkpoints
     whose leaves pickled as numpy arrays — the legacy unpickler (arbitrary

@@ -118,3 +118,43 @@ def test_report_seeds_requires_both_sides(qp, tmp_path, monkeypatch):
              "reference_ps32", 0, [-4000.0])
     with pytest.raises(FileNotFoundError):
         qp.report_seeds(1)
+
+
+def test_report_seeds_requires_two_seeds_per_side(qp, tmp_path, monkeypatch):
+    """One replicate per side has no within-side spread — the verdict
+    must refuse cleanly (a 0-width spread would divide by zero)."""
+    monkeypatch.setattr(qp, "OUT_DIR", str(tmp_path))
+    _archive(tmp_path / "quality_parity_reference_ps32_e40.json",
+             "reference_ps32", 0, [-4000.0])
+    _archive(tmp_path / "quality_parity_tpu_ps32_e40.json",
+             "tpu_ps32", 0, [-3900.0])
+    with pytest.raises(FileNotFoundError, match=">=2"):
+        qp.report_seeds(1)
+
+
+def test_seed_replicates_drops_smoke_runs(qp, tmp_path, monkeypatch):
+    """Archives shorter than min_epochs (aborted/smoke runs) are not
+    replicates — one must not shrink the comparison range for everyone
+    (the plot takes the min length across the group)."""
+    monkeypatch.setattr(qp, "OUT_DIR", str(tmp_path))
+    _archive(tmp_path / "quality_parity_reference_ps32_e40.json",
+             "reference_ps32", 0, [-1.0] * 40)
+    _archive(tmp_path / "quality_parity_tpu_ps32_e40.json",
+             "tpu_ps32", 0, [-1.0] * 40)
+    _archive(tmp_path / "quality_parity_tpu_ps32_s4_e2.json",
+             "tpu_ps32_s4", 4, [-1.0, -2.0])
+    groups = qp.seed_replicates("cond", min_epochs=40)
+    assert sorted(groups["tpu"]) == [0]
+    assert sorted(groups["reference"]) == [0]
+
+
+def test_cli_rejects_small_preset_for_vae(qp, monkeypatch):
+    """--preset small only rewrites the Cond CFG; a VAE run would be
+    archived under a misleading _ps32 name the cond globs pick up."""
+    monkeypatch.setattr(
+        sys, "argv",
+        ["quality_parity.py", "--model", "vae", "--preset", "small",
+         "--side", "tpu"],
+    )
+    with pytest.raises(SystemExit):
+        qp.main()
