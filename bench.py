@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -27,6 +28,50 @@ import numpy as np
 # v5e peak dense bf16 matmul throughput, per chip (public spec: 197 TFLOP/s
 # bf16; 394 TOPS int8)
 _V5E_PEAK_BF16 = 197e12
+
+_PROBED = False
+
+
+def _probe_backend(budget_s: float) -> bool:
+    """True once the backend is up and a trivial jit completes on it.
+
+    The axon tunnel occasionally wedges, and when it does even backend
+    *initialization* (`make_c_api_client`) hangs indefinitely — which
+    would otherwise hang this whole benchmark (the driver runs it
+    unattended). So init + one trivial dispatch run in a daemon thread
+    while the main thread waits out the budget; a single thread with one
+    shared event (not per-retry threads: JAX serializes backend init
+    under a lock, so a second attempt would only queue behind the first,
+    while a late RPC completion still flips this event). On exhaustion
+    the caller aborts fast — an honest failure beats a silent hang (and
+    no number is fabricated). CPU backends pass instantly.
+    """
+    import threading
+
+    done = threading.Event()
+
+    def run() -> None:
+        try:
+            if jax.default_backend() == "tpu":  # hangs here when wedged
+                x = jax.jit(lambda a: a + 1)(jnp.zeros((8, 128)))
+                float(jax.device_get(x.sum()))
+            done.set()
+        except Exception:  # surfaced as a timeout below
+            pass
+
+    threading.Thread(target=run, daemon=True).start()
+    deadline = time.monotonic() + budget_s
+    while True:
+        left = deadline - time.monotonic()
+        if done.wait(min(30.0, max(0.0, left))):
+            return True
+        if time.monotonic() >= deadline:
+            return False
+        print(
+            f"bench: backend probe still pending "
+            f"({deadline - time.monotonic():.0f}s of budget left)",
+            file=sys.stderr,
+        )
 
 
 def main(
@@ -43,6 +88,23 @@ def main(
     from simple_vae_rs_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+
+    global _PROBED
+    if not _PROBED:
+        budget = float(os.environ.get("SVRS_BENCH_PROBE_BUDGET_S", "900"))
+        if not _probe_backend(budget):
+            print(
+                "bench: TPU tunnel unresponsive for the whole probe budget; "
+                "aborting without a number — re-run when the tunnel recovers "
+                "(SVRS_BENCH_PROBE_BUDGET_S tunes the budget)",
+                file=sys.stderr,
+            )
+            # the leaked probe thread is a daemon but the wedged runtime's
+            # own threads may not be; _exit guarantees the driver gets
+            # control back
+            os._exit(2)
+    _PROBED = True
+
     from simple_vae_rs_tpu.models import CondSRVAE
     from simple_vae_rs_tpu.ops.patchify import grid_sr_batch
     from simple_vae_rs_tpu.parallel.mesh import make_mesh
@@ -136,8 +198,6 @@ def sweep() -> None:
 
 
 if __name__ == "__main__":
-    import sys
-
     if "--sweep" in sys.argv:
         sweep()
     else:

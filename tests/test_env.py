@@ -38,3 +38,34 @@ def test_ci_matrix_names_every_test_file():
         listed += job["strategy"]["matrix"]["test-file"]
     actual = sorted(glob.glob("tests/test_*.py"))
     assert sorted(listed) == actual
+
+
+def test_bench_tpu_probe_paths():
+    """bench.py's wedge guard: the probe must succeed fast on a live
+    backend and give up (not hang) when no probe can ever complete —
+    the driver runs bench.py unattended, so a wedged tunnel has to turn
+    into a bounded failure, never an indefinite hang."""
+    import sys
+    import threading
+    import time
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    import bench
+
+    t0 = time.monotonic()
+    assert bench._probe_backend(30.0) is True  # CPU backend answers instantly
+    assert time.monotonic() - t0 < 25.0
+
+    class NeverSets(threading.Event):  # a probe that can never complete
+        def wait(self, timeout=None):
+            time.sleep(min(timeout or 0.0, 0.2))
+            return False
+
+    orig = threading.Event
+    threading.Event = NeverSets
+    try:
+        t0 = time.monotonic()
+        assert bench._probe_backend(0.1) is False
+        assert time.monotonic() - t0 < 10.0
+    finally:
+        threading.Event = orig
