@@ -35,43 +35,16 @@ _PROBED = False
 def _probe_backend(budget_s: float) -> bool:
     """True once the backend is up and a trivial jit completes on it.
 
-    The axon tunnel occasionally wedges, and when it does even backend
-    *initialization* (`make_c_api_client`) hangs indefinitely — which
-    would otherwise hang this whole benchmark (the driver runs it
-    unattended). So init + one trivial dispatch run in a daemon thread
-    while the main thread waits out the budget; a single thread with one
-    shared event (not per-retry threads: JAX serializes backend init
-    under a lock, so a second attempt would only queue behind the first,
-    while a late RPC completion still flips this event). On exhaustion
-    the caller aborts fast — an honest failure beats a silent hang (and
-    no number is fabricated). CPU backends pass instantly.
+    A wedged axon tunnel hangs even backend initialization, which would
+    otherwise hang this whole benchmark (the driver runs it unattended).
+    Deadline logic lives in ``utils/health.probe_backend`` (shared with
+    ``python -m simple_vae_rs_tpu.doctor``); on exhaustion the caller
+    aborts fast — an honest failure beats a silent hang (and no number
+    is fabricated). CPU backends pass instantly.
     """
-    import threading
+    from simple_vae_rs_tpu.utils.health import probe_backend
 
-    done = threading.Event()
-
-    def run() -> None:
-        try:
-            if jax.default_backend() == "tpu":  # hangs here when wedged
-                x = jax.jit(lambda a: a + 1)(jnp.zeros((8, 128)))
-                float(jax.device_get(x.sum()))
-            done.set()
-        except Exception:  # surfaced as a timeout below
-            pass
-
-    threading.Thread(target=run, daemon=True).start()
-    deadline = time.monotonic() + budget_s
-    while True:
-        left = deadline - time.monotonic()
-        if done.wait(min(30.0, max(0.0, left))):
-            return True
-        if time.monotonic() >= deadline:
-            return False
-        print(
-            f"bench: backend probe still pending "
-            f"({deadline - time.monotonic():.0f}s of budget left)",
-            file=sys.stderr,
-        )
+    return probe_backend(budget_s) is not None
 
 
 def main(

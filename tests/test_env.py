@@ -69,3 +69,21 @@ def test_bench_tpu_probe_paths():
         assert time.monotonic() - t0 < 10.0
     finally:
         threading.Event = orig
+
+
+def test_doctor_reports_and_gates(capsys, monkeypatch):
+    """python -m simple_vae_rs_tpu.doctor: ok on a live backend (exit-0
+    gate), FAIL + False when the accelerator probe times out — the
+    readiness-gate contract."""
+    from simple_vae_rs_tpu import doctor
+
+    assert doctor.run_checks(budget_s=60.0) is True
+    out = capsys.readouterr().out
+    assert "accelerator" in out and "all checks passed" in out
+
+    from simple_vae_rs_tpu.utils import health
+
+    monkeypatch.setattr(health, "probe_backend", lambda *a, **k: None)
+    assert doctor.run_checks(budget_s=0.1) is False
+    out = capsys.readouterr().out
+    assert "UNREACHABLE" in out and "FAIL" in out
