@@ -8,14 +8,21 @@ configurations (band-interleaved ``(H, W, C)`` and band-sequential
 ``(C, H, W)``), little- and big-endian, and the compressions GDAL commonly
 writes — **Deflate/zlib (8 and legacy 32946) and LZW (5)**, each with or
 without the horizontal-differencing predictor (tag 317 = 2). If
-``tifffile`` is importable it is preferred.
+``tifffile`` is importable it is preferred for whole-file reads.
+
+Beyond the whole-array ``read_tiff``/``write_tiff`` pair, ``TiffReader``
+and ``TiffStripWriter`` expose the same codec as *streaming* row-window
+access — the serving layer sweeps whole scenes (a Sen2Venus granule is
+~10980x10980 x 4 bands) in bounded memory by decoding/encoding only the
+strips covering one row band at a time.
 """
 
 from __future__ import annotations
 
 import struct
 import zlib
-from typing import Dict, List
+from collections import OrderedDict
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -48,22 +55,28 @@ _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
 
 
-def _read_ifd_entries(data: bytes, offset: int, bo: str) -> Dict[int, List]:
-    (count,) = struct.unpack_from(bo + "H", data, offset)
+def _read_ifd_file(fh, offset: int, bo: str) -> Dict[int, List]:
+    """Parse one IFD from an open file, seeking only to out-of-line values."""
+    fh.seek(offset)
+    (count,) = struct.unpack(bo + "H", fh.read(2))
+    block = fh.read(count * 12)
     entries: Dict[int, List] = {}
+    deferred = []
     for i in range(count):
-        base = offset + 2 + i * 12
-        tag, typ, n = struct.unpack_from(bo + "HHI", data, base)
-        size = _TYPE_SIZES.get(typ, 1) * n
-        if size <= 4:
-            raw = data[base + 8 : base + 8 + size]
-        else:
-            (ptr,) = struct.unpack_from(bo + "I", data, base + 8)
-            raw = data[ptr : ptr + size]
+        tag, typ, n = struct.unpack_from(bo + "HHI", block, i * 12)
         fmt = _TYPE_FMT.get(typ)
         if fmt is None:
             continue
-        entries[tag] = list(struct.unpack(bo + fmt * n, raw))
+        size = _TYPE_SIZES.get(typ, 1) * n
+        if size <= 4:
+            raw = block[i * 12 + 8 : i * 12 + 8 + size]
+            entries[tag] = list(struct.unpack(bo + fmt * n, raw))
+        else:
+            (ptr,) = struct.unpack_from(bo + "I", block, i * 12 + 8)
+            deferred.append((tag, n, ptr, fmt, size))
+    for tag, n, ptr, fmt, size in deferred:
+        fh.seek(ptr)
+        entries[tag] = list(struct.unpack(bo + fmt * n, fh.read(size)))
     return entries
 
 
@@ -216,6 +229,163 @@ def _apply_predictor(plane: np.ndarray) -> np.ndarray:
     return diffed
 
 
+# ---------------------------------------------------------- streaming read
+class TiffReader:
+    """Streaming row-window access to one striped TIFF image.
+
+    Parses the IFD once, then ``read_rows(r0, r1)`` decodes only the strips
+    covering those rows — a row-band sweep over a whole scene touches
+    O(band) bytes at a time instead of materializing the raster
+    (``read_tiff`` is this class applied to ``[0, height)``). A small strip
+    cache keeps overlapping window reads from re-decompressing the strip
+    they share.
+
+    Attributes: ``height``, ``width``, ``samples_per_pixel``, ``planar``
+    (1 interleaved / 2 band-sequential), ``dtype`` (native byte order),
+    ``layout`` ("hw" | "hwc" | "chw" — the shape family ``read_rows``
+    returns, mirroring ``read_tiff``).
+    """
+
+    _CACHE_STRIPS = 8
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self._fh = open(path, "rb")
+        head = self._fh.read(8)
+        if head[:2] == b"II":
+            bo = "<"
+        elif head[:2] == b"MM":
+            bo = ">"
+        else:
+            self._fh.close()
+            raise ValueError(f"{path}: not a TIFF file")
+        (magic,) = struct.unpack_from(bo + "H", head, 2)
+        if magic != 42:
+            self._fh.close()
+            raise ValueError(f"{path}: unsupported TIFF magic {magic} (bigtiff?)")
+        (ifd_off,) = struct.unpack_from(bo + "I", head, 4)
+        tags = _read_ifd_file(self._fh, ifd_off, bo)
+
+        self._bo = bo
+        self.width = tags[_IMAGE_WIDTH][0]
+        self.height = tags[_IMAGE_LENGTH][0]
+        self.samples_per_pixel = tags.get(_SAMPLES_PER_PIXEL, [1])[0]
+        bits = tags.get(_BITS_PER_SAMPLE, [8])[0]
+        self._comp = tags.get(_COMPRESSION, [1])[0]
+        self.planar = tags.get(_PLANAR_CONFIG, [1])[0]
+        sfmt = tags.get(_SAMPLE_FORMAT, [1])[0]
+        self._pred = tags.get(_PREDICTOR, [1])[0]
+
+        kind = {1: "u", 2: "i", 3: "f"}.get(sfmt, "u")
+        if self._pred == 2 and kind == "f":
+            self._fh.close()
+            raise ValueError(f"{path}: predictor 2 on float samples")
+        if self._pred not in (1, 2):
+            self._fh.close()
+            raise ValueError(f"{path}: predictor {self._pred} unsupported")
+        self._file_dtype = np.dtype(f"{bo}{kind}{bits // 8}")
+        self.dtype = self._file_dtype.newbyteorder("=")
+
+        self._offsets = tags[_STRIP_OFFSETS]
+        self._counts = tags[_STRIP_BYTE_COUNTS]
+        self._rps = min(tags.get(_ROWS_PER_STRIP, [self.height])[0], self.height)
+        self._strips_per_plane = -(-self.height // self._rps)
+        planes = self.samples_per_pixel if self.planar == 2 else 1
+        if len(self._offsets) < planes * self._strips_per_plane:
+            # some writers declare rows-per-strip loosely (e.g. one strip
+            # spanning every plane); trust the offset table instead
+            self._strips_per_plane = len(self._offsets) // planes
+            self._rps = -(-self.height // self._strips_per_plane)
+        self._cache: OrderedDict = OrderedDict()
+
+    # -- context management
+    def close(self) -> None:
+        self._fh.close()
+
+    def __enter__(self) -> "TiffReader":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # -- geometry
+    @property
+    def rows_per_strip(self) -> int:
+        """Strip height — the natural block size for sequential sweeps."""
+        return self._rps
+
+    @property
+    def layout(self) -> str:
+        if self.samples_per_pixel == 1:
+            return "hw"
+        return "chw" if self.planar == 2 else "hwc"
+
+    @property
+    def shape(self):
+        h, w, c = self.height, self.width, self.samples_per_pixel
+        return {"hw": (h, w), "hwc": (h, w, c), "chw": (c, h, w)}[self.layout]
+
+    # -- strip access
+    def _strip(self, plane: int, sidx: int) -> np.ndarray:
+        """One decoded strip as (strip_rows, width * strip_chans), native order."""
+        key = (plane, sidx)
+        hit = self._cache.get(key)
+        if hit is not None:
+            self._cache.move_to_end(key)
+            return hit
+        chans = self.samples_per_pixel if self.planar == 1 else 1
+        strip_rows = min(self._rps, self.height - sidx * self._rps)
+        need = strip_rows * self.width * chans
+        idx = plane * self._strips_per_plane + sidx
+        self._fh.seek(self._offsets[idx])
+        raw = self._fh.read(self._counts[idx])
+        data = _decompress_strip(
+            raw, self._comp, self.path, need * self._file_dtype.itemsize
+        )
+        arr = np.frombuffer(data, dtype=self._file_dtype)
+        if arr.size < need:
+            raise ValueError(
+                f"{self.path}: strip {idx} truncated "
+                f"({arr.size} of {need} samples)"
+            )
+        arr = arr[:need]
+        if self._pred == 2:
+            arr = _undo_predictor(arr, strip_rows, self.width, chans)
+        out = arr.astype(self.dtype).reshape(strip_rows, self.width * chans)
+        self._cache[key] = out
+        if len(self._cache) > self._CACHE_STRIPS:
+            self._cache.popitem(last=False)
+        return out
+
+    def read_rows(self, r0: int, r1: int) -> np.ndarray:
+        """Rows ``[r0, r1)`` in the file's layout (see ``layout``).
+
+        Returns ``(rows, W)`` single-band, ``(rows, W, C)`` interleaved or
+        ``(C, rows, W)`` band-sequential — the same shape family (and byte
+        order) ``read_tiff`` returns for the whole image.
+        """
+        if not 0 <= r0 < r1 <= self.height:
+            raise ValueError(
+                f"rows [{r0}, {r1}) out of range for height {self.height}"
+            )
+        planes = self.samples_per_pixel if self.planar == 2 else 1
+        chans = self.samples_per_pixel if self.planar == 1 else 1
+        rows = r1 - r0
+        out = np.empty((planes, rows, self.width * chans), self.dtype)
+        s0, s1 = r0 // self._rps, (r1 - 1) // self._rps
+        for pl in range(planes):
+            for s in range(s0, s1 + 1):
+                strip = self._strip(pl, s)
+                lo = max(r0, s * self._rps)
+                hi = min(r1, s * self._rps + strip.shape[0])
+                out[pl, lo - r0 : hi - r0] = strip[lo - s * self._rps : hi - s * self._rps]
+        if self.samples_per_pixel == 1:
+            return out.reshape(rows, self.width)
+        if self.planar == 2:
+            return out.reshape(planes, rows, self.width)
+        return out.reshape(rows, self.width, self.samples_per_pixel)
+
+
 def read_tiff(path: str) -> np.ndarray:
     """Read the first image of a TIFF file.
 
@@ -225,65 +395,213 @@ def read_tiff(path: str) -> np.ndarray:
     """
     if _tifffile is not None:
         return _tifffile.imread(path)
-    with open(path, "rb") as fh:
-        data = fh.read()
-    if data[:2] == b"II":
-        bo = "<"
-    elif data[:2] == b"MM":
-        bo = ">"
-    else:
-        raise ValueError(f"{path}: not a TIFF file")
-    (magic,) = struct.unpack_from(bo + "H", data, 2)
-    if magic != 42:
-        raise ValueError(f"{path}: unsupported TIFF magic {magic} (bigtiff?)")
-    (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
-    tags = _read_ifd_entries(data, ifd_off, bo)
-
-    width = tags[_IMAGE_WIDTH][0]
-    height = tags[_IMAGE_LENGTH][0]
-    spp = tags.get(_SAMPLES_PER_PIXEL, [1])[0]
-    bits = tags.get(_BITS_PER_SAMPLE, [8])[0]
-    comp = tags.get(_COMPRESSION, [1])[0]
-    planar = tags.get(_PLANAR_CONFIG, [1])[0]
-    sfmt = tags.get(_SAMPLE_FORMAT, [1])[0]
-    pred = tags.get(_PREDICTOR, [1])[0]
-
-    kind = {1: "u", 2: "i", 3: "f"}.get(sfmt, "u")
-    dtype = np.dtype(f"{bo}{kind}{bits // 8}")
-
-    offsets = tags[_STRIP_OFFSETS]
-    counts = tags[_STRIP_BYTE_COUNTS]
-    rps = tags.get(_ROWS_PER_STRIP, [height])[0]
-    strip_chans = spp if planar == 1 else 1
-    strip_hint = min(rps, height * (spp if planar == 2 else 1)) * width * strip_chans * (bits // 8)
-    strips = [
-        _decompress_strip(data[o : o + c], comp, path, strip_hint)
-        for o, c in zip(offsets, counts)
-    ]
-    if pred == 2:
-        if kind == "f":
-            raise ValueError(f"{path}: predictor 2 on float samples")
-        chans = spp if planar == 1 else 1
-        row_samples = width * chans
-        parts = []
-        for sdata in strips:
-            s_arr = np.frombuffer(sdata, dtype=dtype)
-            rows = s_arr.size // row_samples
-            parts.append(_undo_predictor(s_arr, rows, width, chans))
-        arr = np.concatenate(parts)
-    elif pred != 1:
-        raise ValueError(f"{path}: predictor {pred} unsupported")
-    else:
-        arr = np.frombuffer(b"".join(strips), dtype=dtype)
-
-    if spp == 1:
-        return arr.reshape(height, width).astype(dtype.newbyteorder("="))
-    if planar == 2:
-        return arr.reshape(spp, height, width).astype(dtype.newbyteorder("="))
-    return arr.reshape(height, width, spp).astype(dtype.newbyteorder("="))
+    with TiffReader(path) as reader:
+        return reader.read_rows(0, reader.height)
 
 
+# --------------------------------------------------------- streaming write
 _WRITE_COMP = {"none": _COMP_NONE, "deflate": _COMP_DEFLATE, "lzw": _COMP_LZW}
+
+
+class TiffStripWriter:
+    """Incremental striped-TIFF writer: declare the geometry up front,
+    append row blocks with ``write_rows``, ``close()`` emits the IFD.
+
+    Only one strip of rows is ever buffered, so whole-scene products
+    stream to disk in bounded memory (the layout is header | strips | IFD,
+    with the header's IFD pointer patched on close — strip offsets land in
+    the offsets tag in plane-major order regardless of physical position,
+    which is what lets band-sequential files stream row-wise too).
+
+    ``write_rows`` accepts the same shape family ``read_rows`` produces:
+    ``(rows, W)`` single-band, ``(rows, W, C)`` interleaved, or
+    ``(C, rows, W)`` when ``planar_channels_first``. Blocks may be any
+    height; exactly ``height`` rows must arrive before ``close()``.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        height: int,
+        width: int,
+        channels: int = 1,
+        dtype=np.uint8,
+        planar_channels_first: bool = False,
+        compression: str = "none",
+        predictor: bool = False,
+        rows_per_strip: Optional[int] = None,
+    ) -> None:
+        if height < 1 or width < 1 or channels < 1:
+            raise ValueError(
+                f"invalid geometry {height}x{width}x{channels}"
+            )
+        self.dtype = np.dtype(dtype)
+        if self.dtype.kind not in "uif":
+            raise ValueError(f"unsupported sample dtype {self.dtype}")
+        if predictor and self.dtype.kind == "f":
+            raise ValueError("predictor requires integer samples")
+        self._comp = _WRITE_COMP[compression]
+        self.path = path
+        self.height, self.width, self.channels = height, width, channels
+        self._planar = 2 if (planar_channels_first and channels > 1) else 1
+        self._accept_chw = bool(planar_channels_first)
+        self._predictor = predictor
+        strip_chans = channels if self._planar == 1 else 1
+        row_bytes = width * strip_chans * self.dtype.itemsize
+        if rows_per_strip is None:
+            # ~1 MiB strips: small enough to stream, big enough to compress
+            rows_per_strip = max(1, min(height, (1 << 20) // max(1, row_bytes)))
+        if rows_per_strip < 1:
+            raise ValueError(f"rows_per_strip must be >= 1 (got {rows_per_strip})")
+        self._rps = min(rows_per_strip, height)
+        self._strips_per_plane = -(-height // self._rps)
+        planes = channels if self._planar == 2 else 1
+        n = planes * self._strips_per_plane
+        self._offsets = [0] * n
+        self._counts = [0] * n
+        self._row = 0  # rows fully handed over by the caller
+        self._emitted = 0  # rows already encoded into strips
+        self._buf: List[np.ndarray] = []  # pending (rows, W, C) blocks
+        self._buf_rows = 0
+        self._fh = open(path, "wb")
+        # header with a zero IFD pointer, patched in close()
+        self._fh.write(struct.pack("<2sHI", b"II", 42, 0))
+        self._closed = False
+
+    # -- context management: emit the IFD only on a clean exit
+    def __enter__(self) -> "TiffStripWriter":
+        return self
+
+    def __exit__(self, exc_type, *exc) -> None:
+        if exc_type is None:
+            self.close()
+        elif not self._closed:
+            self._fh.close()
+            self._closed = True
+
+    def write_rows(self, block: np.ndarray) -> None:
+        block = np.asarray(block)
+        if self.channels == 1 and block.ndim == 2:
+            block = block[:, :, None]
+        elif self._accept_chw:
+            if block.ndim != 3 or block.shape[0] != self.channels:
+                raise ValueError(
+                    f"expected (C={self.channels}, rows, W) block, got {block.shape}"
+                )
+            block = np.moveaxis(block, 0, -1)
+        if block.ndim != 3 or block.shape[1] != self.width or \
+                block.shape[2] != self.channels:
+            raise ValueError(
+                f"expected (rows, {self.width}, {self.channels}) block, "
+                f"got {block.shape}"
+            )
+        if block.dtype != self.dtype:
+            raise ValueError(
+                f"block dtype {block.dtype} != declared {self.dtype}"
+            )
+        rows = block.shape[0]
+        if self._row + rows > self.height:
+            raise ValueError(
+                f"write past declared height: {self._row} + {rows} > {self.height}"
+            )
+        self._row += rows
+        self._buf.append(block)
+        self._buf_rows += rows
+        while self._buf_rows >= self._rps:
+            self._emit_strip()
+
+    def _take_rows(self, n: int) -> np.ndarray:
+        """Pop exactly n rows off the block buffer as one (n, W, C) array."""
+        parts, got = [], 0
+        while got < n:
+            head = self._buf[0]
+            take = min(n - got, head.shape[0])
+            parts.append(head[:take])
+            if take == head.shape[0]:
+                self._buf.pop(0)
+            else:
+                self._buf[0] = head[take:]
+            got += take
+        self._buf_rows -= n
+        return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
+    def _emit_strip(self) -> None:
+        sidx = self._emitted // self._rps
+        rows = min(self._rps, self.height - self._emitted)
+        data = np.ascontiguousarray(self._take_rows(rows))
+        le = data.astype(self.dtype.newbyteorder("<"))
+        planes = self.channels if self._planar == 2 else 1
+        for pl in range(planes):
+            plane = le[:, :, pl : pl + 1] if self._planar == 2 else le
+            if self._predictor:
+                plane = _apply_predictor(plane)
+            payload = plane.tobytes()
+            if self._comp == _COMP_DEFLATE:
+                payload = zlib.compress(payload, 6)
+            elif self._comp == _COMP_LZW:
+                payload = _lzw_encode(payload)
+            idx = pl * self._strips_per_plane + sidx
+            self._offsets[idx] = self._fh.tell()
+            self._counts[idx] = len(payload)
+            self._fh.write(payload)
+            if len(payload) % 2:  # TIFF wants word-aligned value offsets
+                self._fh.write(b"\x00")
+        self._emitted += rows
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        if self._row != self.height:
+            self._fh.close()
+            self._closed = True
+            raise ValueError(
+                f"{self.path}: wrote {self._row} of {self.height} declared rows"
+            )
+        if self._buf_rows:
+            self._emit_strip()
+        c = self.channels
+        kind_map = {"u": 1, "i": 2, "f": 3}
+        bits = self.dtype.itemsize * 8
+        n_strips = len(self._offsets)
+        tags = [
+            (_IMAGE_WIDTH, 3, 1, self.width),
+            (_IMAGE_LENGTH, 3, 1, self.height),
+            (_BITS_PER_SAMPLE, 3, c, [bits] * c),
+            (_COMPRESSION, 3, 1, self._comp),
+            (_PHOTOMETRIC, 3, 1, 1),
+            (_STRIP_OFFSETS, 4, n_strips, self._offsets),
+            (_SAMPLES_PER_PIXEL, 3, 1, c),
+            (_ROWS_PER_STRIP, 4, 1, self._rps),
+            (_STRIP_BYTE_COUNTS, 4, n_strips, self._counts),
+            (_PLANAR_CONFIG, 3, 1, self._planar),
+            (_PREDICTOR, 3, 1, 2 if self._predictor else 1),
+            (_SAMPLE_FORMAT, 3, c, [kind_map[self.dtype.kind]] * c),
+        ]
+        if self._fh.tell() % 2:
+            self._fh.write(b"\x00")
+        ifd_off = self._fh.tell()
+        n = len(tags)
+        extra_cursor = ifd_off + 2 + n * 12 + 4
+        entries = b""
+        extra = b""
+        for tag, typ, cnt, val in tags:
+            fmt = _TYPE_FMT[typ]
+            vals = val if isinstance(val, list) else [val]
+            size = _TYPE_SIZES[typ] * cnt
+            packed = struct.pack("<" + fmt * cnt, *vals)
+            if size <= 4:
+                entries += struct.pack("<HHI", tag, typ, cnt) + packed + \
+                    b"\x00" * (4 - size)
+            else:
+                entries += struct.pack("<HHII", tag, typ, cnt, extra_cursor)
+                extra += packed
+                extra_cursor += size
+        self._fh.write(struct.pack("<H", n) + entries + struct.pack("<I", 0))
+        self._fh.write(extra)
+        self._fh.seek(4)
+        self._fh.write(struct.pack("<I", ifd_off))
+        self._fh.close()
+        self._closed = True
 
 
 def write_tiff(
@@ -293,86 +611,27 @@ def write_tiff(
     compression: str = "none",
     predictor: bool = False,
 ) -> None:
-    """Write a striped TIFF (one strip).
+    """Write a striped TIFF in one call (single strip per plane).
 
     ``array``: (H, W), (H, W, C) interleaved, or (C, H, W) when
     ``planar_channels_first`` — matching what ``read_tiff`` returns.
     ``compression``: "none" | "deflate" | "lzw"; ``predictor`` applies
     horizontal differencing (integer samples only) before compression —
-    the combination GDAL typically writes for satellite tiles.
+    the combination GDAL typically writes for satellite tiles. For
+    incremental output use ``TiffStripWriter`` directly.
     """
     arr = np.ascontiguousarray(array)
     if arr.ndim == 2:
-        h, w, c, planar = arr.shape[0], arr.shape[1], 1, 1
+        h, w, c = arr.shape[0], arr.shape[1], 1
+        planar_channels_first = False
     elif planar_channels_first:
         c, h, w = arr.shape
-        planar = 2
     else:
         h, w, c = arr.shape
-        planar = 1
-
-    kind_map = {"u": 1, "i": 2, "f": 3}
-    sfmt = kind_map[arr.dtype.kind]
-    bits = arr.dtype.itemsize * 8
-    le = arr.astype(arr.dtype.newbyteorder("<"))
-    if predictor:
-        if arr.dtype.kind == "f":
-            raise ValueError("predictor requires integer samples")
-        chans = c if planar == 1 else 1
-        rows = h if planar == 1 else h * c
-        le = _apply_predictor(le.reshape(rows, w, chans)).reshape(le.shape)
-    payload = le.tobytes()
-    comp = _WRITE_COMP[compression]
-    if comp == _COMP_DEFLATE:
-        payload = zlib.compress(payload, 6)
-    elif comp == _COMP_LZW:
-        payload = _lzw_encode(payload)
-
-    tags = [
-        (_IMAGE_WIDTH, 3, 1, w),
-        (_IMAGE_LENGTH, 3, 1, h),
-        (_BITS_PER_SAMPLE, 3, c, [bits] * c),
-        (_COMPRESSION, 3, 1, comp),
-        (_PHOTOMETRIC, 3, 1, 1),
-        (_STRIP_OFFSETS, 4, 1, None),  # patched below
-        (_SAMPLES_PER_PIXEL, 3, 1, c),
-        (_ROWS_PER_STRIP, 3, 1, h if planar == 1 else h * c),
-        (_STRIP_BYTE_COUNTS, 4, 1, len(payload)),
-        (_PLANAR_CONFIG, 3, 1, planar),
-        (_PREDICTOR, 3, 1, 2 if predictor else 1),
-        (_SAMPLE_FORMAT, 3, c, [sfmt] * c),
-    ]
-
-    header = struct.pack("<2sHI", b"II", 42, 8)
-    n = len(tags)
-    ifd_size = 2 + n * 12 + 4
-    extra_off = 8 + ifd_size
-    extra = b""
-    entries = b""
-    # first pass to place out-of-line values
-    encoded = []
-    for tag, typ, cnt, val in tags:
-        fmt = _TYPE_FMT[typ]
-        vals = val if isinstance(val, list) else [val]
-        size = _TYPE_SIZES[typ] * cnt
-        encoded.append((tag, typ, cnt, vals, fmt, size))
-    data_off = extra_off
-    for tag, typ, cnt, vals, fmt, size in encoded:
-        if size > 4:
-            data_off += size
-    strip_offset = data_off
-    extra_cursor = extra_off
-    for tag, typ, cnt, vals, fmt, size in encoded:
-        if tag == _STRIP_OFFSETS:
-            vals = [strip_offset]
-        packed = struct.pack("<" + fmt * cnt, *vals)
-        if size <= 4:
-            inline = packed + b"\x00" * (4 - size)
-            entries += struct.pack("<HHI", tag, typ, cnt) + inline
-        else:
-            entries += struct.pack("<HHII", tag, typ, cnt, extra_cursor)
-            extra += packed
-            extra_cursor += size
-    ifd = struct.pack("<H", n) + entries + struct.pack("<I", 0)
-    with open(path, "wb") as fh:
-        fh.write(header + ifd + extra + payload)
+    writer = TiffStripWriter(
+        path, h, w, c, arr.dtype,
+        planar_channels_first=planar_channels_first,
+        compression=compression, predictor=predictor, rows_per_strip=h,
+    )
+    writer.write_rows(arr)
+    writer.close()

@@ -101,6 +101,134 @@ def _open_endpoints(args):
     return r.super_resolve_tile, r.uncertainty_tile, args.channels
 
 
+def _stream_stats(reader, to_hwc, block_rows: int):
+    """Pass 1 of the streaming sweep: per-channel finite min/max + bad count."""
+    import warnings
+
+    mn = mx = None
+    bad = 0
+    for r0 in range(0, reader.height, block_rows):
+        r1 = min(reader.height, r0 + block_rows)
+        blk = to_hwc(reader.read_rows(r0, r1)).astype(np.float32)
+        finite = np.isfinite(blk)
+        bad += int(blk.size - finite.sum())
+        safe = np.where(finite, blk, np.nan)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN blocks
+            bmn = np.nanmin(safe, axis=(0, 1))
+            bmx = np.nanmax(safe, axis=(0, 1))
+        mn = bmn if mn is None else np.fmin(mn, bmn)
+        mx = bmx if mx is None else np.fmax(mx, bmx)
+    mn = np.where(np.isfinite(mn), mn, 0.0).astype(np.float32)
+    mx = np.where(np.isfinite(mx), mx, 0.0).astype(np.float32)
+    return mn, mx, bad
+
+
+def run_stream(args) -> None:
+    """Bounded-memory whole-scene SR: two strip-windowed passes.
+
+    Pass 1 sweeps the input once for the per-channel finite min/max (the
+    global normalization the in-memory path computes on the materialized
+    raster); pass 2 streams window-row bands through the resolver's
+    ``iter_tile_rows`` and appends finalized SR rows to a
+    ``TiffStripWriter``. Peak memory is O(width), independent of the
+    scene height — a full Sen2Venus granule never materializes.
+    """
+    if args.url:
+        raise SystemExit("--stream runs against a local model "
+                         "(--model_ckpt); the HTTP tile endpoints take "
+                         "whole rasters")
+    if not args.model_ckpt:
+        raise SystemExit("one of --model_ckpt or --url is required")
+    from simple_vae_rs_tpu.data.tiffio import TiffReader, TiffStripWriter
+    from simple_vae_rs_tpu.serve import SuperResolver
+
+    reader = TiffReader(args.input)
+    p = args.patch_size // 2
+    if reader.height < p or reader.width < p:
+        reader.close()
+        print(f"raster smaller than one {p}px model window; "
+              f"falling back to the in-memory path")
+        return run(args)
+    layout = reader.layout
+    channels = 1 if layout == "hw" else reader.samples_per_pixel
+    if channels != args.channels:
+        raise SystemExit(
+            f"{args.input}: {channels} band(s), model expects {args.channels}"
+        )
+
+    to_hwc = {
+        "hw": lambda b: b[:, :, None],
+        "chw": lambda b: np.moveaxis(b, 0, -1),
+        "hwc": lambda b: b,
+    }[layout]
+    mn, mx, bad = _stream_stats(reader, to_hwc, max(reader.rows_per_strip, 256))
+    if bad:
+        print(f"warning: {bad} non-finite sample(s) in {args.input} "
+              f"filled with the per-channel finite minimum")
+    mn = mn[None, None]
+    denom = (mx[None, None] - mn) + _EPS
+
+    def read_norm(r0, r1):
+        blk = to_hwc(reader.read_rows(r0, r1)).astype(np.float32)
+        nb = ~np.isfinite(blk)
+        if nb.any():
+            blk = np.where(nb, mn, blk)
+        return (blk - mn) / denom
+
+    resolver = SuperResolver.from_checkpoint(
+        args.model_ckpt, cr=args.compression_ratio,
+        patch_size=args.patch_size, channels=args.channels,
+        latent_size=args.latent_size, model_type=args.model_type,
+        seed=args.seed, int8=args.int8,
+    )
+    h, w = reader.height, reader.width
+    in_dtype = reader.dtype
+    out_dtype = in_dtype if args.scale == "input" else np.dtype(np.float32)
+    predictor = (args.predictor and args.scale == "input"
+                 and not np.issubdtype(in_dtype, np.floating))
+    writer = TiffStripWriter(
+        args.output, 2 * h, 2 * w, channels, out_dtype,
+        planar_channels_first=layout == "chw",
+        compression=args.compression, predictor=predictor,
+    )
+    std_writer = std_out = None
+    if args.uncertainty:
+        std_out = args.std_out
+        if not std_out:
+            stem, ext = os.path.splitext(args.output)
+            std_out = f"{stem}_std{ext or '.tif'}"
+        std_writer = TiffStripWriter(
+            std_out, 2 * h, 2 * w, channels, np.float32,
+            planar_channels_first=layout == "chw",
+            compression=args.compression, predictor=False,
+        )
+    samples = args.samples or (32 if args.uncertainty else 1)
+    for _base, block in resolver.iter_tile_rows(
+        read_norm, h, w, overlap=args.overlap, batch=args.batch or 16,
+        samples=samples, moments=args.uncertainty,
+    ):
+        sr = block["mean"] if args.uncertainty else block
+        if args.scale == "input":
+            out = _cast_like(sr * denom + mn, in_dtype)
+        else:
+            out = sr.astype(np.float32)
+        writer.write_rows(_from_hwc(out, layout))
+        if std_writer is not None:
+            std = block["std"]
+            if args.scale == "input":
+                std = std * denom  # std is scale-equivariant; no offset
+            std_writer.write_rows(_from_hwc(std.astype(np.float32), layout))
+    writer.close()
+    reader.close()
+    print(f"wrote {args.output} (streamed): ({2 * h}, {2 * w}, {channels}) "
+          f"{np.dtype(out_dtype)} "
+          f"({'input-scale' if args.scale == 'input' else '[0,1] float'})")
+    if std_writer is not None:
+        std_writer.close()
+        print(f"wrote {std_out}: posterior std, float32")
+
+
 def run(args) -> None:
     sr_tile, unc_tile, channels = _open_endpoints(args)
     raw = read_tiff(args.input)
@@ -200,16 +328,33 @@ def main(argv: Optional[list] = None) -> None:
                    "large rasters)")
     p.add_argument("--no_predictor", dest="predictor", action="store_false",
                    help="disable horizontal-differencing on integer output")
+    p.add_argument("--stream", action="store_true",
+                   help="bounded-memory two-pass sweep: read/SR/write the "
+                   "scene in strip windows (local model only; peak memory "
+                   "O(width) instead of O(scene))")
+    p.add_argument("--backend", default="",
+                   help="JAX platform override for the local model (e.g. "
+                   "'cpu' when the accelerator is unreachable); same "
+                   "semantics as train.py --backend")
     p.add_argument("--timeout", type=float, default=600.0,
                    help="HTTP timeout for --url mode")
     args = p.parse_args(argv)
+    if args.backend and not args.url:
+        # the baked sitecustomize force-sets jax_platforms, so an env var
+        # alone cannot switch backends (see cli._apply_backend)
+        import jax
+
+        jax.config.update("jax_platforms", args.backend)
     # client endpoints reject batch=None-substitutes themselves; local
     # endpoints want concrete defaults
     if not args.url:
         args.batch = 16 if args.batch is None else args.batch
         if args.samples is None and not args.uncertainty:
             args.samples = 1
-    run(args)
+    if args.stream:
+        run_stream(args)
+    else:
+        run(args)
 
 
 if __name__ == "__main__":

@@ -320,6 +320,115 @@ class SuperResolver:
         var = np.maximum(e2 - mean * mean, 0.0)
         return {"mean": mean, "std": np.sqrt(var), "variance": var}
 
+    def iter_tile_rows(
+        self,
+        read_rows,
+        height: int,
+        width: int,
+        overlap: Optional[int] = None,
+        batch: int = 16,
+        samples: int = 1,
+        moments: bool = False,
+    ):
+        """Streaming counterpart of the ``*_tile`` endpoints: a generator of
+        finalized SR row bands over an arbitrarily tall raster, bounded
+        memory (one window-row of LR input + ~one SR window-height of
+        accumulation, independent of ``height``).
+
+        ``read_rows(r0, r1)`` must return LR rows ``[r0, r1)`` as
+        ``(rows, width, C)`` float32 **already normalized** the way the
+        model expects (the caller owns the global min-max pass — per-band
+        normalization would shift brightness between bands, the same
+        reason ``super_resolve_tile`` normalizes once over the full
+        raster). Yields ``(sr_row0, block)`` in order, where ``block`` is
+        ``(rows, 2*width, C)`` float32 — or, with ``moments=True``, a dict
+        of ``mean`` / ``std`` / ``variance`` blocks (the streamed form of
+        ``uncertainty_tile``, same blended-mixture statistics). The window
+        grid, feather weights and weighted-mean blend are identical to the
+        in-memory endpoints, so on rasters that fit in memory the
+        concatenated blocks reproduce ``super_resolve_tile`` /
+        ``uncertainty_tile`` exactly (modulo the RNG draw order).
+
+        Rasters smaller than one model window in either dimension are not
+        streamable (the in-memory endpoints reflect-pad them up; use
+        those).
+        """
+        from simple_vae_rs_tpu.ops.tiling import feather_profile, grid_starts
+
+        p = int(self.model.config.patch_size) // 2
+        if height < p or width < p:
+            raise ValueError(
+                f"raster {height}x{width} is smaller than one {p}px model "
+                f"window; use super_resolve_tile/uncertainty_tile"
+            )
+        if overlap is None:
+            overlap = min(4, p // 2)
+        if not 0 <= overlap <= p // 2:
+            raise ValueError(f"overlap must be in [0, {p // 2}] (got {overlap})")
+        if samples < (2 if moments else 1):
+            raise ValueError(
+                f"samples must be >= {2 if moments else 1} (got {samples})"
+            )
+        stride = p - overlap if overlap else p
+        row_starts = grid_starts(height, p, stride)
+        col_starts = grid_starts(width, p, stride)
+        ps = 2 * p
+        prof = feather_profile(ps, 2 * overlap)
+        w2d = (prof[:, None] * prof[None, :])[..., None]
+
+        base = 0  # first SR row not yet yielded
+        num1 = num2 = den = None  # accumulators cover SR rows [base, ...)
+
+        def grown(buf, rows, chans):
+            if buf is None:
+                return np.zeros((rows, 2 * width, chans), np.float32)
+            if rows > buf.shape[0]:
+                pad = np.zeros((rows - buf.shape[0], 2 * width, buf.shape[2]),
+                               np.float32)
+                return np.concatenate([buf, pad])
+            return buf
+
+        for k, rs in enumerate(row_starts):
+            lr = np.asarray(read_rows(rs, rs + p), np.float32)
+            if lr.ndim != 3 or lr.shape[:2] != (p, width):
+                raise ValueError(
+                    f"read_rows({rs}, {rs + p}) returned shape {lr.shape}, "
+                    f"expected ({p}, {width}, C)"
+                )
+            wins = np.stack([lr[:, cs:cs + p] for cs in col_starts])
+            if moments or samples > 1:
+                m1, m2 = self._tile_draw_moments(wins, samples, batch)
+            else:
+                m1, m2 = self._tile_pass(wins, batch), None
+            top = 2 * rs + ps
+            chans = m1.shape[-1]
+            num1 = grown(num1, top - base, chans)
+            den = grown(den, top - base, 1)
+            if moments:
+                num2 = grown(num2, top - base, chans)
+            r_off = 2 * rs - base
+            for j, cs in enumerate(col_starts):
+                sl = (slice(r_off, r_off + ps), slice(2 * cs, 2 * cs + ps))
+                num1[sl] += w2d * m1[j]
+                den[sl] += w2d
+                if moments:
+                    num2[sl] += w2d * m2[j]
+            flush_to = 2 * row_starts[k + 1] if k + 1 < len(row_starts) \
+                else 2 * height
+            n = flush_to - base
+            if n <= 0:
+                continue
+            mean = num1[:n] / den[:n]
+            if moments:
+                e2 = num2[:n] / den[:n]
+                var = np.maximum(e2 - mean * mean, 0.0)
+                yield base, {"mean": mean, "std": np.sqrt(var),
+                             "variance": var}
+                num2 = num2[n:]
+            else:
+                yield base, mean
+            num1, den, base = num1[n:], den[n:], flush_to
+
     # ------------------------------------------------------ tile plumbing
     def _tile_windows(self, y, overlap: Optional[int]):
         """Normalize a raster once, cover it with the overlapping window

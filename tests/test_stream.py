@@ -1,0 +1,284 @@
+"""Streaming raster stack: strip-windowed TIFF IO + row-band SR sweep.
+
+The reference materializes every raster it touches (``dataset.py:151-152``
+reads whole tiles); production scenes (a Sen2Venus granule is ~10980^2 x 4
+bands, 4x that in SR space) need the bounded-memory path: ``TiffReader``
+row windows, ``TiffStripWriter`` incremental strips, and
+``SuperResolver.iter_tile_rows`` — which must reproduce the in-memory
+``super_resolve_tile`` / ``uncertainty_tile`` blends exactly.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from simple_vae_rs_tpu.config import CondSRVAEConfig
+from simple_vae_rs_tpu.data.tiffio import (
+    TiffReader,
+    TiffStripWriter,
+    read_tiff,
+    write_tiff,
+)
+from simple_vae_rs_tpu.models import CondSRVAE
+from simple_vae_rs_tpu.serve import SuperResolver
+
+# ------------------------------------------------------------------ codec
+
+
+@pytest.mark.parametrize("compression", ["none", "deflate", "lzw"])
+@pytest.mark.parametrize("predictor", [False, True])
+def test_strip_writer_uneven_blocks_roundtrip(tmp_path, compression, predictor):
+    rng = np.random.default_rng(0)
+    full = (rng.random((37, 19, 3)) * 60000).astype(np.uint16)
+    path = str(tmp_path / "s.tif")
+    w = TiffStripWriter(path, 37, 19, 3, np.uint16, compression=compression,
+                        predictor=predictor, rows_per_strip=5)
+    for a, b in [(0, 1), (1, 8), (8, 19), (19, 37)]:
+        w.write_rows(full[a:b])
+    w.close()
+    assert np.array_equal(read_tiff(path), full)
+
+
+def test_strip_writer_planar_and_single_band(tmp_path):
+    rng = np.random.default_rng(1)
+    chw = (rng.random((4, 23, 11)) * 255).astype(np.uint8)
+    path = str(tmp_path / "p.tif")
+    with TiffStripWriter(path, 23, 11, 4, np.uint8,
+                         planar_channels_first=True, compression="deflate",
+                         rows_per_strip=7) as w:
+        w.write_rows(chw[:, :10])
+        w.write_rows(chw[:, 10:])
+    back = read_tiff(path)
+    assert back.shape == (4, 23, 11) and np.array_equal(back, chw)
+
+    hw = (rng.random((9, 6)) * 100).astype(np.int32)
+    path2 = str(tmp_path / "b.tif")
+    with TiffStripWriter(path2, 9, 6, 1, np.int32) as w:
+        w.write_rows(hw)
+    assert np.array_equal(read_tiff(path2), hw)
+
+
+@pytest.mark.parametrize("compression", ["none", "deflate", "lzw"])
+def test_reader_row_windows_match_slices(tmp_path, compression):
+    rng = np.random.default_rng(2)
+    full = (rng.random((31, 13, 4)) * 3000).astype(np.uint16)
+    path = str(tmp_path / "r.tif")
+    with TiffStripWriter(path, 31, 13, 4, np.uint16, compression=compression,
+                         predictor=True, rows_per_strip=4) as w:
+        w.write_rows(full)
+    with TiffReader(path) as r:
+        assert (r.height, r.width, r.samples_per_pixel) == (31, 13, 4)
+        assert r.layout == "hwc" and r.shape == (31, 13, 4)
+        assert r.dtype == np.uint16 and r.rows_per_strip == 4
+        # overlapping sweeps exercise the strip cache
+        for a, b in [(0, 4), (2, 9), (6, 14), (13, 31), (30, 31), (0, 31)]:
+            assert np.array_equal(r.read_rows(a, b), full[a:b])
+
+
+def test_reader_layouts_and_bounds(tmp_path):
+    chw = (np.arange(2 * 6 * 5) % 251).astype(np.uint8).reshape(2, 6, 5)
+    path = str(tmp_path / "l.tif")
+    write_tiff(path, chw, planar_channels_first=True, compression="lzw")
+    with TiffReader(path) as r:
+        assert r.layout == "chw" and r.planar == 2
+        assert np.array_equal(r.read_rows(1, 4), chw[:, 1:4])
+        with pytest.raises(ValueError):
+            r.read_rows(3, 3)
+        with pytest.raises(ValueError):
+            r.read_rows(0, 7)
+    hw = np.arange(12, dtype=np.uint16).reshape(3, 4)
+    path2 = str(tmp_path / "h.tif")
+    write_tiff(path2, hw)
+    with TiffReader(path2) as r:
+        assert r.layout == "hw" and r.shape == (3, 4)
+        assert np.array_equal(r.read_rows(0, 2), hw[:2])
+
+
+def test_strip_writer_validates(tmp_path):
+    path = str(tmp_path / "e.tif")
+    w = TiffStripWriter(path, 10, 5, 1, np.uint8)
+    w.write_rows(np.zeros((4, 5), np.uint8))
+    with pytest.raises(ValueError, match="4 of 10"):
+        w.close()
+    w = TiffStripWriter(path, 4, 5, 1, np.uint8)
+    with pytest.raises(ValueError, match="past declared height"):
+        w.write_rows(np.zeros((5, 5), np.uint8))
+    with pytest.raises(ValueError, match="dtype"):
+        w.write_rows(np.zeros((1, 5), np.uint16))
+    with pytest.raises(ValueError, match="expected"):
+        w.write_rows(np.zeros((1, 6), np.uint8))
+    with pytest.raises(ValueError, match="integer samples"):
+        TiffStripWriter(path, 4, 5, 1, np.float32, predictor=True)
+
+
+# -------------------------------------------------------- streaming serve
+@pytest.fixture(scope="module")
+def resolver():
+    cfg = CondSRVAEConfig(cr=2.0, patch_size=16)
+    model = CondSRVAE(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 16, 16, 4)),
+        jnp.zeros((1, 8, 8, 4)),
+        jax.random.PRNGKey(1),
+        train=False,
+    )
+    vars_ = {"params": variables["params"]}
+    if "batch_stats" in variables:
+        vars_["batch_stats"] = variables["batch_stats"]
+    return SuperResolver(model, vars_, normalize=False)
+
+
+def _det_sr(y, normalize=None):
+    """Deterministic stand-in for super_resolve: 2x repeat + a per-window
+    constant that makes overlapping windows disagree (so the feathered
+    blend and the between-window variance are actually exercised)."""
+    y = np.asarray(y, np.float32)
+    up = np.repeat(np.repeat(y, 2, axis=1), 2, axis=2)
+    return up + 0.1 * y.mean(axis=(1, 2, 3), keepdims=True)
+
+
+def _assemble(gen, moments=False):
+    rows = list(gen)
+    assert [r0 for r0, _ in rows] == sorted(r0 for r0, _ in rows)
+    if moments:
+        return {k: np.concatenate([b[k] for _, b in rows])
+                for k in ("mean", "std", "variance")}
+    return np.concatenate([b for _, b in rows])
+
+
+def test_iter_tile_rows_matches_tile_endpoint(resolver):
+    rng = np.random.default_rng(3)
+    y = rng.random((23, 27, 4)).astype(np.float32)
+    resolver.super_resolve = _det_sr
+    try:
+        whole = resolver.super_resolve_tile(y, overlap=2, batch=4)
+        stream = _assemble(resolver.iter_tile_rows(
+            lambda a, b: y[a:b], 23, 27, overlap=2, batch=4))
+    finally:
+        del resolver.super_resolve
+    assert stream.shape == (46, 54, 4)
+    np.testing.assert_allclose(stream, whole, rtol=0, atol=1e-6)
+
+
+def test_iter_tile_rows_moments_match_uncertainty_tile(resolver):
+    rng = np.random.default_rng(4)
+    y = rng.random((17, 19, 4)).astype(np.float32)
+    resolver.super_resolve = _det_sr
+    try:
+        whole = resolver.uncertainty_tile(y, samples=2, overlap=3, batch=4)
+        stream = _assemble(resolver.iter_tile_rows(
+            lambda a, b: y[a:b], 17, 19, overlap=3, batch=4,
+            samples=2, moments=True), moments=True)
+    finally:
+        del resolver.super_resolve
+    for k in ("mean", "std", "variance"):
+        np.testing.assert_allclose(stream[k], whole[k], rtol=0, atol=1e-6)
+    # overlapping windows disagree (the per-window offset), so the blended
+    # mixture variance is nonzero inside overlap bands
+    assert stream["variance"].max() > 0
+
+
+def test_iter_tile_rows_real_model(resolver):
+    rng = np.random.default_rng(5)
+    y = rng.random((20, 27, 4)).astype(np.float32)
+    out = _assemble(resolver.iter_tile_rows(lambda a, b: y[a:b], 20, 27))
+    assert out.shape == (40, 54, 4)
+    assert np.isfinite(out).all() and 0.0 <= out.min() and out.max() <= 1.0
+
+
+def test_iter_tile_rows_validates(resolver):
+    y = np.zeros((6, 27, 4), np.float32)
+    with pytest.raises(ValueError, match="smaller than one"):
+        list(resolver.iter_tile_rows(lambda a, b: y[a:b], 6, 27))
+    with pytest.raises(ValueError, match="overlap"):
+        list(resolver.iter_tile_rows(
+            lambda a, b: np.zeros((b - a, 16, 4), np.float32), 16, 16,
+            overlap=7))
+    with pytest.raises(ValueError, match="read_rows"):
+        list(resolver.iter_tile_rows(
+            lambda a, b: np.zeros((b - a, 9, 4), np.float32), 16, 16))
+    with pytest.raises(ValueError, match="samples"):
+        list(resolver.iter_tile_rows(
+            lambda a, b: np.zeros((b - a, 16, 4), np.float32), 16, 16,
+            samples=1, moments=True))
+
+
+# ------------------------------------------------------------- raster CLI
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    from simple_vae_rs_tpu.config import TrainConfig
+    from simple_vae_rs_tpu.train.checkpoint import save_checkpoint
+    from simple_vae_rs_tpu.train.state import create_train_state, make_optimizer
+
+    cfg = CondSRVAEConfig(cr=2.0, patch_size=16)
+    model = CondSRVAE(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 16, 16, 4)),
+        jnp.zeros((1, 8, 8, 4)),
+        jax.random.PRNGKey(1),
+        train=False,
+    )
+    state = create_train_state(variables, make_optimizer(TrainConfig()),
+                               jax.random.PRNGKey(2))
+    path = str(tmp_path_factory.mktemp("ck") / "model")
+    save_checkpoint(path, state, epoch=1)
+    return path
+
+
+def _flags(ckpt):
+    return ["--model_ckpt", ckpt, "-cr", "2.0", "--patch_size", "16"]
+
+
+def test_stream_cli_matches_in_memory(ckpt, tmp_path, monkeypatch):
+    from simple_vae_rs_tpu import raster
+
+    monkeypatch.setattr(
+        SuperResolver, "super_resolve",
+        lambda self, y, normalize=None: _det_sr(y),
+    )
+    rng = np.random.default_rng(6)
+    lr = (rng.random((21, 26, 4)) * 3000 + 500).astype(np.uint16)
+    src = str(tmp_path / "lr.tif")
+    with TiffStripWriter(src, 21, 26, 4, np.uint16, compression="lzw",
+                         predictor=True, rows_per_strip=6) as w:
+        w.write_rows(lr)
+    mem, stream = str(tmp_path / "mem.tif"), str(tmp_path / "str.tif")
+    raster.main([src, mem, *_flags(ckpt)])
+    raster.main([src, stream, *_flags(ckpt), "--stream"])
+    a, b = read_tiff(mem), read_tiff(stream)
+    assert a.dtype == b.dtype == np.uint16
+    assert np.array_equal(a, b)
+
+
+def test_stream_uncertainty_and_fallback(ckpt, tmp_path):
+    from simple_vae_rs_tpu import raster
+
+    rng = np.random.default_rng(7)
+    lr = (rng.random((16, 18, 4)) * 900).astype(np.uint16)
+    src, dst = str(tmp_path / "lr.tif"), str(tmp_path / "sr.tif")
+    write_tiff(src, lr)
+    raster.main([src, dst, *_flags(ckpt), "--stream", "--uncertainty",
+                 "--samples", "3"])
+    std = read_tiff(str(tmp_path / "sr_std.tif"))
+    assert std.shape == (32, 36, 4) and std.dtype == np.float32
+    assert (std >= 0).all() and np.isfinite(std).all()
+    assert read_tiff(dst).shape == (32, 36, 4)
+
+    # sub-window rasters fall back to the in-memory (reflect-padded) path
+    small_src, small_dst = str(tmp_path / "s.tif"), str(tmp_path / "ss.tif")
+    write_tiff(small_src, lr[:5, :5])
+    raster.main([small_src, small_dst, *_flags(ckpt), "--stream"])
+    assert read_tiff(small_dst).shape == (10, 10, 4)
+
+
+def test_stream_rejects_url_mode(ckpt, tmp_path):
+    from simple_vae_rs_tpu import raster
+
+    src = str(tmp_path / "lr.tif")
+    write_tiff(src, np.zeros((16, 16, 4), np.uint16))
+    with pytest.raises(SystemExit, match="local model"):
+        raster.main([src, str(tmp_path / "o.tif"), "--url",
+                     "http://127.0.0.1:1", "--stream"])
