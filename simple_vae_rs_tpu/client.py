@@ -32,6 +32,8 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 
+from simple_vae_rs_tpu.tiling import TileEndpoints
+
 _JSON = "application/json"
 _NPY = "application/x-npy"
 
@@ -101,9 +103,16 @@ class Client:
         out, _ = self._request("/healthz")
         return json.loads(out)
 
-    def super_resolve(self, lr) -> np.ndarray:
-        """LR batch (B, ps/2, ps/2, C) -> single-draw SR (B, ps, ps, C)."""
-        return self._post_array("/v1/super_resolve", lr)["sr"]
+    def super_resolve(self, lr, normalize: Optional[bool] = None) -> np.ndarray:
+        """LR batch (B, ps/2, ps/2, C) -> single-draw SR (B, ps, ps, C).
+
+        ``normalize`` overrides the server resolver's default for this
+        request (``False`` for pre-normalized windows — the remote tile
+        drivers below send those)."""
+        return self._post_array(
+            "/v1/super_resolve", lr,
+            normalize=None if normalize is None else int(bool(normalize)),
+        )["sr"]
 
     def super_resolve_tile(
         self, lr, overlap: Optional[int] = None, batch: Optional[int] = None,
@@ -131,4 +140,43 @@ class Client:
         return self._post_array(
             "/v1/uncertainty_tile", lr,
             samples=samples, overlap=overlap, batch=batch,
+        )
+
+    def resolver(self, normalize: bool = True) -> "RemoteResolver":
+        """Client-side tile driver bound to this server (see below)."""
+        info = self.health()
+        return RemoteResolver(
+            self, window=int(info["patch_size"]) // 2,
+            channels=info.get("channels"), normalize=normalize,
+        )
+
+
+class RemoteResolver(TileEndpoints):
+    """Client-side whole-raster endpoints over a remote model server.
+
+    The server's ``/v1/*_tile`` endpoints ship the WHOLE raster in one
+    request — right for tiles, wrong for scenes (both sides must
+    materialize the raster and the relay pays one giant body). This
+    adapter runs the window grid / feather stitch (``tiling.
+    TileEndpoints`` — the same code the server's own resolver uses) on
+    the CLIENT and posts only model-window batches, so
+    ``iter_tile_rows`` streams an arbitrarily large scene against a
+    remote accelerator with bounded memory on BOTH sides. Construct via
+    ``Client(url).resolver()`` (window size from ``/healthz``).
+    """
+
+    def __init__(self, client: Client, window: int,
+                 channels: Optional[int] = None, normalize: bool = True) -> None:
+        self._client = client
+        self._window_px = int(window)
+        self.channels = channels
+        self.normalize = normalize
+
+    @property
+    def window(self) -> int:
+        return self._window_px
+
+    def super_resolve(self, lr, normalize: Optional[bool] = None) -> np.ndarray:
+        return self._client.super_resolve(
+            lr, normalize=self.normalize if normalize is None else normalize
         )

@@ -132,19 +132,24 @@ def run_stream(args) -> None:
     raster); pass 2 streams window-row bands through the resolver's
     ``iter_tile_rows`` and appends finalized SR rows to a
     ``TiffStripWriter``. Peak memory is O(width), independent of the
-    scene height — a full Sen2Venus granule never materializes.
+    scene height — a full Sen2Venus granule never materializes. With
+    ``--url`` the window batches post to the model server
+    (``client.RemoteResolver``), so neither side materializes the scene.
     """
-    if args.url:
-        raise SystemExit("--stream runs against a local model "
-                         "(--model_ckpt); the HTTP tile endpoints take "
-                         "whole rasters")
-    if not args.model_ckpt:
-        raise SystemExit("one of --model_ckpt or --url is required")
     from simple_vae_rs_tpu.data.tiffio import TiffReader, TiffStripWriter
-    from simple_vae_rs_tpu.serve import SuperResolver
+
+    remote = None
+    if args.url:
+        from simple_vae_rs_tpu.client import Client
+
+        remote = Client(args.url, timeout=args.timeout).resolver()
+        p, expected = remote.window, remote.channels
+    elif args.model_ckpt:
+        p, expected = args.patch_size // 2, args.channels
+    else:
+        raise SystemExit("one of --model_ckpt or --url is required")
 
     reader = TiffReader(args.input)
-    p = args.patch_size // 2
     if reader.height < p or reader.width < p:
         reader.close()
         print(f"raster smaller than one {p}px model window; "
@@ -152,9 +157,9 @@ def run_stream(args) -> None:
         return run(args)
     layout = reader.layout
     channels = 1 if layout == "hw" else reader.samples_per_pixel
-    if channels != args.channels:
+    if expected is not None and channels != expected:
         raise SystemExit(
-            f"{args.input}: {channels} band(s), model expects {args.channels}"
+            f"{args.input}: {channels} band(s), model expects {expected}"
         )
 
     to_hwc = {
@@ -176,12 +181,17 @@ def run_stream(args) -> None:
             blk = np.where(nb, mn, blk)
         return (blk - mn) / denom
 
-    resolver = SuperResolver.from_checkpoint(
-        args.model_ckpt, cr=args.compression_ratio,
-        patch_size=args.patch_size, channels=args.channels,
-        latent_size=args.latent_size, model_type=args.model_type,
-        seed=args.seed, int8=args.int8,
-    )
+    if remote is not None:
+        resolver = remote
+    else:
+        from simple_vae_rs_tpu.serve import SuperResolver
+
+        resolver = SuperResolver.from_checkpoint(
+            args.model_ckpt, cr=args.compression_ratio,
+            patch_size=args.patch_size, channels=args.channels,
+            latent_size=args.latent_size, model_type=args.model_type,
+            seed=args.seed, int8=args.int8,
+        )
     h, w = reader.height, reader.width
     in_dtype = reader.dtype
     out_dtype = in_dtype if args.scale == "input" else np.dtype(np.float32)
@@ -330,8 +340,9 @@ def main(argv: Optional[list] = None) -> None:
                    help="disable horizontal-differencing on integer output")
     p.add_argument("--stream", action="store_true",
                    help="bounded-memory two-pass sweep: read/SR/write the "
-                   "scene in strip windows (local model only; peak memory "
-                   "O(width) instead of O(scene))")
+                   "scene in strip windows (peak memory O(width) instead "
+                   "of O(scene); with --url, window batches post to the "
+                   "server so neither side materializes the scene)")
     p.add_argument("--backend", default="",
                    help="JAX platform override for the local model (e.g. "
                    "'cpu' when the accelerator is unreachable); same "

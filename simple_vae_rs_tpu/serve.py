@@ -36,6 +36,7 @@ import numpy as np
 from simple_vae_rs_tpu.config import CondSRVAEConfig, TrainConfig
 from simple_vae_rs_tpu.models import CondSRVAE, SRVAE
 from simple_vae_rs_tpu.tasks import auto_chunk, sample_chunked
+from simple_vae_rs_tpu.tiling import TileEndpoints
 from simple_vae_rs_tpu.utils.image import normalize_image
 
 Array = jnp.ndarray
@@ -104,7 +105,7 @@ def _sr_call(model, variables, y, key, normalize, mesh=None):
     return key, out
 
 
-class SuperResolver:
+class SuperResolver(TileEndpoints):
     """Compiled 2x super-resolution + uncertainty service for one model."""
 
     def __init__(
@@ -256,303 +257,15 @@ class SuperResolver:
         )
         return out[:b] if (self._batch_sharding is not None and pad) else out
 
-    def super_resolve_tile(
-        self, y, overlap: Optional[int] = None, batch: int = 16,
-        samples: int = 1,
-    ) -> np.ndarray:
-        """Arbitrary-size LR raster (H, W, C) -> seam-free SR (2H, 2W, C).
-
-        The reference (and ``super_resolve``) only handles model-sized
-        patches; this covers a whole tile: one normalization over the FULL
-        raster (per-window min-max would shift brightness between
-        windows), an overlapping window grid (``ops/tiling.grid_starts``;
-        ``overlap=None`` -> min(4, window//2)), fixed-shape batches
-        through the compiled endpoint (every chunk is padded to ``batch``
-        so one compile serves any tile size), and a feathered blend of the
-        SR windows — overlap doubles in SR space (``ops/tiling.stitch``).
-        Rasters smaller than one window are reflect-padded up and cropped
-        after. ``samples > 1`` averages that many posterior draws per
-        window (an MMSE-flavored output whose extra smoothness also
-        suppresses seam variance); (window, draw) pairs pack into the same
-        fixed-shape batches, so extra draws cost dispatches proportional
-        to ``samples / batch``, not ``samples``.
-        """
-        from simple_vae_rs_tpu.ops.tiling import stitch
-
-        if samples < 1:
-            raise ValueError(f"samples must be >= 1 (got {samples})")
-        wins, starts, (h, w), (hp, wp), overlap = self._tile_windows(y, overlap)
-        if samples == 1:
-            sr_wins = self._tile_pass(wins, batch)
-        else:
-            sr_wins, _ = self._tile_draw_moments(wins, samples, batch)
-        out = stitch(
-            sr_wins, [(2 * a, 2 * b) for a, b in starts],
-            (2 * hp, 2 * wp), 2 * overlap,
-        )
-        return out[:2 * h, :2 * w]
-
-    def uncertainty_tile(
-        self, y, samples: int = 32, overlap: Optional[int] = None,
-        batch: int = 16,
-    ) -> Dict[str, np.ndarray]:
-        """Whole-raster posterior SR statistics: mean/std/variance maps.
-
-        Same window grid as ``super_resolve_tile``; per-pixel first and
-        second moments over ``samples`` draws are accumulated per window
-        (packed batches — see ``_tile_draw_moments``), then each moment
-        field is feather-stitched. The stitched variance
-        ``blend(E[x^2]) - blend(E[x])^2`` is the variance of the blended
-        posterior mixture: inside overlap bands it adds the between-window
-        disagreement on top of the blended within-window variance (Jensen
-        keeps it >= that blend, so it is never negative).
-        """
-        from simple_vae_rs_tpu.ops.tiling import stitch
-
-        if samples < 2:
-            raise ValueError(f"samples must be >= 2 (got {samples})")
-        wins, starts, (h, w), (hp, wp), overlap = self._tile_windows(y, overlap)
-        m1, m2 = self._tile_draw_moments(wins, samples, batch)
-        starts_sr = [(2 * a, 2 * b) for a, b in starts]
-        out_hw = (2 * hp, 2 * wp)
-        mean = stitch(m1, starts_sr, out_hw, 2 * overlap)[:2 * h, :2 * w]
-        e2 = stitch(m2, starts_sr, out_hw, 2 * overlap)[:2 * h, :2 * w]
-        var = np.maximum(e2 - mean * mean, 0.0)
-        return {"mean": mean, "std": np.sqrt(var), "variance": var}
-
-    def iter_tile_rows(
-        self,
-        read_rows,
-        height: int,
-        width: int,
-        overlap: Optional[int] = None,
-        batch: int = 16,
-        samples: int = 1,
-        moments: bool = False,
-    ):
-        """Streaming counterpart of the ``*_tile`` endpoints: a generator of
-        finalized SR row bands over an arbitrarily tall raster, bounded
-        memory (one window-row of LR input + ~one SR window-height of
-        accumulation, independent of ``height``).
-
-        ``read_rows(r0, r1)`` must return LR rows ``[r0, r1)`` as
-        ``(rows, width, C)`` float32 **already normalized** the way the
-        model expects (the caller owns the global min-max pass — per-band
-        normalization would shift brightness between bands, the same
-        reason ``super_resolve_tile`` normalizes once over the full
-        raster). Yields ``(sr_row0, block)`` in order, where ``block`` is
-        ``(rows, 2*width, C)`` float32 — or, with ``moments=True``, a dict
-        of ``mean`` / ``std`` / ``variance`` blocks (the streamed form of
-        ``uncertainty_tile``, same blended-mixture statistics). The window
-        grid, feather weights and weighted-mean blend are identical to the
-        in-memory endpoints, so on rasters that fit in memory the
-        concatenated blocks reproduce ``super_resolve_tile`` /
-        ``uncertainty_tile`` exactly (modulo the RNG draw order).
-
-        Rasters smaller than one model window in either dimension are not
-        streamable (the in-memory endpoints reflect-pad them up; use
-        those).
-        """
-        from simple_vae_rs_tpu.ops.tiling import feather_profile, grid_starts
-
-        p = int(self.model.config.patch_size) // 2
-        if height < p or width < p:
-            raise ValueError(
-                f"raster {height}x{width} is smaller than one {p}px model "
-                f"window; use super_resolve_tile/uncertainty_tile"
-            )
-        if overlap is None:
-            overlap = min(4, p // 2)
-        if not 0 <= overlap <= p // 2:
-            raise ValueError(f"overlap must be in [0, {p // 2}] (got {overlap})")
-        if samples < (2 if moments else 1):
-            raise ValueError(
-                f"samples must be >= {2 if moments else 1} (got {samples})"
-            )
-        stride = p - overlap if overlap else p
-        row_starts = grid_starts(height, p, stride)
-        col_starts = grid_starts(width, p, stride)
-        ps = 2 * p
-        prof = feather_profile(ps, 2 * overlap)
-        w2d = (prof[:, None] * prof[None, :])[..., None]
-
-        base = 0  # first SR row not yet yielded
-        num1 = num2 = den = None  # accumulators cover SR rows [base, ...)
-
-        def grown(buf, rows, chans):
-            if buf is None:
-                return np.zeros((rows, 2 * width, chans), np.float32)
-            if rows > buf.shape[0]:
-                pad = np.zeros((rows - buf.shape[0], 2 * width, buf.shape[2]),
-                               np.float32)
-                return np.concatenate([buf, pad])
-            return buf
-
-        for k, rs in enumerate(row_starts):
-            lr = np.asarray(read_rows(rs, rs + p), np.float32)
-            if lr.ndim != 3 or lr.shape[:2] != (p, width):
-                raise ValueError(
-                    f"read_rows({rs}, {rs + p}) returned shape {lr.shape}, "
-                    f"expected ({p}, {width}, C)"
-                )
-            wins = np.stack([lr[:, cs:cs + p] for cs in col_starts])
-            if moments or samples > 1:
-                m1, m2 = self._tile_draw_moments(wins, samples, batch)
-            else:
-                m1, m2 = self._tile_pass(wins, batch), None
-            top = 2 * rs + ps
-            chans = m1.shape[-1]
-            num1 = grown(num1, top - base, chans)
-            den = grown(den, top - base, 1)
-            if moments:
-                num2 = grown(num2, top - base, chans)
-            r_off = 2 * rs - base
-            for j, cs in enumerate(col_starts):
-                sl = (slice(r_off, r_off + ps), slice(2 * cs, 2 * cs + ps))
-                num1[sl] += w2d * m1[j]
-                den[sl] += w2d
-                if moments:
-                    num2[sl] += w2d * m2[j]
-            flush_to = 2 * row_starts[k + 1] if k + 1 < len(row_starts) \
-                else 2 * height
-            n = flush_to - base
-            if n <= 0:
-                continue
-            mean = num1[:n] / den[:n]
-            if moments:
-                e2 = num2[:n] / den[:n]
-                var = np.maximum(e2 - mean * mean, 0.0)
-                yield base, {"mean": mean, "std": np.sqrt(var),
-                             "variance": var}
-                num2 = num2[n:]
-            else:
-                yield base, mean
-            num1, den, base = num1[n:], den[n:], flush_to
-
-    # ------------------------------------------------------ tile plumbing
-    def _tile_windows(self, y, overlap: Optional[int]):
-        """Normalize a raster once, cover it with the overlapping window
-        grid: (N, p, p, C) windows + starts + original/padded HW + the
-        resolved overlap. All host-side numpy — the raster never touches
-        the device until the windows go through the compiled endpoint
-        (min-max + pad are trivial next to a full-raster transfer on a
-        remote link)."""
-        from simple_vae_rs_tpu.ops.tiling import grid_starts
-
-        y = np.asarray(y, np.float32)
-        if y.ndim == 4:
-            if y.shape[0] != 1:
-                raise ValueError("tile endpoints serve one raster per call")
-            y = y[0]
-        if y.ndim != 3:
-            raise ValueError(f"expected (H, W, C) raster, got shape {y.shape}")
-        p = int(self.model.config.patch_size) // 2
-        if overlap is None:
-            overlap = min(4, p // 2)
-        if not 0 <= overlap <= p // 2:
-            raise ValueError(f"overlap must be in [0, {p // 2}] (got {overlap})")
-        if self.normalize:
-            # host mirror of utils.image.normalize_image (same formula)
-            mn = y.min(axis=(0, 1), keepdims=True)
-            mx = y.max(axis=(0, 1), keepdims=True)
-            y = (y - mn) / (mx - mn + 1e-5)
-        h, w = y.shape[:2]
-        pad_h, pad_w = max(0, p - h), max(0, p - w)
-        if pad_h or pad_w:
-            y = np.pad(y, ((0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
-        hp, wp = y.shape[:2]
-        stride = p - overlap if overlap else p
-        starts = [
-            (sh, sw)
-            for sh in grid_starts(hp, p, stride)
-            for sw in grid_starts(wp, p, stride)
-        ]
-        wins = np.stack([y[a:a + p, b:b + p] for a, b in starts])
-        return wins, starts, (h, w), (hp, wp), overlap
-
-    # In-flight dispatch depth for the tile loops: JAX dispatch is async,
-    # so keeping a few window batches in flight overlaps the device decode
-    # and the device->host transfer of earlier batches with the dispatch of
-    # later ones (a serial fetch-per-batch loop pays compute + transfer
-    # end-to-end per batch). Bounded so a large raster's SR windows never
-    # pile up on HBM.
-    _TILE_PIPELINE = 4
-
-    def _tile_pass(self, wins: np.ndarray, batch: int) -> np.ndarray:
-        """One posterior draw for every window, in fixed-shape batches
-        (ragged last chunk padded so one compile serves any tile size);
-        dispatches ride ``_TILE_PIPELINE`` deep before the oldest is
-        fetched."""
-        if batch < 1:
-            raise ValueError(f"batch must be >= 1 (got {batch})")
-        from collections import deque
-
-        pending: deque = deque()
-        outs = []
-
-        def fetch():
-            # slice the pad off ON DEVICE so the ragged chunk's padding
-            # never crosses the (slow) device->host link
-            sr, short = pending.popleft()
-            outs.append(np.asarray(sr[:sr.shape[0] - short] if short else sr))
-
-        for i in range(0, len(wins), batch):
-            chunk = wins[i:i + batch]
-            short = batch - len(chunk)
-            if short:
-                chunk = np.concatenate(
-                    [chunk, np.repeat(chunk[-1:], short, axis=0)]
-                )
-            pending.append((self.super_resolve(chunk, normalize=False), short))
-            if len(pending) >= self._TILE_PIPELINE:
-                fetch()
-        while pending:
-            fetch()
-        return np.concatenate(outs)
-
-    def _tile_draw_moments(
-        self, wins: np.ndarray, samples: int, batch: int
-    ) -> tuple:
-        """Per-window first/second per-pixel sample moments over
-        ``samples`` posterior draws. The (window, draw) work list is
-        window-major and packs into fixed-shape batches — so the cost is
-        ceil(N*samples/batch) dispatches, not samples*ceil(N/batch):
-        per-dispatch latency dominates on remote links, and a free batch
-        slot might as well carry the next window's draw. Slots past the
-        end repeat the last window and are dropped from the sums."""
-        if batch < 1:
-            raise ValueError(f"batch must be >= 1 (got {batch})")
-        from collections import deque
-
-        n = len(wins)
-        total = n * samples
-        s1 = s2 = None
-        pending: deque = deque()
-
-        def fetch():
-            nonlocal s1, s2
-            sr_dev, idx, valid = pending.popleft()
-            # device-side slice: padding past `valid` never transfers
-            if valid < sr_dev.shape[0]:
-                sr_dev = sr_dev[:valid]
-            sr = np.asarray(sr_dev, dtype=np.float32)
-            if s1 is None:
-                s1 = np.zeros((n, *sr.shape[1:]), np.float32)
-                s2 = np.zeros_like(s1)
-            np.add.at(s1, idx[:valid], sr)
-            np.add.at(s2, idx[:valid], sr ** 2)
-
-        for i in range(0, total, batch):
-            idx = np.minimum(np.arange(i, i + batch) // samples, n - 1)
-            pending.append((
-                self.super_resolve(wins[idx], normalize=False),
-                idx, min(batch, total - i),
-            ))
-            if len(pending) >= self._TILE_PIPELINE:
-                fetch()
-        while pending:
-            fetch()
-        return s1 / samples, s2 / samples
+    # Whole-raster endpoints (super_resolve_tile / uncertainty_tile /
+    # iter_tile_rows) come from the shared TileEndpoints mixin
+    # (simple_vae_rs_tpu/tiling.py) over this class's compiled
+    # ``super_resolve`` — the same windowing/stitching the HTTP
+    # client's RemoteResolver runs against a model server.
+    @property
+    def window(self) -> int:
+        """LR window size: one model patch in LR space."""
+        return int(self.model.config.patch_size) // 2
 
     def uncertainty(self, y, samples: int = 32,
                     chunk: Optional[int] = None) -> Dict[str, Array]:

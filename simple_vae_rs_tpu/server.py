@@ -112,9 +112,16 @@ class ModelService:
         }
 
     def super_resolve(self, body: bytes, ctype: str, query=None) -> Tuple[bytes, str]:
-        lr, _ = self._decode(body, ctype, query)
+        lr, payload = self._decode(body, ctype, query)
+        normalize = payload.get("normalize")  # None -> resolver default
+        if normalize is not None:
+            # query-string values arrive as strings ("0"/"1"); remote tile
+            # drivers send pre-normalized windows with normalize=0
+            normalize = str(normalize).lower() not in ("0", "false", "no")
         with self.lock:
-            out = np.asarray(self.resolver.super_resolve(lr))
+            out = np.asarray(
+                self.resolver.super_resolve(lr, normalize=normalize)
+            )
         return self._encode({"sr": out}, ctype)
 
     def super_resolve_tile(self, body: bytes, ctype: str, query=None) -> Tuple[bytes, str]:
@@ -233,7 +240,17 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--mesh_data", type=int, default=1,
                    help="shard batches/draws over this many devices")
     p.add_argument("--no_warmup", action="store_true")
+    p.add_argument("--backend", default="",
+                   help="JAX platform override (e.g. 'cpu' when the "
+                   "accelerator is unreachable); same semantics as "
+                   "train.py --backend")
     args = p.parse_args(argv)
+    if args.backend:
+        # the baked sitecustomize force-sets jax_platforms, so an env var
+        # alone cannot switch backends (see cli._apply_backend)
+        import jax
+
+        jax.config.update("jax_platforms", args.backend)
 
     mesh = None
     if args.mesh_data > 1:

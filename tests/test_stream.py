@@ -274,11 +274,52 @@ def test_stream_uncertainty_and_fallback(ckpt, tmp_path):
     assert read_tiff(small_dst).shape == (10, 10, 4)
 
 
-def test_stream_rejects_url_mode(ckpt, tmp_path):
-    from simple_vae_rs_tpu import raster
+def test_stream_against_live_server(ckpt, tmp_path, monkeypatch):
+    """Remote streaming: raster --stream --url drives a live model server
+    through RemoteResolver — with a deterministic super_resolve on the
+    SERVER side, the remote-streamed product equals the local in-memory
+    one exactly (same windows, same wire-normalization contract, same
+    stitch)."""
+    import threading
 
-    src = str(tmp_path / "lr.tif")
-    write_tiff(src, np.zeros((16, 16, 4), np.uint16))
-    with pytest.raises(SystemExit, match="local model"):
-        raster.main([src, str(tmp_path / "o.tif"), "--url",
-                     "http://127.0.0.1:1", "--stream"])
+    from simple_vae_rs_tpu import raster
+    from simple_vae_rs_tpu.client import Client
+    from simple_vae_rs_tpu.server import make_server
+
+    monkeypatch.setattr(
+        SuperResolver, "super_resolve",
+        lambda self, y, normalize=None: _det_sr(y),
+    )
+    cfg = CondSRVAEConfig(cr=2.0, patch_size=16)
+    model = CondSRVAE(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 16, 16, 4)),
+        jnp.zeros((1, 8, 8, 4)),
+        jax.random.PRNGKey(1),
+        train=False,
+    )
+    srv = make_server(SuperResolver(model, variables), port=0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        rng = np.random.default_rng(8)
+        lr = (rng.random((19, 22, 4)) * 2000 + 100).astype(np.uint16)
+        src = str(tmp_path / "lr.tif")
+        write_tiff(src, lr, compression="deflate", predictor=True)
+        remote_out = str(tmp_path / "remote.tif")
+        raster.main([src, remote_out, "--url", url, "--stream"])
+        mem_out = str(tmp_path / "mem.tif")
+        raster.main([src, mem_out, *_flags(ckpt)])
+        assert np.array_equal(read_tiff(remote_out), read_tiff(mem_out))
+        # RemoteResolver itself: client-side tile endpoint over the wire
+        c = Client(url, timeout=60)
+        rr = c.resolver()
+        assert rr.window == 8 and rr.channels == 4
+        tile = rr.super_resolve_tile(lr.astype(np.float32), overlap=2,
+                                     batch=4)
+        assert tile.shape == (38, 44, 4)
+    finally:
+        srv.shutdown()
+    assert read_tiff(remote_out).shape == (38, 44, 4)
