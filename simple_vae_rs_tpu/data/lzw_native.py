@@ -66,14 +66,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _tried = True
         lib = _build()
         if lib is not None:
-            fn = lib.svrs_lzw_decode
-            fn.restype = ctypes.c_long
-            fn.argtypes = [
-                ctypes.c_char_p,
-                ctypes.c_long,
-                ctypes.POINTER(ctypes.c_char),
-                ctypes.c_long,
-            ]
+            for name in ("svrs_lzw_decode", "svrs_lzw_encode"):
+                fn = getattr(lib, name)
+                fn.restype = ctypes.c_long
+                fn.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.c_long,
+                    ctypes.POINTER(ctypes.c_char),
+                    ctypes.c_long,
+                ]
             _lib = lib
     return _lib
 
@@ -97,5 +98,30 @@ def lzw_decode_native(data: bytes, size_hint: int = 0) -> Optional[bytes]:
             cap *= 2
             continue
         if n < 0:
+            return None
+        return buf.raw[:n]
+
+
+def lzw_encode_native(data: bytes) -> Optional[bytes]:
+    """Encode to TIFF-LZW natively; ``None`` → caller must fall back.
+
+    Output is byte-identical to ``tiffio._lzw_encode`` (pinned by tests),
+    so the two encoders are interchangeable; the native one runs at
+    memory speed, which is what makes LZW-compressed whole-scene SR
+    products practical (``raster --stream --compression lzw``).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    # worst case the 12-bit codes expand 8-bit literals 1.5x, plus CLEAR
+    # resets every ~3836 codes and the header/EOI — 2x + slack is safe
+    cap = 2 * len(data) + 1024
+    while True:
+        buf = ctypes.create_string_buffer(cap)
+        n = lib.svrs_lzw_encode(data, len(data), buf, cap)
+        if n == -2:  # only reachable if the bound above is ever wrong
+            cap *= 2
+            continue
+        if n < 0:  # allocation failure: Python encoder takes over
             return None
         return buf.raw[:n]

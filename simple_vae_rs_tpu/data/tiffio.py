@@ -539,7 +539,14 @@ class TiffStripWriter:
             if self._comp == _COMP_DEFLATE:
                 payload = zlib.compress(payload, 6)
             elif self._comp == _COMP_LZW:
-                payload = _lzw_encode(payload)
+                # native encoder (data/lzw.c, byte-identical output) at
+                # memory speed; the Python loop stays the semantic
+                # reference and the fallback
+                from .lzw_native import lzw_encode_native
+
+                payload = lzw_encode_native(payload)
+                if payload is None:
+                    payload = _lzw_encode(plane.tobytes())
             idx = pl * self._strips_per_plane + sidx
             self._offsets[idx] = self._fh.tell()
             self._counts[idx] = len(payload)

@@ -334,8 +334,8 @@ def main(argv: Optional[list] = None) -> None:
                    "dtype (default); 'unit': raw [0,1] float32")
     p.add_argument("--compression", choices=["none", "deflate", "lzw"],
                    default="deflate", help="output compression (default "
-                   "deflate; lzw uses the pure-Python encoder — slow on "
-                   "large rasters)")
+                   "deflate; lzw encodes through the native C codec when "
+                   "a compiler is available)")
     p.add_argument("--no_predictor", dest="predictor", action="store_false",
                    help="disable horizontal-differencing on integer output")
     p.add_argument("--stream", action="store_true",

@@ -157,6 +157,31 @@ def test_native_lzw_decodes_truncated_strip():
     assert lzw_decode_native(cut, len(data)) == _lzw_decode(cut)
 
 
+def test_native_lzw_encoder_matches_python():
+    """The C encoder's output is byte-identical to the Python reference
+    (same greedy table, width-bump schedule, 4094 reset, final-code bump),
+    so the two are interchangeable and every decoder accepts both."""
+    from simple_vae_rs_tpu.data.lzw_native import get_lib, lzw_encode_native
+    from simple_vae_rs_tpu.data.tiffio import _lzw_decode, _lzw_encode
+
+    if get_lib() is None:
+        pytest.skip("no C toolchain available")
+    rng = np.random.default_rng(9)
+    cases = [
+        b"",
+        b"a",
+        b"ab" * 5,
+        bytes(rng.integers(0, 256, 70000, dtype=np.uint8)),  # ~18 resets
+        bytes(rng.integers(0, 4, 50000, dtype=np.uint8)),  # deep strings
+        (np.arange(30000, dtype=np.uint8) % 7).tobytes(),
+        b"\x00" * 20000,  # KwKwK run
+    ]
+    for data in cases:
+        enc = lzw_encode_native(data)
+        assert enc == _lzw_encode(data)
+        assert _lzw_decode(enc) == data
+
+
 def test_tiff_lzw_decodes_libtiff_streams(tmp_path):
     """Conformance against a real libtiff encoder: Pillow writes a
     multi-strip LZW TIFF; our reader must reproduce the pixels (this is
