@@ -128,6 +128,32 @@ def test_mesh_serving_matches_single_device():
                                atol=1e-5)
 
 
+def test_mesh_streaming_matches_single_device():
+    """The bounded-memory scene sweep (``iter_tile_rows``) on a meshed
+    resolver: window batches shard over the mesh and the streamed rows
+    equal the single-chip stream (reparameterization noise is drawn
+    globally, so meshed == single-chip with the same seed and batching)."""
+    from simple_vae_rs_tpu.config import MeshConfig
+    from simple_vae_rs_tpu.parallel.mesh import make_mesh
+
+    model, variables = _small_cond()
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    y = np.random.default_rng(2).random((17, 19, 4)).astype(np.float32)
+    single = SuperResolver(model, variables, seed=5, normalize=False)
+    meshed = SuperResolver(model, variables, seed=5, mesh=mesh,
+                           normalize=False)
+
+    def read(a, b):
+        return y[a:b]
+
+    a = np.concatenate(
+        [blk for _, blk in single.iter_tile_rows(read, 17, 19, batch=8)])
+    b = np.concatenate(
+        [blk for _, blk in meshed.iter_tile_rows(read, 17, 19, batch=8)])
+    assert a.shape == b.shape == (34, 38, 4)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
 def test_mesh_serving_pads_partial_batches():
     from simple_vae_rs_tpu.config import MeshConfig
     from simple_vae_rs_tpu.parallel.mesh import make_mesh
