@@ -291,10 +291,22 @@ class TiffReader:
         self._rps = min(tags.get(_ROWS_PER_STRIP, [self.height])[0], self.height)
         self._strips_per_plane = -(-self.height // self._rps)
         planes = self.samples_per_pixel if self.planar == 2 else 1
-        if len(self._offsets) < planes * self._strips_per_plane:
-            # some writers declare rows-per-strip loosely (e.g. one strip
-            # spanning every plane); trust the offset table instead
+        # some writers put EVERY plane in one strip (band-sequential data,
+        # single offset) — decode it once and slice planes out of it
+        self._monolithic = self.planar == 2 and planes > 1 and \
+            len(self._offsets) == 1
+        if self._monolithic:
+            self._rps = self.height
+            self._strips_per_plane = 1
+        elif len(self._offsets) < planes * self._strips_per_plane:
+            # rows-per-strip declared loosely; trust the offset table
             self._strips_per_plane = len(self._offsets) // planes
+            if self._strips_per_plane < 1:
+                self._fh.close()
+                raise ValueError(
+                    f"{path}: {len(self._offsets)} strip(s) cannot cover "
+                    f"{planes} plane(s)"
+                )
             self._rps = -(-self.height // self._strips_per_plane)
         self._cache: OrderedDict = OrderedDict()
 
@@ -335,8 +347,13 @@ class TiffReader:
             return hit
         chans = self.samples_per_pixel if self.planar == 1 else 1
         strip_rows = min(self._rps, self.height - sidx * self._rps)
-        need = strip_rows * self.width * chans
-        idx = plane * self._strips_per_plane + sidx
+        if self._monolithic:
+            # one physical strip holds every plane, plane-major
+            need = self.height * self.width * self.samples_per_pixel
+            idx = 0
+        else:
+            need = strip_rows * self.width * chans
+            idx = plane * self._strips_per_plane + sidx
         self._fh.seek(self._offsets[idx])
         raw = self._fh.read(self._counts[idx])
         data = _decompress_strip(
@@ -350,7 +367,12 @@ class TiffReader:
             )
         arr = arr[:need]
         if self._pred == 2:
-            arr = _undo_predictor(arr, strip_rows, self.width, chans)
+            rows = self.height * self.samples_per_pixel if self._monolithic \
+                else strip_rows
+            arr = _undo_predictor(arr, rows, self.width, chans)
+        if self._monolithic:
+            plane_n = self.height * self.width
+            arr = arr[plane * plane_n : (plane + 1) * plane_n]
         out = arr.astype(self.dtype).reshape(strip_rows, self.width * chans)
         self._cache[key] = out
         if len(self._cache) > self._CACHE_STRIPS:

@@ -157,6 +157,78 @@ def test_native_lzw_decodes_truncated_strip():
     assert lzw_decode_native(cut, len(data)) == _lzw_decode(cut)
 
 
+def _write_monolithic_planar(path, chw, compression=1, predictor=False):
+    """Legacy pre-streaming layout: band-sequential data in ONE strip
+    (rows-per-strip = H*C, a single offset). Files written by earlier
+    releases look like this; the reader must keep accepting them."""
+    import struct
+    import zlib
+
+    from simple_vae_rs_tpu.data import tiffio as t
+
+    c, h, w = chw.shape
+    le = np.ascontiguousarray(chw).astype(chw.dtype.newbyteorder("<"))
+    if predictor:
+        le = t._apply_predictor(le.reshape(h * c, w, 1)).reshape(le.shape)
+    payload = le.tobytes()
+    if compression == 8:
+        payload = zlib.compress(payload, 6)
+    elif compression == 5:
+        payload = t._lzw_encode(payload)
+    bits = chw.dtype.itemsize * 8
+    sfmt = {"u": 1, "i": 2, "f": 3}[chw.dtype.kind]
+    tags = [
+        (256, 3, 1, [w]), (257, 3, 1, [h]), (258, 3, c, [bits] * c),
+        (259, 3, 1, [compression]), (262, 3, 1, [1]),
+        (273, 4, 1, [0]),  # strip offset patched below
+        (277, 3, 1, [c]), (278, 3, 1, [h * c]),
+        (279, 4, 1, [len(payload)]), (284, 3, 1, [2]),
+        (317, 3, 1, [2 if predictor else 1]), (339, 3, c, [sfmt] * c),
+    ]
+    n = len(tags)
+    extra_off = 8 + 2 + n * 12 + 4
+    extra = b""
+    entries = b""
+    data_off = extra_off + sum(
+        t._TYPE_SIZES[typ] * cnt
+        for _, typ, cnt, _v in tags
+        if t._TYPE_SIZES[typ] * cnt > 4
+    )
+    cursor = extra_off
+    for tag, typ, cnt, vals in tags:
+        if tag == 273:
+            vals = [data_off]
+        fmt = t._TYPE_FMT[typ]
+        size = t._TYPE_SIZES[typ] * cnt
+        packed = struct.pack("<" + fmt * cnt, *vals)
+        if size <= 4:
+            entries += struct.pack("<HHI", tag, typ, cnt) + packed + \
+                b"\x00" * (4 - size)
+        else:
+            entries += struct.pack("<HHII", tag, typ, cnt, cursor)
+            extra += packed
+            cursor += size
+    with open(path, "wb") as fh:
+        fh.write(struct.pack("<2sHI", b"II", 42, 8))
+        fh.write(struct.pack("<H", n) + entries + struct.pack("<I", 0))
+        fh.write(extra + payload)
+
+
+@pytest.mark.parametrize("compression,predictor",
+                         [(1, False), (8, True), (5, False)])
+def test_tiff_reads_legacy_monolithic_planar(tmp_path, compression, predictor):
+    from simple_vae_rs_tpu.data.tiffio import TiffReader, read_tiff
+
+    rng = np.random.default_rng(13)
+    chw = (rng.random((4, 14, 9)) * 60000).astype(np.uint16)
+    path = str(tmp_path / "legacy.tif")
+    _write_monolithic_planar(path, chw, compression, predictor)
+    assert np.array_equal(read_tiff(path), chw)
+    with TiffReader(path) as r:
+        assert r.layout == "chw"
+        assert np.array_equal(r.read_rows(3, 11), chw[:, 3:11])
+
+
 def test_native_lzw_encoder_matches_python():
     """The C encoder's output is byte-identical to the Python reference
     (same greedy table, width-bump schedule, 4094 reset, final-code bump),
