@@ -43,31 +43,58 @@ class ServerError(RuntimeError):
 
 
 class Client:
-    """Thin typed wrapper over the model server's HTTP endpoints."""
+    """Thin typed wrapper over the model server's HTTP endpoints.
 
-    def __init__(self, base_url: str, timeout: float = 600.0) -> None:
+    ``retries`` bounded exponential-backoff retries cover transient
+    failures — connection resets, timeouts, 5xx — which matters most for
+    the streaming tile drivers: a whole-scene sweep is tens of thousands
+    of requests over possibly-flaky links, and every endpoint here is
+    stateless on the server (a retried draw just consumes another RNG
+    fold), so retrying is always safe. 4xx replies are the caller's bug
+    and never retried.
+    """
+
+    def __init__(self, base_url: str, timeout: float = 600.0,
+                 retries: int = 2, backoff: float = 1.0) -> None:
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
+        self.retries = max(0, int(retries))
+        self.backoff = backoff
 
     # ------------------------------------------------------------- plumbing
     def _request(self, path: str, body: Optional[bytes] = None,
                  ctype: str = _JSON):
+        import http.client
+        import time
+
         req = urllib.request.Request(
             self.base_url + path,
             data=body,
             method="GET" if body is None else "POST",
             headers={} if body is None else {"Content-Type": ctype},
         )
-        try:
-            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-                return resp.read(), resp.headers.get("Content-Type", _JSON)
-        except urllib.error.HTTPError as e:
-            detail = e.read().decode("utf-8", "replace")
+        for attempt in range(self.retries + 1):
+            if attempt:
+                time.sleep(self.backoff * (2 ** (attempt - 1)))
             try:
-                detail = json.loads(detail).get("error", detail)
-            except ValueError:
-                pass
-            raise ServerError(f"{e.code} on {path}: {detail}") from None
+                with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                    return resp.read(), resp.headers.get("Content-Type", _JSON)
+            except urllib.error.HTTPError as e:
+                detail = e.read().decode("utf-8", "replace")
+                try:
+                    detail = json.loads(detail).get("error", detail)
+                except ValueError:
+                    pass
+                if e.code >= 500 and attempt < self.retries:
+                    continue  # server-side hiccup: retry
+                raise ServerError(f"{e.code} on {path}: {detail}") from None
+            except (urllib.error.URLError, TimeoutError, ConnectionError,
+                    http.client.HTTPException) as e:
+                if attempt < self.retries:
+                    continue  # transport hiccup: retry
+                raise ServerError(
+                    f"{path} failed after {attempt + 1} attempt(s): {e}"
+                ) from None
 
     @staticmethod
     def _npy(arr) -> bytes:

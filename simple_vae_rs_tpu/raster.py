@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 from typing import Optional, Tuple
 
 import numpy as np
@@ -214,10 +215,22 @@ def run_stream(args) -> None:
             compression=args.compression, predictor=False,
         )
     samples = args.samples or (32 if args.uncertainty else 1)
-    for _base, block in resolver.iter_tile_rows(
+    # one generator yield per window-row band; scene sweeps are long
+    # (up to hours over remote links), so report progress on stderr —
+    # every band on a tty (carriage-return style), ~5% steps otherwise
+    ov = args.overlap if args.overlap is not None else min(4, p // 2)
+    from simple_vae_rs_tpu.tiling import grid_starts
+
+    n_bands = len(grid_starts(h, p, (p - ov) if ov else p))
+    tty = sys.stderr.isatty()
+    every = 1 if tty else max(1, n_bands // 20)
+    for k, (_base, block) in enumerate(resolver.iter_tile_rows(
         read_norm, h, w, overlap=args.overlap, batch=args.batch or 16,
         samples=samples, moments=args.uncertainty,
-    ):
+    )):
+        if (k + 1) % every == 0 or k + 1 == n_bands:
+            print(f"  band {k + 1}/{n_bands}", end="\r" if tty else "\n",
+                  file=sys.stderr)
         sr = block["mean"] if args.uncertainty else block
         if args.scale == "input":
             out = _cast_like(sr * denom + mn, in_dtype)
@@ -229,6 +242,8 @@ def run_stream(args) -> None:
             if args.scale == "input":
                 std = std * denom  # std is scale-equivariant; no offset
             std_writer.write_rows(_from_hwc(std.astype(np.float32), layout))
+    if tty:
+        print(file=sys.stderr)  # leave the \r progress line intact
     writer.close()
     reader.close()
     print(f"wrote {args.output} (streamed): ({2 * h}, {2 * w}, {channels}) "

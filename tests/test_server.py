@@ -73,6 +73,59 @@ def test_client_roundtrip(server_url):
         c._request("/v1/nope", b"{}")
 
 
+def test_client_retries_transient_failures():
+    """One 500 (or connection reset) must not kill a scene sweep: the
+    client retries with backoff and the second attempt serves the reply.
+    4xx and exhausted retries surface as ServerError."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from simple_vae_rs_tpu.client import Client, ServerError
+
+    calls = {"n": 0}
+
+    class Flaky(BaseHTTPRequestHandler):
+        def do_GET(self):
+            calls["n"] += 1
+            if self.path != "/healthz":
+                self.send_response(404)
+                self.end_headers()
+                self.wfile.write(b'{"error": "no such route"}')
+                return
+            if calls["n"] == 1:
+                self.send_response(500)
+                self.end_headers()
+                self.wfile.write(b'{"error": "transient"}')
+                return
+            body = json.dumps({"status": "ok"}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Flaky)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        c = Client(f"http://127.0.0.1:{srv.server_address[1]}",
+                   timeout=30, retries=2, backoff=0.01)
+        assert c.health()["status"] == "ok"  # 500 then 200
+        assert calls["n"] == 2
+        # a 404 is the caller's bug: surfaced immediately, never retried
+        before = calls["n"]
+        with pytest.raises(ServerError, match="404"):
+            c._request("/nope")
+        assert calls["n"] == before + 1
+    finally:
+        srv.shutdown()
+    # connection refused (nothing listening) exhausts retries quickly
+    dead = Client("http://127.0.0.1:9", timeout=1, retries=1, backoff=0.01)
+    with pytest.raises(ServerError, match="after 2 attempt"):
+        dead.health()
+
+
 def test_healthz(server_url):
     with urllib.request.urlopen(server_url + "/healthz", timeout=30) as resp:
         info = json.loads(resp.read())
