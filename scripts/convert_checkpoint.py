@@ -131,7 +131,18 @@ def main():
         make_optimizer(TrainConfig()),
         jax.random.PRNGKey(0),
     )
-    save_checkpoint(args.dst, state, epoch=0)
+    # embed the model config so serving can reconstruct the network from
+    # the checkpoint path alone (mirrors Trainer._model_meta)
+    save_checkpoint(args.dst, state, epoch=0, extra={"model": {
+        "type": args.model_type if args.model_type == "VAE" else "Cond_SRVAE",
+        "cr": float(cfg.cr),
+        "patch_size": int(cfg.patch_size),
+        "channels": int(cfg.channels),
+        "latent_size_override": int(cfg.latent_size_override),
+        # converted Cond checkpoints use the reference-exact latent wiring;
+        # serving must rebuild the same graph or generation mis-wires
+        "torch_regroup": bool(getattr(cfg, "torch_regroup", False)),
+    }})
     print(f"converted {args.src} -> {args.dst}")
 
 

@@ -99,7 +99,7 @@ def _open_endpoints(args):
         latent_size=args.latent_size, model_type=args.model_type,
         seed=args.seed, int8=args.int8,
     )
-    return r.super_resolve_tile, r.uncertainty_tile, args.channels
+    return r.super_resolve_tile, r.uncertainty_tile, int(r.model.config.channels)
 
 
 def _stream_stats(reader, to_hwc, block_rows: int):
@@ -139,16 +139,24 @@ def run_stream(args) -> None:
     """
     from simple_vae_rs_tpu.data.tiffio import TiffReader, TiffStripWriter
 
-    remote = None
     if args.url:
         from simple_vae_rs_tpu.client import Client
 
-        remote = Client(args.url, timeout=args.timeout).resolver()
-        p, expected = remote.window, remote.channels
+        resolver = Client(args.url, timeout=args.timeout).resolver()
+        expected = resolver.channels
     elif args.model_ckpt:
-        p, expected = args.patch_size // 2, args.channels
+        from simple_vae_rs_tpu.serve import SuperResolver
+
+        resolver = SuperResolver.from_checkpoint(
+            args.model_ckpt, cr=args.compression_ratio,
+            patch_size=args.patch_size, channels=args.channels,
+            latent_size=args.latent_size, model_type=args.model_type,
+            seed=args.seed, int8=args.int8,
+        )
+        expected = int(resolver.model.config.channels)
     else:
         raise SystemExit("one of --model_ckpt or --url is required")
+    p = resolver.window
 
     reader = TiffReader(args.input)
     if reader.height < p or reader.width < p:
@@ -182,17 +190,6 @@ def run_stream(args) -> None:
             blk = np.where(nb, mn, blk)
         return (blk - mn) / denom
 
-    if remote is not None:
-        resolver = remote
-    else:
-        from simple_vae_rs_tpu.serve import SuperResolver
-
-        resolver = SuperResolver.from_checkpoint(
-            args.model_ckpt, cr=args.compression_ratio,
-            patch_size=args.patch_size, channels=args.channels,
-            latent_size=args.latent_size, model_type=args.model_type,
-            seed=args.seed, int8=args.int8,
-        )
     h, w = reader.height, reader.width
     in_dtype = reader.dtype
     out_dtype = in_dtype if args.scale == "input" else np.dtype(np.float32)
@@ -323,12 +320,14 @@ def main(argv: Optional[list] = None) -> None:
     src.add_argument("--model_ckpt", help="local checkpoint path")
     src.add_argument("--url", help="running model server, e.g. "
                      "http://127.0.0.1:8471 (ignores the local-model flags)")
-    loc = p.add_argument_group("local model config")
-    loc.add_argument("-cr", "--compression_ratio", type=float, default=1.2)
-    loc.add_argument("--patch_size", type=int, default=64)
-    loc.add_argument("--channels", type=int, default=4)
-    loc.add_argument("--latent_size", type=int, default=0)
-    loc.add_argument("--model_type", default="Cond_SRVAE",
+    loc = p.add_argument_group(
+        "local model config (defaults come from the config the trainer "
+        "embedded in the checkpoint; flags override)")
+    loc.add_argument("-cr", "--compression_ratio", type=float, default=None)
+    loc.add_argument("--patch_size", type=int, default=None)
+    loc.add_argument("--channels", type=int, default=None)
+    loc.add_argument("--latent_size", type=int, default=None)
+    loc.add_argument("--model_type", default=None,
                      choices=["Cond_SRVAE", "SRVAE"])
     loc.add_argument("--int8", action="store_true",
                      help="serve through the int8 W8A8 decoder")

@@ -168,20 +168,51 @@ class SuperResolver(TileEndpoints):
     def from_checkpoint(
         cls,
         path: str,
-        cr: float,
-        patch_size: int = 64,
-        channels: int = 4,
-        latent_size: int = 0,
-        model_type: str = "Cond_SRVAE",
+        cr: Optional[float] = None,
+        patch_size: Optional[int] = None,
+        channels: Optional[int] = None,
+        latent_size: Optional[int] = None,
+        model_type: Optional[str] = None,
         dtype: Optional[Any] = None,
         seed: int = 0,
         pallas_conv: bool = True,
         int8: bool = False,
         mesh: Optional[Any] = None,
     ) -> "SuperResolver":
-        from simple_vae_rs_tpu.train.checkpoint import load_checkpoint
+        """Rebuild the model around a checkpoint and serve it.
+
+        Model-config arguments left ``None`` resolve from the config the
+        trainer embedded in the checkpoint's sidecar meta (so a path alone
+        is enough for checkpoints written after that was added), then from
+        the legacy defaults (cr=1.2, ps=64, 4 bands, Cond_SRVAE). An
+        explicit argument always wins; a conflict with the recorded config
+        prints a warning because the weight restore will almost certainly
+        fail on shapes.
+        """
+        from simple_vae_rs_tpu.train.checkpoint import load_checkpoint, read_meta
         from simple_vae_rs_tpu.train.state import create_train_state, make_optimizer
         from simple_vae_rs_tpu.utils.cache import enable_compilation_cache
+
+        recorded = read_meta(path).get("model", {})
+
+        def pick(explicit, key, legacy):
+            saved = recorded.get(key)
+            if explicit is None:
+                return legacy if saved is None else saved
+            if saved is not None and saved != explicit:
+                print(f"warning: {key}={explicit} overrides the "
+                      f"checkpoint's recorded {key}={saved}")
+            return explicit
+
+        cr = float(pick(cr, "cr", 1.2))
+        patch_size = int(pick(patch_size, "patch_size", 64))
+        channels = int(pick(channels, "channels", 4))
+        latent_size = int(pick(latent_size, "latent_size_override", 0))
+        model_type = pick(model_type, "type", "Cond_SRVAE")
+        # converted reference checkpoints carry the C-major latent wiring;
+        # serving must rebuild the identical graph (params load either way
+        # — only the generation wiring would silently differ)
+        torch_regroup = bool(recorded.get("torch_regroup", False))
 
         enable_compilation_cache()
         if pallas_conv:
@@ -195,7 +226,8 @@ class SuperResolver(TileEndpoints):
 
             pc.enable(True)
         cfg = CondSRVAEConfig(cr=cr, patch_size=patch_size, channels=channels,
-                              latent_size_override=latent_size)
+                              latent_size_override=latent_size,
+                              torch_regroup=torch_regroup)
         cls_ = {"Cond_SRVAE": CondSRVAE, "SRVAE": SRVAE}[model_type]
         model = cls_(cfg, dtype=dtype)
         x = jnp.zeros((1, patch_size, patch_size, channels))

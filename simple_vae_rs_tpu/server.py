@@ -223,13 +223,15 @@ def make_server(
 def main(argv: Optional[list] = None) -> None:
     p = argparse.ArgumentParser(description="simple-vae-rs-tpu model server")
     p.add_argument("--model_ckpt", required=True)
-    p.add_argument("-cr", "--compression_ratio", type=float, default=1.2)
-    p.add_argument("--patch_size", type=int, default=64)
-    p.add_argument("--channels", type=int, default=4)
-    p.add_argument("--latent_size", type=int, default=0,
+    # model-config flags default to the config the trainer embedded in the
+    # checkpoint's sidecar meta; flags override (see from_checkpoint)
+    p.add_argument("-cr", "--compression_ratio", type=float, default=None)
+    p.add_argument("--patch_size", type=int, default=None)
+    p.add_argument("--channels", type=int, default=None)
+    p.add_argument("--latent_size", type=int, default=None,
                    help="Fixed latent budget overriding the cr formula "
                    "(must match the trained checkpoint's config).")
-    p.add_argument("--model_type", default="Cond_SRVAE",
+    p.add_argument("--model_type", default=None,
                    choices=["Cond_SRVAE", "SRVAE"])
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8471)
@@ -269,11 +271,13 @@ def main(argv: Optional[list] = None) -> None:
         int8=args.int8,
         mesh=mesh,
     )
+    cfg = resolver.model.config
     if not args.no_warmup:
-        lr_side = args.patch_size // 2
-        warmup(resolver, lr_shape=(1, lr_side, lr_side, args.channels))
+        lr_side = int(cfg.patch_size) // 2
+        warmup(resolver, lr_shape=(1, lr_side, lr_side, int(cfg.channels)))
     server = make_server(resolver, args.host, args.port)
-    print(f"serving {args.model_type} on http://{args.host}:{server.server_address[1]}")
+    print(f"serving {type(resolver.model).__name__} on "
+          f"http://{args.host}:{server.server_address[1]}")
     server.serve_forever()
 
 

@@ -114,6 +114,21 @@ def save_checkpoint(
         _PENDING.append(_WRITER.submit(_write_tree, path, tree, meta))
 
 
+def read_meta(path: str) -> Dict[str, Any]:
+    """Sidecar metadata of a checkpoint without restoring its weights.
+
+    Serving uses this to recover the embedded model config (``"model"``
+    key, written by the trainer) so a checkpoint path alone is enough to
+    reconstruct the network it was trained as.
+    """
+    wait_for_saves()
+    mp = _meta_path(os.path.abspath(path))
+    if os.path.exists(mp):
+        with open(mp) as fh:
+            return json.load(fh)
+    return {}
+
+
 def load_checkpoint(
     path: str, target: TrainState
 ) -> Tuple[TrainState, Dict[str, Any]]:

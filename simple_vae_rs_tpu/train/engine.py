@@ -90,6 +90,26 @@ class Trainer:
         self.baseline_metrics: Optional[Dict[str, float]] = None
         self._build_steps()
 
+    def _model_meta(self) -> Dict[str, Any]:
+        """Model config embedded in every checkpoint's sidecar meta, so a
+        checkpoint path alone reconstructs the network at serving time
+        (``SuperResolver.from_checkpoint`` reads it; explicit flags still
+        override). Type names use the CLI's reference-parity spelling."""
+        cfg = self.model.config
+        name = {"CondSRVAE": "Cond_SRVAE"}.get(
+            type(self.model).__name__, type(self.model).__name__
+        )
+        return {
+            "type": name,
+            "cr": float(cfg.cr),
+            "patch_size": int(cfg.patch_size),
+            "channels": int(cfg.channels),
+            "latent_size_override": int(
+                getattr(cfg, "latent_size_override", 0)
+            ),
+            "torch_regroup": bool(getattr(cfg, "torch_regroup", False)),
+        }
+
     # ------------------------------------------------------------ state init
     def init_state(self, batch: Batch, seed: Optional[int] = None) -> TrainState:
         seed = self.cfg.seed if seed is None else seed
@@ -610,7 +630,10 @@ class Trainer:
                     trainer=self,
                     state=self.state,
                     logs=val_terms,
-                    extra={"scheduler": self.scheduler.state_dict()},
+                    extra={
+                        "scheduler": self.scheduler.state_dict(),
+                        "model": self._model_meta(),
+                    },
                 ):
                     print(
                         f"Stopping training after epoch {epoch} due to "

@@ -71,6 +71,45 @@ def test_warmup(resolver):
     warmup(resolver, lr_shape=(1, 8, 8, 4), tile_batch=None)
 
 
+def test_from_checkpoint_resolves_embedded_config(tmp_path, capsys):
+    """A checkpoint path alone serves: model-config arguments resolve from
+    the sidecar meta the trainer embeds; explicit flags warn on conflict
+    and win."""
+    cfg = CondSRVAEConfig(cr=2.0, patch_size=16)
+    model = CondSRVAE(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 16, 16, 4)),
+        jnp.zeros((1, 8, 8, 4)),
+        jax.random.PRNGKey(1),
+        train=False,
+    )
+    state = create_train_state(variables, make_optimizer(TrainConfig()),
+                               jax.random.PRNGKey(2))
+    path = str(tmp_path / "model")
+    save_checkpoint(path, state, epoch=1, extra={"model": {
+        "type": "Cond_SRVAE", "cr": 2.0, "patch_size": 16, "channels": 4,
+        "latent_size_override": 0, "torch_regroup": False,
+    }})
+    r = SuperResolver.from_checkpoint(path)  # no flags at all
+    assert r.window == 8
+    assert float(r.model.config.cr) == 2.0
+    out = r.super_resolve(np.zeros((1, 8, 8, 4), np.float32))
+    assert np.asarray(out).shape == (1, 16, 16, 4)
+    capsys.readouterr()
+    # matching explicit flags: silent
+    SuperResolver.from_checkpoint(path, cr=2.0, patch_size=16)
+    assert "overrides" not in capsys.readouterr().out
+    # conflicting explicit flag: warned, and the flag wins (the restore
+    # itself can even succeed — the models are fully convolutional, so a
+    # wrong patch_size would otherwise serve the wrong window silently;
+    # the warning is the safeguard)
+    r32 = SuperResolver.from_checkpoint(path, cr=2.0, patch_size=32)
+    assert r32.window == 16
+    assert "overrides the checkpoint's recorded patch_size=16" in \
+        capsys.readouterr().out
+
+
 def test_from_checkpoint_srvae(tmp_path):
     from simple_vae_rs_tpu.models import SRVAE
 

@@ -358,6 +358,12 @@ def test_async_checkpoint_through_engine(tmp_path):
     )
     assert meta["epoch"] == 1
     assert int(restored.step) == int(state.step)
+    # the trainer embeds the model config so serving can rebuild the
+    # network from the checkpoint path alone
+    assert meta["model"] == {
+        "type": "Cond_SRVAE", "cr": 2.0, "patch_size": 16, "channels": 4,
+        "latent_size_override": 0, "torch_regroup": False,
+    }
 
 
 def test_bf16_moments_flag_changes_mu_dtype_and_trains():
