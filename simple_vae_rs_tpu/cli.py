@@ -290,6 +290,8 @@ def main(args: argparse.Namespace) -> None:
         if not checkpoint_exists(args.model_ckpt):
             raise FileNotFoundError(f"Model checkpoint {args.model_ckpt} not found.")
         state, meta = load_checkpoint(args.model_ckpt, state)
+        for line in _config_drift(meta.get("model", {}), trainer._model_meta()):
+            print(line)
         if trainer.mesh is not None:
             # restored leaves are host arrays — re-place them on the mesh
             # (incl. the ZeRO-1 moment layout) or the resumed step would
@@ -336,6 +338,20 @@ def main(args: argparse.Namespace) -> None:
         rng=jax.random.PRNGKey(args.seed),
         samples=args.samples,
     )
+
+
+def _config_drift(recorded: dict, current: dict) -> list:
+    """Warnings for CLI flags that disagree with the model config the
+    trainer embedded in a checkpoint. The models are fully convolutional,
+    so a mismatch does not fail the weight restore — it silently
+    trains/evals a different network shape than the checkpoint was
+    trained as; this is the safeguard."""
+    return [
+        f"warning: {key}={current[key]} differs from the checkpoint's "
+        f"recorded {key}={val}"
+        for key, val in recorded.items()
+        if key in current and current[key] != val
+    ]
 
 
 def _apply_backend(args: argparse.Namespace) -> None:

@@ -46,6 +46,22 @@ def test_new_flags_parse_with_safe_defaults():
     assert args.async_ckpt and args.tensorboard
 
 
+def test_config_drift_warnings():
+    """Resume/--test with flags that disagree with the checkpoint's
+    embedded model config warns per differing key and stays silent on a
+    match (and on legacy checkpoints with no recorded config)."""
+    from simple_vae_rs_tpu.cli import _config_drift
+
+    rec = {"type": "Cond_SRVAE", "cr": 1.2, "patch_size": 64}
+    cur = {"type": "Cond_SRVAE", "cr": 2.0, "patch_size": 64,
+           "channels": 4}
+    lines = _config_drift(rec, cur)
+    assert lines == ["warning: cr=2.0 differs from the checkpoint's "
+                     "recorded cr=1.2"]
+    assert _config_drift(rec, dict(rec)) == []
+    assert _config_drift({}, cur) == []  # legacy checkpoint: silent
+
+
 def test_apply_backend_is_idempotent(monkeypatch):
     """_apply_backend must config-update exactly once per Namespace — a
     second call (entrypoint then main) must not touch jax again, which
