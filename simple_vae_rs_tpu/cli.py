@@ -84,6 +84,13 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     )
     parser.add_argument("--data_root", type=str, default=None, help="Dataset root dir.")
     parser.add_argument(
+        "--workers", type=int, default=1,
+        help="Parallel tile-decode threads per loader (the reference's "
+        "DataLoader runs 6 worker processes; decode releases the GIL, so "
+        "threads scale across host cores). Batches are identical at any "
+        "worker count.",
+    )
+    parser.add_argument(
         "--mesh_data", type=int, default=-1, help="Mesh data-axis size (-1 = all)."
     )
     parser.add_argument(
@@ -215,6 +222,7 @@ def main(args: argparse.Namespace) -> None:
         data_root=args.data_root,
         mesh=mesh,
         seed=args.seed,
+        workers=args.workers,
     )
 
     dtype = jnp.bfloat16 if args.bf16 else None

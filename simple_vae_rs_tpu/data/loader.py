@@ -41,9 +41,12 @@ class DeviceLoader:
         mesh: Optional[jax.sharding.Mesh] = None,
         drop_last: bool = True,
         prefetch: int = 2,
+        workers: int = 1,
     ) -> None:
         if crop not in ("random", "grid"):
             raise ValueError("Crop must be 'grid' or 'random'")
+        if workers < 1:
+            raise ValueError(f"workers must be >= 1 (got {workers})")
         self.dataset = dataset
         self.batch_size = batch_size
         self.patch_size = patch_size
@@ -53,6 +56,18 @@ class DeviceLoader:
         self.mesh = mesh
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # Parallel item decode (the reference's DataLoader runs 6 worker
+        # processes, dataset.py:37): a thread pool is the TPU-host-shaped
+        # equivalent — tile decode is zlib / native-LZW / numpy, all of
+        # which release the GIL, so threads scale across cores without
+        # pickling batches between processes. Order is preserved
+        # (pool.map), so batches are bit-identical at any worker count.
+        self.workers = workers
+        self._pool = None
+        if workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=workers)
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -72,11 +87,14 @@ class DeviceLoader:
         return [order[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)]
 
     def _gather(self, idxs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        lrs, hrs = [], []
-        for i in idxs:
-            lr, hr = self.dataset[int(i)]
-            lrs.append(lr)
-            hrs.append(hr)
+        if self._pool is not None:
+            pairs = list(self._pool.map(
+                lambda i: self.dataset[int(i)], idxs
+            ))
+        else:
+            pairs = [self.dataset[int(i)] for i in idxs]
+        lrs = [p[0] for p in pairs]
+        hrs = [p[1] for p in pairs]
         return np.stack(lrs), np.stack(hrs)
 
     def _host_batches(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
@@ -158,6 +176,7 @@ def init_dataloader(
     data_root: Optional[str] = None,
     mesh: Optional[jax.sharding.Mesh] = None,
     seed: int = 0,
+    workers: int = 1,
 ) -> Tuple[DeviceLoader, DeviceLoader]:
     """Build (train_loader, val_loader): reference flag surface + grid mode.
 
@@ -184,7 +203,8 @@ def init_dataloader(
     train_ds = _Subset(ds, range(train_size))
     val_ds = _Subset(ds, range(train_size, len(ds)))
     train_loader = DeviceLoader(
-        train_ds, batch_size, patch_size, crop=crop, shuffle=True, seed=seed, mesh=mesh
+        train_ds, batch_size, patch_size, crop=crop, shuffle=True, seed=seed,
+        mesh=mesh, workers=workers,
     )
     val_loader = DeviceLoader(
         val_ds,
@@ -195,6 +215,7 @@ def init_dataloader(
         shuffle=False,
         seed=seed + 1,
         mesh=mesh,
+        workers=workers,
     )
     # static-shape batches drop ragged tails, so a split smaller than one
     # batch would silently yield ZERO batches and crash the epoch averages

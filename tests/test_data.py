@@ -431,6 +431,44 @@ def test_device_loader_random_mode_and_epochs_differ():
     assert not all(np.array_equal(a, b) for a, b in zip(e1, e2))
 
 
+def test_loader_workers_produce_identical_batches():
+    """Multi-threaded item decode (workers=N) preserves order — batches
+    are bit-identical to the serial loader (pool.map keeps index order;
+    the RNG path depends only on epoch/step, not timing)."""
+    from simple_vae_rs_tpu.data import SyntheticSRDataset
+    from simple_vae_rs_tpu.data.loader import DeviceLoader
+
+    ds = SyntheticSRDataset(seed=0)
+    a = DeviceLoader(ds, 4, 32, crop="random", shuffle=True, seed=3)
+    b = DeviceLoader(ds, 4, 32, crop="random", shuffle=True, seed=3,
+                     workers=4)
+    for (lr1, hr1), (lr2, hr2) in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(lr1), np.asarray(lr2))
+        np.testing.assert_array_equal(np.asarray(hr1), np.asarray(hr2))
+    with pytest.raises(ValueError, match="workers"):
+        DeviceLoader(ds, 4, 32, workers=0)
+
+
+def test_loader_workers_propagate_item_errors():
+    """A dataset error inside the thread pool surfaces to the consumer
+    (same contract as the serial prefetch path)."""
+    from simple_vae_rs_tpu.data.loader import DeviceLoader
+
+    class Boom:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise OSError("corrupt tile")
+            a = np.zeros((4, 16, 16), np.float32)
+            return a, np.zeros((4, 32, 32), np.float32)
+
+    loader = DeviceLoader(Boom(), 8, 16, crop="random", workers=3)
+    with pytest.raises(OSError, match="corrupt tile"):
+        list(loader)
+
+
 def test_loader_propagates_worker_errors():
     """An IO error in the prefetch thread must surface, not truncate the
     epoch silently."""
