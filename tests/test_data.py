@@ -393,6 +393,47 @@ def test_sen2venus_dataset_from_index(tmp_path):
     assert lr.dtype == np.int16
 
 
+def test_make_index_builds_a_loadable_dataset(tmp_path, capsys):
+    """scripts/make_index.py walks a tile tree, pairs *_10m*/*_05m*
+    GeoTIFFs, skips dangling LR tiles, and writes the tab-separated
+    index.csv Sen2VenusDataset consumes; --validate rejects pairs whose
+    geometry is not 2x."""
+    import importlib
+
+    mi = importlib.import_module("scripts.make_index")
+    from simple_vae_rs_tpu.data import Sen2VenusDataset
+
+    rng = np.random.default_rng(21)
+    root = tmp_path / "ARM"
+    (root / "siteA").mkdir(parents=True)
+    for site, stem in [("siteA", "T31_b2b3b4b8"), (".", "T32_b2b3b4b8")]:
+        lr = (rng.random((10, 12, 4)) * 3000).astype(np.int16)
+        hr = (rng.random((20, 24, 4)) * 3000).astype(np.int16)
+        base = root / site
+        write_tiff(str(base / f"{stem}_10m.tif"), lr, compression="deflate",
+                   predictor=True)
+        write_tiff(str(base / f"{stem}_05m.tif"), hr, compression="deflate",
+                   predictor=True)
+    # dangling LR with no HR sibling: skipped with a note
+    write_tiff(str(root / "orphan_10m.tif"),
+               np.zeros((10, 12, 4), np.int16))
+    assert mi.main([str(root), "--validate"]) == 0
+    assert "skipping orphan_10m.tif" in capsys.readouterr().err
+    ds = Sen2VenusDataset(root=str(root))
+    assert len(ds) == 2
+    lr0, hr0 = ds[0]
+    assert lr0.shape == (10, 12, 4) and hr0.shape == (20, 24, 4)
+
+    # a broken pair (HR not 2x) fails --validate and writes nothing
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    write_tiff(str(bad / "x_10m.tif"), np.zeros((10, 12, 4), np.int16))
+    write_tiff(str(bad / "x_05m.tif"), np.zeros((15, 24, 4), np.int16))
+    assert mi.main([str(bad), "--validate"]) == 1
+    assert not (bad / "index.csv").exists()
+    assert mi.main([str(bad)]) == 0  # without --validate it indexes anyway
+
+
 def test_flood_dataset(tmp_path):
     from simple_vae_rs_tpu.data.tiffio import write_tiff
 
