@@ -60,12 +60,83 @@ _NPY = "application/x-npy"
 _NPZ = "application/x-npz"
 
 
+class Metrics:
+    """Prometheus-style request telemetry, stdlib only.
+
+    Counts and latency histograms per endpoint, rendered in the
+    text exposition format at ``GET /metrics`` — enough for a scrape
+    target in a production deployment without adding a dependency.
+    """
+
+    _BUCKETS = (0.01, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0, 30.0)
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._stats: Dict[str, Dict[str, Any]] = {}
+
+    def observe(self, endpoint: str, seconds: float, error: bool = False) -> None:
+        with self._lock:
+            s = self._stats.setdefault(endpoint, {
+                "ok": 0, "error": 0, "sum": 0.0,
+                "buckets": [0] * (len(self._BUCKETS) + 1),
+            })
+            s["error" if error else "ok"] += 1
+            s["sum"] += seconds
+            for i, le in enumerate(self._BUCKETS):
+                if seconds <= le:
+                    s["buckets"][i] += 1
+                    break
+            else:
+                s["buckets"][-1] += 1
+
+    def render(self) -> str:
+        lines = [
+            "# HELP svrs_requests_total requests served, by endpoint/outcome",
+            "# TYPE svrs_requests_total counter",
+        ]
+        with self._lock:
+            items = sorted(self._stats.items())
+            for ep, s in items:
+                for outcome in ("ok", "error"):
+                    lines.append(
+                        f'svrs_requests_total{{endpoint="{ep}",'
+                        f'outcome="{outcome}"}} {s[outcome]}'
+                    )
+            lines += [
+                "# HELP svrs_request_duration_seconds request latency",
+                "# TYPE svrs_request_duration_seconds histogram",
+            ]
+            for ep, s in items:
+                cum = 0
+                for le, n in zip(self._BUCKETS, s["buckets"]):
+                    cum += n
+                    lines.append(
+                        f'svrs_request_duration_seconds_bucket{{endpoint='
+                        f'"{ep}",le="{le}"}} {cum}'
+                    )
+                cum += s["buckets"][-1]
+                lines.append(
+                    f'svrs_request_duration_seconds_bucket{{endpoint='
+                    f'"{ep}",le="+Inf"}} {cum}'
+                )
+                lines.append(
+                    f'svrs_request_duration_seconds_sum{{endpoint="{ep}"}} '
+                    f'{s["sum"]:.6f}'
+                )
+                lines.append(
+                    f'svrs_request_duration_seconds_count{{endpoint="{ep}"}} '
+                    f'{cum}'
+                )
+        return "\n".join(lines) + "\n"
+
+
 class ModelService:
     """Request-level wrapper: decode body -> resolver call -> encode body."""
 
     def __init__(self, resolver: SuperResolver) -> None:
         self.resolver = resolver
         self.lock = threading.Lock()
+        self.metrics = Metrics()
 
     # ------------------------------------------------------------- decoding
     @staticmethod
@@ -183,10 +254,15 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):  # noqa: N802 (stdlib handler API)
         if self.path == "/healthz":
             self._reply(200, json.dumps(self.service.health()).encode(), _JSON)
+        elif self.path == "/metrics":
+            self._reply(200, self.service.metrics.render().encode(),
+                        "text/plain; version=0.0.4")
         else:
             self._fail(404, f"unknown path {self.path}")
 
     def do_POST(self):  # noqa: N802
+        import time
+
         routes = {
             "/v1/super_resolve": self.service.super_resolve,
             "/v1/super_resolve_tile": self.service.super_resolve_tile,
@@ -198,16 +274,23 @@ class _Handler(BaseHTTPRequestHandler):
         if handler is None:
             self._fail(404, f"unknown path {self.path}")
             return
+        t0 = time.perf_counter()
         try:
             query = {k: v[-1] for k, v in parse_qs(split.query).items()}
             length = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(length)
             ctype = self.headers.get("Content-Type", _JSON)
             out, out_type = handler(body, ctype, query)
+            self.service.metrics.observe(
+                split.path, time.perf_counter() - t0)
             self._reply(200, out, out_type)
         except (ValueError, KeyError, json.JSONDecodeError) as e:
+            self.service.metrics.observe(
+                split.path, time.perf_counter() - t0, error=True)
             self._fail(400, str(e))
         except Exception as e:  # pragma: no cover - defensive 500
+            self.service.metrics.observe(
+                split.path, time.perf_counter() - t0, error=True)
             self._fail(500, f"{type(e).__name__}: {e}")
 
 

@@ -73,6 +73,47 @@ def test_client_roundtrip(server_url):
         c._request("/v1/nope", b"{}")
 
 
+def test_metrics_endpoint_counts_requests():
+    """GET /metrics exposes per-endpoint counters + latency histograms in
+    the Prometheus text format (fresh server so counts are exact)."""
+    import threading
+
+    from simple_vae_rs_tpu.client import Client, ServerError
+
+    cfg = CondSRVAEConfig(cr=2.0, patch_size=16)
+    model = CondSRVAE(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 16, 16, 4)),
+        jnp.zeros((1, 8, 8, 4)),
+        jax.random.PRNGKey(1),
+        train=False,
+    )
+    srv = make_server(SuperResolver(model, variables), port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        c = Client(url, timeout=120, retries=0)
+        lr = np.zeros((2, 8, 8, 4), np.float32)
+        c.super_resolve(lr)
+        c.super_resolve(lr)
+        with pytest.raises(ServerError):  # malformed body -> 400
+            c._request("/v1/super_resolve", b"not json", "application/json")
+        with urllib.request.urlopen(url + "/metrics", timeout=30) as resp:
+            assert resp.headers["Content-Type"].startswith("text/plain")
+            text = resp.read().decode()
+    finally:
+        srv.shutdown()
+    assert ('svrs_requests_total{endpoint="/v1/super_resolve",'
+            'outcome="ok"} 2') in text
+    assert ('svrs_requests_total{endpoint="/v1/super_resolve",'
+            'outcome="error"} 1') in text
+    assert ('svrs_request_duration_seconds_bucket{endpoint='
+            '"/v1/super_resolve",le="+Inf"} 3') in text
+    assert ('svrs_request_duration_seconds_count{endpoint='
+            '"/v1/super_resolve"} 3') in text
+
+
 def test_client_retries_transient_failures():
     """One 500 (or connection reset) must not kill a scene sweep: the
     client retries with backoff and the second attempt serves the reply.
