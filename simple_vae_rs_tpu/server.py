@@ -133,10 +133,12 @@ class Metrics:
 class ModelService:
     """Request-level wrapper: decode body -> resolver call -> encode body."""
 
-    def __init__(self, resolver: SuperResolver) -> None:
+    def __init__(self, resolver: SuperResolver,
+                 max_body_mb: int = 512) -> None:
         self.resolver = resolver
         self.lock = threading.Lock()
         self.metrics = Metrics()
+        self.max_body_bytes = int(max_body_mb) << 20
 
     # ------------------------------------------------------------- decoding
     @staticmethod
@@ -278,6 +280,16 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             query = {k: v[-1] for k, v in parse_qs(split.query).items()}
             length = int(self.headers.get("Content-Length", 0))
+            if length > self.service.max_body_bytes:
+                # refuse before reading: an oversized raster body would
+                # OOM the host long before the model sees it (the
+                # streaming tile drivers post window batches instead)
+                self.service.metrics.observe(
+                    split.path, time.perf_counter() - t0, error=True)
+                self._fail(413, f"body of {length} bytes exceeds the "
+                           f"{self.service.max_body_bytes}-byte limit "
+                           f"(--max_body_mb; or stream window batches)")
+                return
             body = self.rfile.read(length)
             ctype = self.headers.get("Content-Type", _JSON)
             out, out_type = handler(body, ctype, query)
@@ -295,10 +307,11 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def make_server(
-    resolver: SuperResolver, host: str = "127.0.0.1", port: int = 8471
+    resolver: SuperResolver, host: str = "127.0.0.1", port: int = 8471,
+    max_body_mb: int = 512,
 ) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server around a resolver."""
-    service = ModelService(resolver)
+    service = ModelService(resolver, max_body_mb=max_body_mb)
     handler = type("BoundHandler", (_Handler,), {"service": service})
     return ThreadingHTTPServer((host, port), handler)
 
@@ -325,6 +338,10 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--mesh_data", type=int, default=1,
                    help="shard batches/draws over this many devices")
     p.add_argument("--no_warmup", action="store_true")
+    p.add_argument("--max_body_mb", type=int, default=512,
+                   help="refuse request bodies over this size with a 413 "
+                   "(streaming clients post window batches and never get "
+                   "near it)")
     p.add_argument("--backend", default="",
                    help="JAX platform override (e.g. 'cpu' when the "
                    "accelerator is unreachable); same semantics as "
@@ -358,7 +375,8 @@ def main(argv: Optional[list] = None) -> None:
     if not args.no_warmup:
         lr_side = int(cfg.patch_size) // 2
         warmup(resolver, lr_shape=(1, lr_side, lr_side, int(cfg.channels)))
-    server = make_server(resolver, args.host, args.port)
+    server = make_server(resolver, args.host, args.port,
+                         max_body_mb=args.max_body_mb)
     print(f"serving {type(resolver.model).__name__} on "
           f"http://{args.host}:{server.server_address[1]}")
     server.serve_forever()

@@ -114,6 +114,36 @@ def test_metrics_endpoint_counts_requests():
             '"/v1/super_resolve"} 3') in text
 
 
+def test_oversized_body_is_refused_with_413():
+    """A body over --max_body_mb is refused BEFORE it is read (an
+    oversized raster would OOM the host before the model ran)."""
+    import threading
+
+    from simple_vae_rs_tpu.client import Client, ServerError
+
+    cfg = CondSRVAEConfig(cr=2.0, patch_size=16)
+    model = CondSRVAE(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 16, 16, 4)),
+        jnp.zeros((1, 8, 8, 4)),
+        jax.random.PRNGKey(1),
+        train=False,
+    )
+    srv = make_server(SuperResolver(model, variables), port=0, max_body_mb=1)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        c = Client(url, timeout=60, retries=0)
+        small = np.zeros((1, 8, 8, 4), np.float32)
+        assert c.super_resolve(small).shape == (1, 16, 16, 4)
+        big = np.zeros((2000, 8, 8, 4), np.float32)  # ~2 MiB body
+        with pytest.raises(ServerError, match="413 .*exceeds"):
+            c.super_resolve(big)
+    finally:
+        srv.shutdown()
+
+
 def test_client_retries_transient_failures():
     """One 500 (or connection reset) must not kill a scene sweep: the
     client retries with backoff and the second attempt serves the reply.
