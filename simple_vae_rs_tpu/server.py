@@ -281,9 +281,18 @@ class _Handler(BaseHTTPRequestHandler):
             query = {k: v[-1] for k, v in parse_qs(split.query).items()}
             length = int(self.headers.get("Content-Length", 0))
             if length > self.service.max_body_bytes:
-                # refuse before reading: an oversized raster body would
+                # refuse without BUFFERING: an oversized raster body would
                 # OOM the host long before the model sees it (the
-                # streaming tile drivers post window batches instead)
+                # streaming tile drivers post window batches instead).
+                # Drain it in bounded chunks so the client finishes
+                # sending and actually receives the 413 (closing mid-send
+                # surfaces as a broken pipe instead of the error reply).
+                remaining = length
+                while remaining > 0:
+                    chunk = self.rfile.read(min(1 << 20, remaining))
+                    if not chunk:
+                        break
+                    remaining -= len(chunk)
                 self.service.metrics.observe(
                     split.path, time.perf_counter() - t0, error=True)
                 self._fail(413, f"body of {length} bytes exceeds the "
