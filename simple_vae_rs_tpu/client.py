@@ -55,11 +55,13 @@ class Client:
     """
 
     def __init__(self, base_url: str, timeout: float = 600.0,
-                 retries: int = 2, backoff: float = 1.0) -> None:
+                 retries: int = 2, backoff: float = 1.0,
+                 token: str = "") -> None:
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
         self.retries = max(0, int(retries))
         self.backoff = backoff
+        self.token = token  # bearer token for servers started with --token
 
     # ------------------------------------------------------------- plumbing
     def _request(self, path: str, body: Optional[bytes] = None,
@@ -67,11 +69,14 @@ class Client:
         import http.client
         import time
 
+        headers = {} if body is None else {"Content-Type": ctype}
+        if self.token:
+            headers["Authorization"] = f"Bearer {self.token}"
         req = urllib.request.Request(
             self.base_url + path,
             data=body,
             method="GET" if body is None else "POST",
-            headers={} if body is None else {"Content-Type": ctype},
+            headers=headers,
         )
         for attempt in range(self.retries + 1):
             if attempt:

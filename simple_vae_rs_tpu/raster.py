@@ -86,7 +86,7 @@ def _open_endpoints(args):
     if args.url:
         from simple_vae_rs_tpu.client import Client
 
-        c = Client(args.url, timeout=args.timeout)
+        c = Client(args.url, timeout=args.timeout, token=args.token)
         info = c.health()
         return c.super_resolve_tile, c.uncertainty_tile, info.get("channels")
     if not args.model_ckpt:
@@ -142,7 +142,8 @@ def run_stream(args) -> None:
     if args.url:
         from simple_vae_rs_tpu.client import Client
 
-        resolver = Client(args.url, timeout=args.timeout).resolver()
+        resolver = Client(args.url, timeout=args.timeout,
+                          token=args.token).resolver()
         expected = resolver.channels
     elif args.model_ckpt:
         from simple_vae_rs_tpu.serve import SuperResolver
@@ -363,6 +364,8 @@ def main(argv: Optional[list] = None) -> None:
                    "semantics as train.py --backend")
     p.add_argument("--timeout", type=float, default=600.0,
                    help="HTTP timeout for --url mode")
+    p.add_argument("--token", default=os.environ.get("SVRS_TOKEN", ""),
+                   help="bearer token for --url mode (default $SVRS_TOKEN)")
     args = p.parse_args(argv)
     if args.backend and not args.url:
         # the baked sitecustomize force-sets jax_platforms, so an env var

@@ -46,6 +46,8 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import os
+import sys
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, Optional, Tuple
@@ -134,11 +136,18 @@ class ModelService:
     """Request-level wrapper: decode body -> resolver call -> encode body."""
 
     def __init__(self, resolver: SuperResolver,
-                 max_body_mb: int = 512) -> None:
+                 max_body_mb: int = 512, token: str = "",
+                 access_log: bool = False) -> None:
         self.resolver = resolver
         self.lock = threading.Lock()
         self.metrics = Metrics()
         self.max_body_bytes = int(max_body_mb) << 20
+        # static bearer token for the model endpoints (healthz/metrics stay
+        # open so probes and scrapers need no secret); compared
+        # constant-time. Transport security is the deployment's job (put a
+        # TLS terminator in front for non-loopback traffic).
+        self.token = token
+        self.access_log = access_log
 
     # ------------------------------------------------------------- decoding
     @staticmethod
@@ -240,8 +249,12 @@ class ModelService:
 class _Handler(BaseHTTPRequestHandler):
     service: ModelService  # injected by make_server
 
-    def log_message(self, fmt, *args):  # quiet by default
-        pass
+    def log_message(self, fmt, *args):  # quiet unless --access_log
+        if getattr(self.service, "access_log", False):
+            sys.stderr.write(
+                f"{self.address_string()} [{self.log_date_time_string()}] "
+                f"{fmt % args}\n"
+            )
 
     def _reply(self, code: int, body: bytes, ctype: str) -> None:
         self.send_response(code)
@@ -276,6 +289,15 @@ class _Handler(BaseHTTPRequestHandler):
         if handler is None:
             self._fail(404, f"unknown path {self.path}")
             return
+        if self.service.token:
+            import hmac
+
+            got = self.headers.get("Authorization", "")
+            want = f"Bearer {self.service.token}"
+            if not hmac.compare_digest(got, want):
+                self.service.metrics.observe(split.path, 0.0, error=True)
+                self._fail(401, "missing or invalid bearer token")
+                return
         t0 = time.perf_counter()
         try:
             query = {k: v[-1] for k, v in parse_qs(split.query).items()}
@@ -317,10 +339,11 @@ class _Handler(BaseHTTPRequestHandler):
 
 def make_server(
     resolver: SuperResolver, host: str = "127.0.0.1", port: int = 8471,
-    max_body_mb: int = 512,
+    max_body_mb: int = 512, token: str = "", access_log: bool = False,
 ) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server around a resolver."""
-    service = ModelService(resolver, max_body_mb=max_body_mb)
+    service = ModelService(resolver, max_body_mb=max_body_mb, token=token,
+                           access_log=access_log)
     handler = type("BoundHandler", (_Handler,), {"service": service})
     return ThreadingHTTPServer((host, port), handler)
 
@@ -351,6 +374,12 @@ def main(argv: Optional[list] = None) -> None:
                    help="refuse request bodies over this size with a 413 "
                    "(streaming clients post window batches and never get "
                    "near it)")
+    p.add_argument("--token", default=os.environ.get("SVRS_TOKEN", ""),
+                   help="require this bearer token on the model endpoints "
+                   "(healthz/metrics stay open; default $SVRS_TOKEN; "
+                   "empty = no auth — put TLS in front for non-loopback)")
+    p.add_argument("--access_log", action="store_true",
+                   help="log one line per request to stderr")
     p.add_argument("--backend", default="",
                    help="JAX platform override (e.g. 'cpu' when the "
                    "accelerator is unreachable); same semantics as "
@@ -385,7 +414,8 @@ def main(argv: Optional[list] = None) -> None:
         lr_side = int(cfg.patch_size) // 2
         warmup(resolver, lr_shape=(1, lr_side, lr_side, int(cfg.channels)))
     server = make_server(resolver, args.host, args.port,
-                         max_body_mb=args.max_body_mb)
+                         max_body_mb=args.max_body_mb, token=args.token,
+                         access_log=args.access_log)
     print(f"serving {type(resolver.model).__name__} on "
           f"http://{args.host}:{server.server_address[1]}")
     server.serve_forever()

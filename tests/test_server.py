@@ -114,6 +114,43 @@ def test_metrics_endpoint_counts_requests():
             '"/v1/super_resolve"} 3') in text
 
 
+def test_bearer_token_guards_model_endpoints():
+    """--token requires Authorization on /v1/* (401 otherwise); healthz
+    and metrics stay open for probes and scrapers."""
+    import threading
+
+    from simple_vae_rs_tpu.client import Client, ServerError
+
+    cfg = CondSRVAEConfig(cr=2.0, patch_size=16)
+    model = CondSRVAE(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 16, 16, 4)),
+        jnp.zeros((1, 8, 8, 4)),
+        jax.random.PRNGKey(1),
+        train=False,
+    )
+    srv = make_server(SuperResolver(model, variables), port=0,
+                      token="s3cret")
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        lr = np.zeros((1, 8, 8, 4), np.float32)
+        anon = Client(url, timeout=60, retries=0)
+        assert anon.health()["status"] == "ok"  # open
+        with urllib.request.urlopen(url + "/metrics", timeout=30) as r:
+            assert r.status == 200  # open
+        with pytest.raises(ServerError, match="401"):
+            anon.super_resolve(lr)
+        with pytest.raises(ServerError, match="401"):
+            Client(url, timeout=60, retries=0,
+                   token="wrong").super_resolve(lr)
+        authed = Client(url, timeout=60, retries=0, token="s3cret")
+        assert authed.super_resolve(lr).shape == (1, 16, 16, 4)
+    finally:
+        srv.shutdown()
+
+
 def test_oversized_body_is_refused_with_413():
     """A body over --max_body_mb is refused BEFORE it is read (an
     oversized raster would OOM the host before the model ran)."""
