@@ -228,7 +228,13 @@ class SuperResolver(TileEndpoints):
         cfg = CondSRVAEConfig(cr=cr, patch_size=patch_size, channels=channels,
                               latent_size_override=latent_size,
                               torch_regroup=torch_regroup)
-        cls_ = {"Cond_SRVAE": CondSRVAE, "SRVAE": SRVAE}[model_type]
+        cls_map = {"Cond_SRVAE": CondSRVAE, "SRVAE": SRVAE}
+        if model_type not in cls_map:
+            raise ValueError(
+                f"SuperResolver serves Cond_SRVAE/SRVAE checkpoints, not "
+                f"{model_type!r} (recorded in {path}.meta.json)"
+            )
+        cls_ = cls_map[model_type]
         model = cls_(cfg, dtype=dtype)
         x = jnp.zeros((1, patch_size, patch_size, channels))
         y = jnp.zeros((1, patch_size // 2, patch_size // 2, channels))
