@@ -95,6 +95,65 @@ def test_reader_layouts_and_bounds(tmp_path):
         assert np.array_equal(r.read_rows(0, 2), hw[:2])
 
 
+def test_codec_fuzz_roundtrip(tmp_path):
+    """Seeded fuzz over the codec's parameter space: random geometry,
+    dtype, compression, predictor, strip size, layout and write-block
+    splits must all roundtrip exactly and serve exact row windows."""
+    rng = np.random.default_rng(1234)
+    dtypes = [np.uint8, np.uint16, np.int16, np.uint32, np.int32, np.float32]
+    comps = ["none", "deflate", "lzw"]
+    path = str(tmp_path / "f.tif")
+    for trial in range(25):
+        h = int(rng.integers(1, 70))
+        w = int(rng.integers(1, 50))
+        c = int(rng.integers(1, 6))
+        dtype = np.dtype(dtypes[int(rng.integers(len(dtypes)))])
+        comp = comps[int(rng.integers(3))]
+        pred = bool(rng.integers(2)) and dtype.kind != "f"
+        layout = ["hwc", "chw", "hw"][int(rng.integers(3))]
+        if layout == "hw":
+            c = 1
+        rps = int(rng.integers(1, h + 4))
+        full = (rng.random((h, w, c)) * 1000).astype(dtype)
+        wtr = TiffStripWriter(path, h, w, c, dtype,
+                              planar_channels_first=layout == "chw",
+                              compression=comp, predictor=pred,
+                              rows_per_strip=rps)
+        # random block splits
+        cuts = sorted(set(
+            [0, h] + list(rng.integers(0, h + 1, size=int(rng.integers(4))))
+        ))
+        for a, b in zip(cuts, cuts[1:]):
+            blk = full[a:b]
+            if layout == "chw":
+                blk = np.moveaxis(blk, -1, 0)
+            elif layout == "hw":
+                blk = blk[:, :, 0]
+            wtr.write_rows(blk)
+        wtr.close()
+        # a single-band "chw" file has no planar dimension to preserve:
+        # it is written (and read back) as plain single-band
+        read_layout = "hw" if c == 1 else layout
+        back = read_tiff(path)
+        if read_layout == "chw":
+            back = np.moveaxis(back, 0, -1)
+        elif read_layout == "hw":
+            back = back[:, :, None]
+        assert back.dtype == dtype and np.array_equal(back, full), (
+            f"trial {trial}: {h}x{w}x{c} {dtype} {comp} pred={pred} "
+            f"{layout} rps={rps}"
+        )
+        with TiffReader(path) as r:
+            a = int(rng.integers(0, h))
+            b = int(rng.integers(a + 1, h + 1))
+            win = r.read_rows(a, b)
+            if read_layout == "chw":
+                win = np.moveaxis(win, 0, -1)
+            elif read_layout == "hw":
+                win = win[:, :, None]
+            assert np.array_equal(win, full[a:b])
+
+
 def test_strip_writer_validates(tmp_path):
     path = str(tmp_path / "e.tif")
     w = TiffStripWriter(path, 10, 5, 1, np.uint8)
