@@ -418,7 +418,20 @@ def main(argv: Optional[list] = None) -> None:
                          access_log=args.access_log)
     print(f"serving {type(resolver.model).__name__} on "
           f"http://{args.host}:{server.server_address[1]}")
-    server.serve_forever()
+    # graceful shutdown: SIGTERM (how orchestrators stop a pod) unwinds
+    # serve_forever like Ctrl-C does, closing the listener cleanly
+    import signal
+
+    def _term(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _term)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        print("shutting down")
+    finally:
+        server.server_close()
 
 
 if __name__ == "__main__":

@@ -522,12 +522,31 @@ class Trainer:
 
         # finish() on every exit path (early stop, callback stop, exception) —
         # the reference leaves its wandb run open on non-completion paths.
+        # Preemption safety: on SIGTERM (how preemptible TPU pods and most
+        # schedulers ask a job to leave) finish the current epoch, write a
+        # resumable checkpoint, and return cleanly instead of dying
+        # mid-epoch with only the last best-only save on disk.
+        import signal
+
+        self._preempted = False
+        old_handler = None
+
+        def _on_term(signum, frame):
+            self._preempted = True
+            print("SIGTERM: will checkpoint and stop at the end of this epoch")
+
+        try:
+            old_handler = signal.signal(signal.SIGTERM, _on_term)
+        except ValueError:
+            pass  # not the main thread (embedded use): feature unavailable
         try:
             return self._fit_epochs(
                 train_loader, val_loader, epochs, start_epoch,
                 val_metrics_every, prefix,
             )
         finally:
+            if old_handler is not None:
+                signal.signal(signal.SIGTERM, old_handler)
             # flush any in-flight async checkpoint saves before returning —
             # callers (e.g. --test right after fit) may load the best
             # checkpoint immediately, and a writer error must surface.
@@ -648,8 +667,37 @@ class Trainer:
                 f"Epoch {epoch}/{epochs}, Train Loss: {train_loss:.4f}, "
                 f"Val Loss: {val_loss:.4f}"
             )
+            if getattr(self, "_preempted", False):
+                self._save_preempt(epoch)
+                return self.state
 
         return self.state
+
+    def _save_preempt(self, epoch: int) -> None:
+        """Resumable checkpoint on preemption: CURRENT state (not best) to
+        ``<save_path>/<job_id>_preempt`` next to the ModelCheckpoint target
+        (or ``ckpt/<job_id>_preempt`` when no checkpoint callback is
+        wired), written blocking so the process can exit right after."""
+        import os
+
+        from simple_vae_rs_tpu.train.callbacks import ModelCheckpoint
+        from simple_vae_rs_tpu.train.checkpoint import save_checkpoint
+
+        base = None
+        for cb in self.callbacks:
+            if isinstance(cb, ModelCheckpoint):
+                base = f"{cb.save_path}/{cb.job_id}"
+                break
+        if base is None:
+            os.makedirs("ckpt", exist_ok=True)
+            base = f"ckpt/{self.job_id}"
+        path = f"{base}_preempt"
+        save_checkpoint(path, self.state, epoch=epoch, extra={
+            "scheduler": self.scheduler.state_dict(),
+            "model": self._model_meta(),
+        }, block=True)
+        print(f"preemption checkpoint written: {path} (epoch {epoch}); "
+              f"resume with --model_ckpt {path}")
 
     # ------------------------------------------------------- eval + logging
     def evaluate(self, val_loader, epoch: int, full_val: bool = False) -> None:

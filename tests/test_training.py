@@ -366,6 +366,46 @@ def test_async_checkpoint_through_engine(tmp_path):
     }
 
 
+def test_sigterm_checkpoints_and_stops(tmp_path):
+    """Preemption safety: SIGTERM during fit finishes the epoch, writes a
+    resumable <job>_preempt checkpoint (current state + scheduler + model
+    meta) and returns — instead of dying mid-epoch."""
+    import os
+    import signal
+
+    from simple_vae_rs_tpu.train.checkpoint import load_checkpoint
+
+    batches = _sr_batches(ps=16)
+    loader = ArrayLoader(batches)
+    model = CondSRVAE(CondSRVAEConfig(cr=2.0, patch_size=16))
+
+    class Preempt:
+        """Raises SIGTERM against our own process at the end of epoch 2 —
+        the handler defers the stop to the epoch boundary."""
+
+        def on_epoch_begin(self, **kw):
+            return False
+
+        def on_epoch_end(self, **kw):
+            if kw.get("epoch") == 2:
+                os.kill(os.getpid(), signal.SIGTERM)
+            return False
+
+    cb = ModelCheckpoint("job", str(tmp_path), monitor="Loss/val_loss")
+    trainer = Trainer(model, TrainConfig(epochs=9, learning_rate=1e-3),
+                      callbacks=[Preempt(), cb])
+    state = trainer.fit(loader, loader, epochs=9, val_metrics_every=9)
+    assert trainer.current_epoch == 2  # stopped at the preempted epoch
+    path = str(tmp_path / "job_preempt")
+    restored, meta = load_checkpoint(path, trainer.init_state(batches[0]))
+    assert meta["epoch"] == 2
+    assert meta["model"]["type"] == "Cond_SRVAE"
+    assert "scheduler" in meta
+    assert int(restored.step) == int(state.step)
+    # the default SIGTERM disposition is restored after fit
+    assert signal.getsignal(signal.SIGTERM) is signal.SIG_DFL
+
+
 def test_bf16_moments_flag_changes_mu_dtype_and_trains():
     """TrainConfig(bf16_moments=True) keeps Adam's first moment in bf16
     (second stays f32) and a train step still runs and updates params."""
