@@ -100,6 +100,14 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
         "--mesh_dcn", type=int, default=1,
         help="Mesh dcn-axis size (number of slices, multi-slice over DCN).",
     )
+    parser.add_argument(
+        "--multihost", action="store_true",
+        help="Call jax.distributed.initialize() before any device use: "
+        "required when launching one process per host on a TPU pod "
+        "(coordinator/topology read from the TPU environment; the mesh "
+        "then spans every process's devices and loaders feed local "
+        "batch slices).",
+    )
     parser.add_argument("--seed", type=int, default=0, help="Global RNG seed.")
     parser.add_argument(
         "--bf16", action="store_true", help="Compute convs in bfloat16 (MXU-native)."
@@ -372,9 +380,27 @@ def _apply_backend(args: argparse.Namespace) -> None:
         args._backend_applied = True
 
 
+def _init_multihost(args: argparse.Namespace) -> None:
+    """jax.distributed.initialize() before ANY device use (idempotent).
+
+    On a TPU pod each host runs one process; the coordinator address,
+    process count and process id come from the TPU runtime environment
+    (explicit overrides via JAX's standard env vars). Must run before the
+    backend initializes or the processes form separate single-host
+    clusters.
+    """
+    if getattr(args, "multihost", False) and not getattr(args, "_mh_done", False):
+        jax.distributed.initialize()
+        print(f"multihost: process {jax.process_index()} of "
+              f"{jax.process_count()} "
+              f"({jax.local_device_count()} local device(s))")
+        args._mh_done = True
+
+
 def entrypoint() -> None:
     arguments = parse_args()
     _apply_backend(arguments)
+    _init_multihost(arguments)
     print("==========================")
     print("Initializing training with the following arguments:")
     print(arguments)

@@ -62,6 +62,29 @@ def test_config_drift_warnings():
     assert _config_drift({}, cur) == []  # legacy checkpoint: silent
 
 
+def test_init_multihost_calls_distributed_initialize(monkeypatch):
+    """--multihost runs jax.distributed.initialize() exactly once, before
+    any device use; without the flag it is never called."""
+    import argparse
+
+    import jax
+
+    from simple_vae_rs_tpu.cli import _init_multihost
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: calls.append(1))
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    monkeypatch.setattr(jax, "local_device_count", lambda: 8)
+    args = argparse.Namespace(multihost=True)
+    _init_multihost(args)
+    _init_multihost(args)  # idempotent
+    assert calls == [1]
+    _init_multihost(argparse.Namespace(multihost=False))
+    assert calls == [1]
+
+
 def test_apply_backend_is_idempotent(monkeypatch):
     """_apply_backend must config-update exactly once per Namespace — a
     second call (entrypoint then main) must not touch jax again, which
