@@ -1,0 +1,377 @@
+"""Portable serving artifacts: the SR endpoint as one StableHLO file.
+
+The reference's only deployment story is re-running its training script
+with ``--test`` (``/root/reference/train.py:54-68``) — shipping a model
+means shipping the whole torch codebase. Here the compiled serving
+endpoint exports to a single self-contained **StableHLO artifact** via
+``jax.export``: the conditional-generation graph (normalize + noise draw
++ decode) with the trained weights baked in as constants, serialized with
+stable custom-call guarantees. The artifact
+
+- needs only ``jax`` to serve (none of this package's Python — the
+  loader below is a convenience, not a requirement);
+- is lowered for an explicit platform set (default ``tpu`` + ``cpu``) at
+  export time, so a dev box without a TPU can produce an artifact a TPU
+  pod serves, and the same file smoke-tests on CPU;
+- is deterministic given ``(input, key)`` — the reparameterization noise
+  is derived inside the graph from an explicit key argument, so two
+  deployments replaying a key agree bitwise.
+
+The graph is traced with every Pallas dispatch gate forced to XLA
+(``ops/pallas_conv.force_xla``) and without the int8 ``quant``
+collection: custom calls would pin the artifact to one platform/runtime
+version, and portability is the point of exporting. (The fused-kernel
+fast paths remain the live-``SuperResolver`` story; export trades their
+marginal wins for a file that runs anywhere XLA does.)
+
+    sr = SuperResolver.from_checkpoint("ckpt/job")
+    export_resolver(sr, "model.svrs")            # one ~4*params-byte file
+    ...
+    esr = load_exported("model.svrs")            # jax-only environment
+    x_hat = esr.super_resolve(lr_batch)          # compiled endpoint
+    big   = esr.super_resolve_tile(lr_raster)    # whole-raster serving
+
+``ExportedResolver`` implements the same ``TileEndpoints`` contract as
+the live resolver, so whole-raster SR/UQ and the bounded-memory
+``iter_tile_rows`` streaming sweep all run off the artifact unchanged.
+
+CLI::
+
+    python -m simple_vae_rs_tpu.export ckpt/job model.svrs \
+        [--batch 16] [--platforms tpu,cpu] [--verify]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simple_vae_rs_tpu.tiling import TileEndpoints
+from simple_vae_rs_tpu.utils.image import normalize_image
+
+_FORMAT = "svrs-export/1"
+
+
+def _generation_fn(model: Any, variables: Dict[str, Any]):
+    """The exported computation: (y, key_data, do_norm) -> SR batch.
+
+    Mirrors ``serve._sr_call`` exactly — float32 cast, optional per-channel
+    min-max normalization, reparameterization noise drawn from the key via
+    the model's shape probe, one conditional generation — except that
+    ``variables`` is a closure (baked into the artifact as constants) and
+    the normalize switch is a *traced* scalar so one artifact serves both
+    the direct path (normalize on) and the tile/stream path (windows
+    arrive pre-normalized, flag off) without recompilation.
+    """
+
+    def fn(y, key_data, do_norm):
+        key = jax.random.wrap_key_data(key_data)
+        y = y.astype(jnp.float32)
+        y = jnp.where(do_norm, normalize_image(y), y)
+        k_u, k_z = jax.random.split(key)
+        shapes = jax.eval_shape(
+            lambda v, yy: model.apply(
+                v, yy, method=type(model).generation_noise_shapes
+            ),
+            variables, y,
+        )
+        eps_u = jax.random.normal(k_u, shapes[0].shape, jnp.float32)
+        eps_z = jax.random.normal(k_z, shapes[1].shape, jnp.float32)
+        return model.apply(
+            variables, y, eps_u, eps_z,
+            method=type(model).conditional_generation_eps,
+        )
+
+    return fn
+
+
+def export_resolver(
+    resolver: Any,
+    path: str,
+    batch: int = 16,
+    platforms: Sequence[str] = ("tpu", "cpu"),
+) -> str:
+    """Serialize a ``serve.SuperResolver``'s SR endpoint to ``path``.
+
+    The artifact is fixed-shape — ``(batch, ps/2, ps/2, C)`` in,
+    ``(batch, ps, ps, C)`` out — because serving already runs one warm
+    compiled shape per endpoint (``serve.warmup``); ``ExportedResolver``
+    re-batches arbitrary request sizes into it. A ``path + ".meta.json"``
+    sidecar records the shapes and the export-time normalize default.
+
+    Returns ``path``.
+    """
+    from jax import export as jexport
+
+    from simple_vae_rs_tpu.ops import pallas_conv
+
+    if batch < 1:
+        raise ValueError(f"batch must be >= 1 (got {batch})")
+    model = resolver.model
+    ps = int(model.config.patch_size)
+    channels = int(model.config.channels)
+    # host copies: the trace bakes them in as module constants, and a
+    # device round-trip here would couple export to accelerator health
+    variables = jax.device_get(resolver.variables)
+    variables.pop("quant", None)  # int8 kernels are not portable — see module doc
+
+    y_spec = jax.ShapeDtypeStruct((batch, ps // 2, ps // 2, channels),
+                                  jnp.float32)
+    key_spec = jax.ShapeDtypeStruct(
+        jax.random.key_data(jax.random.key(0)).shape, jnp.uint32
+    )
+    flag_spec = jax.ShapeDtypeStruct((), jnp.bool_)
+
+    with pallas_conv.force_xla():
+        fn = jax.jit(_generation_fn(model, variables))
+        exported = jexport.export(fn, platforms=list(platforms))(
+            y_spec, key_spec, flag_spec
+        )
+
+    blob = exported.serialize()
+    meta = {
+        "format": _FORMAT,
+        "model_type": type(model).__name__,
+        "cr": float(model.config.cr),
+        "patch_size": ps,
+        "channels": channels,
+        "batch": int(batch),
+        "scale": 2,
+        "normalize": bool(resolver.normalize),
+        "platforms": list(platforms),
+        "n_params": int(
+            sum(int(np.size(p)) for p in jax.tree.leaves(variables))
+        ),
+    }
+    with open(path, "wb") as fh:
+        fh.write(bytes(blob))
+    with open(path + ".meta.json", "w") as fh:
+        json.dump(meta, fh, indent=1)
+    return path
+
+
+def export_checkpoint(
+    ckpt_path: str,
+    out_path: str,
+    batch: int = 16,
+    platforms: Sequence[str] = ("tpu", "cpu"),
+    **model_kwargs: Any,
+) -> str:
+    """Checkpoint -> artifact in one call (config resolves from the
+    checkpoint's sidecar meta exactly like serving does)."""
+    from simple_vae_rs_tpu.serve import SuperResolver
+
+    resolver = SuperResolver.from_checkpoint(
+        ckpt_path, pallas_conv=False, **model_kwargs
+    )
+    return export_resolver(resolver, out_path, batch=batch,
+                           platforms=platforms)
+
+
+class ExportedResolver(TileEndpoints):
+    """Serve a deserialized artifact with the live resolver's API.
+
+    Same endpoint surface as ``serve.SuperResolver`` — ``super_resolve``
+    plus the whole-raster ``TileEndpoints`` (``super_resolve_tile`` /
+    ``uncertainty_tile`` / ``iter_tile_rows``) and host-accumulated
+    ``uncertainty`` / ``mmse_estimate`` — but the model is the artifact's
+    fixed-shape StableHLO graph: requests re-batch into the exported
+    ``batch`` (padding trimmed on device) and the RNG key threads through
+    ``fold_in`` per dispatch, so repeated calls draw fresh posterior
+    samples just like the live endpoint.
+    """
+
+    def __init__(self, exported: Any, meta: Dict[str, Any],
+                 seed: int = 0) -> None:
+        if meta.get("format") != _FORMAT:
+            raise ValueError(
+                f"not a {_FORMAT} artifact (sidecar says "
+                f"{meta.get('format')!r})"
+            )
+        self.meta = dict(meta)
+        self.normalize = bool(meta["normalize"])
+        self.batch = int(meta["batch"])
+        self._exported = exported
+        self._call = jax.jit(exported.call)
+        self._rng = jax.random.key_data(jax.random.key(seed))
+        self._calls = 0
+
+    # ------------------------------------------------------------- basics
+    @property
+    def window(self) -> int:
+        """LR window size (one model patch in LR space) — TileEndpoints."""
+        return int(self.meta["patch_size"]) // 2
+
+    def _next_key(self) -> jax.Array:
+        self._calls += 1
+        return jax.random.key_data(
+            jax.random.fold_in(
+                jax.random.wrap_key_data(self._rng), self._calls
+            )
+        )
+
+    def super_resolve(self, y, normalize: Optional[bool] = None):
+        """LR batch (B, ps/2, ps/2, C) -> single-draw SR (B, ps, ps, C).
+
+        Arbitrary ``B`` runs as ceil(B/batch) fixed-shape dispatches of
+        the artifact (ragged tail padded by repetition, trimmed on device
+        before fetch). ``normalize`` overrides the export-time default
+        for this call — it is a traced flag inside the artifact, so both
+        settings share the one compiled graph.
+        """
+        y = jnp.asarray(y, jnp.float32)
+        if y.ndim == 3:
+            y = y[None]
+        w = self.window
+        c = int(self.meta["channels"])
+        if y.ndim != 4 or y.shape[1:] != (w, w, c):
+            raise ValueError(
+                f"artifact serves (B, {w}, {w}, {c}) LR batches, got "
+                f"{tuple(y.shape)}"
+            )
+        flag = jnp.asarray(
+            self.normalize if normalize is None else normalize, jnp.bool_
+        )
+        b = int(y.shape[0])
+        outs = []
+        for i in range(0, b, self.batch):
+            chunk = y[i:i + self.batch]
+            short = self.batch - int(chunk.shape[0])
+            if short:
+                chunk = jnp.concatenate(
+                    [chunk, jnp.repeat(chunk[-1:], short, axis=0)]
+                )
+            out = self._call(chunk, self._next_key(), flag)
+            outs.append(out[:out.shape[0] - short] if short else out)
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+
+    def uncertainty(self, y, samples: int = 32,
+                    chunk: Optional[int] = None) -> Dict[str, Any]:
+        """Posterior SR statistics for one LR image: mean/std/variance.
+
+        Draws accumulate host-side in ceil(samples/batch) artifact
+        dispatches (each batch slot is an independent draw of the same
+        conditioning — fresh key per dispatch). ``chunk`` is accepted for
+        live-resolver signature compatibility; the artifact's fixed batch
+        is the chunk.
+        """
+        if samples < 2:
+            raise ValueError(f"samples must be >= 2 (got {samples})")
+        y = jnp.asarray(y, jnp.float32)
+        if y.ndim == 3:
+            y = y[None]
+        y = y[:1]
+        if self.normalize:
+            y = normalize_image(y)
+        tile = jnp.repeat(y, self.batch, axis=0)
+        flag = jnp.asarray(False, jnp.bool_)
+        s1 = s2 = None
+        done = 0
+        while done < samples:
+            take = min(self.batch, samples - done)
+            sr = np.asarray(
+                self._call(tile, self._next_key(), flag)[:take], np.float32
+            )
+            if s1 is None:
+                s1 = np.zeros(sr.shape[1:], np.float32)
+                s2 = np.zeros_like(s1)
+            s1 += sr.sum(axis=0)
+            s2 += (sr ** 2).sum(axis=0)
+            done += take
+        mean = s1 / samples
+        var = np.maximum(s2 / samples - mean * mean, 0.0)
+        return {"mean": mean, "std": np.sqrt(var), "variance": var}
+
+    def mmse_estimate(self, y, samples: int = 32,
+                      chunk: Optional[int] = None):
+        """Posterior-mean SR reconstruction (minimum-MSE estimator)."""
+        return self.uncertainty(y, samples=samples, chunk=chunk)["mean"]
+
+
+def load_exported(path: str, seed: int = 0) -> ExportedResolver:
+    """Deserialize ``path`` (+ its ``.meta.json`` sidecar) for serving."""
+    from jax import export as jexport
+
+    with open(path, "rb") as fh:
+        exported = jexport.deserialize(bytearray(fh.read()))
+    meta_path = path + ".meta.json"
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"{meta_path} missing — artifacts travel as the pair "
+            f"(file, file.meta.json)"
+        )
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    return ExportedResolver(exported, meta, seed=seed)
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="python -m simple_vae_rs_tpu.export",
+        description="Export a checkpoint's SR endpoint to a portable "
+        "StableHLO artifact (weights baked in; serves with jax alone).",
+    )
+    p.add_argument("ckpt", help="checkpoint path (as given to --job_name "
+                   "training, e.g. ckpt/job)")
+    p.add_argument("out", help="artifact output path (writes out + "
+                   "out.meta.json)")
+    p.add_argument("--batch", type=int, default=16,
+                   help="fixed serving batch baked into the artifact "
+                   "(default 16 — the tile endpoints' window batch)")
+    p.add_argument("--platforms", default="tpu,cpu",
+                   help="comma-separated lowering platforms "
+                   "(default tpu,cpu)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no_normalize", action="store_true",
+                   help="bake normalize-off as the artifact default "
+                   "(inputs arrive pre-normalized)")
+    p.add_argument("--verify", action="store_true",
+                   help="after writing, reload the artifact and run one "
+                   "batch on the current backend")
+    p.add_argument("--backend", default="",
+                   help="JAX platform override (e.g. 'cpu' to export "
+                   "without touching the accelerator); same semantics as "
+                   "train.py --backend")
+    args = p.parse_args(argv)
+
+    if args.backend:
+        jax.config.update("jax_platforms", args.backend)
+
+    from simple_vae_rs_tpu.serve import SuperResolver
+    from simple_vae_rs_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    resolver = SuperResolver.from_checkpoint(
+        args.ckpt, seed=args.seed, pallas_conv=False
+    )
+    if args.no_normalize:
+        resolver.normalize = False
+    platforms = [s.strip() for s in args.platforms.split(",") if s.strip()]
+    path = export_resolver(resolver, args.out, batch=args.batch,
+                           platforms=platforms)
+    size_mb = os.path.getsize(path) / 1e6
+    print(f"wrote {path} ({size_mb:.1f} MB, platforms={platforms}) "
+          f"+ {path}.meta.json")
+
+    if args.verify:
+        esr = load_exported(path, seed=args.seed)
+        w, c = esr.window, int(esr.meta["channels"])
+        y = np.random.default_rng(0).random(
+            (args.batch, w, w, c), np.float32
+        )
+        out = np.asarray(esr.super_resolve(y))
+        print(f"verify: super_resolve({y.shape}) -> {out.shape} on "
+              f"{jax.devices()[0].platform}, "
+              f"range [{out.min():.4f}, {out.max():.4f}]")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

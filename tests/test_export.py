@@ -1,0 +1,216 @@
+"""StableHLO serving artifacts: export -> deserialize -> serve parity."""
+
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from simple_vae_rs_tpu.config import CondSRVAEConfig
+from simple_vae_rs_tpu.export import (
+    ExportedResolver,
+    export_resolver,
+    load_exported,
+)
+from simple_vae_rs_tpu.serve import SuperResolver
+
+
+@pytest.fixture(scope="module")
+def small_pair(tmp_path_factory):
+    """A live resolver and its exported artifact (CPU-only lowering)."""
+    cfg = CondSRVAEConfig(cr=2.0, patch_size=16)
+    from simple_vae_rs_tpu.models import CondSRVAE
+
+    model = CondSRVAE(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 16, 16, 4)),
+        jnp.zeros((1, 8, 8, 4)),
+        jax.random.PRNGKey(1),
+        train=False,
+    )
+    resolver = SuperResolver(model, variables, seed=3)
+    path = str(tmp_path_factory.mktemp("exp") / "model.svrs")
+    export_resolver(resolver, path, batch=4, platforms=("cpu",))
+    return resolver, path
+
+
+def test_artifact_files_and_meta(small_pair):
+    _, path = small_pair
+    with open(path + ".meta.json") as fh:
+        meta = json.load(fh)
+    assert meta["format"] == "svrs-export/1"
+    assert meta["model_type"] == "CondSRVAE"
+    assert (meta["patch_size"], meta["channels"], meta["batch"]) == (16, 4, 4)
+    assert meta["normalize"] is True
+    assert meta["n_params"] > 0
+    import os
+
+    # the weights are baked in: the blob must at least hold the params
+    assert os.path.getsize(path) >= 4 * meta["n_params"] * 0.5
+
+
+def test_exported_matches_direct_graph(small_pair):
+    """The artifact reproduces the un-exported generation graph bitwise
+    for the same (input, key): serialization must not change the math."""
+    resolver, path = small_pair
+    from simple_vae_rs_tpu.export import _generation_fn
+
+    esr = load_exported(path)
+    y = np.random.default_rng(0).random((4, 8, 8, 4)).astype(np.float32) * 700
+    key = jax.random.key_data(jax.random.key(42))
+    direct = jax.jit(_generation_fn(resolver.model,
+                                    jax.device_get(resolver.variables)))(
+        jnp.asarray(y), key, jnp.asarray(True)
+    )
+    via_artifact = esr._call(jnp.asarray(y), key, jnp.asarray(True))
+    np.testing.assert_array_equal(np.asarray(direct),
+                                  np.asarray(via_artifact))
+
+
+def test_super_resolve_shapes_rebatching_and_draws(small_pair):
+    _, path = small_pair
+    esr = load_exported(path, seed=5)
+    rng = np.random.default_rng(1)
+    # 3 < batch(4): padded+trimmed; 6 > batch: two dispatches
+    for b in (3, 6):
+        y = rng.random((b, 8, 8, 4)).astype(np.float32)
+        out = np.asarray(esr.super_resolve(y))
+        assert out.shape == (b, 16, 16, 4)
+        assert np.isfinite(out).all()
+    one = esr.super_resolve(rng.random((8, 8, 4)).astype(np.float32))
+    assert np.asarray(one).shape == (1, 16, 16, 4)
+    # fresh posterior draw per call
+    y = rng.random((2, 8, 8, 4)).astype(np.float32)
+    a, b = esr.super_resolve(y), esr.super_resolve(y)
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    # shape guard
+    with pytest.raises(ValueError, match="artifact serves"):
+        esr.super_resolve(rng.random((2, 9, 9, 4)).astype(np.float32))
+
+
+def test_rebatched_tail_padding_is_trimmed_consistently(small_pair):
+    """Padding slots repeat the last window; their outputs must be
+    dropped — row i of a short batch equals what a full batch that
+    repeats row i would produce (same key)."""
+    _, path = small_pair
+    esr = load_exported(path)
+    y = np.random.default_rng(2).random((1, 8, 8, 4)).astype(np.float32)
+    key = jax.random.key_data(jax.random.key(7))
+    full = esr._call(jnp.repeat(jnp.asarray(y), 4, axis=0), key,
+                     jnp.asarray(True))
+    esr2 = load_exported(path)
+    esr2._next_key = lambda: key  # pin the key the endpoint uses
+    short = esr2.super_resolve(y)
+    assert np.asarray(short).shape == (1, 16, 16, 4)
+    np.testing.assert_array_equal(np.asarray(short)[0], np.asarray(full)[0])
+
+
+def test_normalize_flag_is_traced_not_baked(small_pair):
+    """One artifact serves both normalize settings (the tile path sends
+    pre-normalized windows with the flag off)."""
+    _, path = small_pair
+    esr = load_exported(path)
+    y = np.random.default_rng(3).random((4, 8, 8, 4)).astype(np.float32)
+    key = jax.random.key_data(jax.random.key(0))
+    on = np.asarray(esr._call(jnp.asarray(y * 900), key, jnp.asarray(True)))
+    off = np.asarray(esr._call(jnp.asarray(y), key, jnp.asarray(False)))
+    # same key, scaled input: with normalization on, the scale cancels
+    # and the pre-normalized flag-off call sees (almost) the same input
+    assert np.allclose(on, off, atol=1e-2)
+    # flag off really skips the in-graph normalization (untrained outputs
+    # all sit near 0.5, so the check is bitwise, not approximate)
+    raw = np.asarray(esr._call(jnp.asarray(y * 900), key, jnp.asarray(False)))
+    assert not np.array_equal(on, raw)
+
+
+def test_uncertainty_and_mmse(small_pair):
+    _, path = small_pair
+    esr = load_exported(path, seed=9)
+    y = np.random.default_rng(4).random((8, 8, 4)).astype(np.float32)
+    maps = esr.uncertainty(y, samples=6)
+    assert maps["mean"].shape == (16, 16, 4)
+    assert (maps["variance"] >= 0).all()
+    assert np.allclose(maps["std"] ** 2, maps["variance"], atol=1e-6)
+    mmse = esr.mmse_estimate(y, samples=4)
+    assert np.asarray(mmse).shape == (16, 16, 4)
+    with pytest.raises(ValueError, match="samples"):
+        esr.uncertainty(y, samples=1)
+
+
+def test_tile_endpoints_run_off_the_artifact(small_pair):
+    """The whole-raster stack (window grid + feathered stitch + streaming
+    sweep) serves from the portable file alone."""
+    _, path = small_pair
+    esr = load_exported(path, seed=11)
+    raster = np.random.default_rng(5).random((20, 26, 4)).astype(np.float32)
+    sr = esr.super_resolve_tile(raster, batch=4)
+    assert sr.shape == (40, 52, 4)
+    assert np.isfinite(sr).all()
+    maps = esr.uncertainty_tile(raster, samples=3, batch=4)
+    assert maps["mean"].shape == (40, 52, 4)
+    # streaming sweep covers every SR row exactly once, in order
+    mn = raster.min(axis=(0, 1), keepdims=True)
+    mx = raster.max(axis=(0, 1), keepdims=True)
+    norm = (raster - mn) / (mx - mn + 1e-5)
+    rows = []
+    for r0, block in esr.iter_tile_rows(
+        lambda a, b: norm[a:b], 20, 26, batch=4
+    ):
+        assert r0 == sum(x.shape[0] for x in rows)
+        rows.append(block)
+    whole = np.concatenate(rows)
+    assert whole.shape == (40, 52, 4)
+
+
+def test_missing_sidecar_and_bad_meta(small_pair, tmp_path):
+    _, path = small_pair
+    blob = open(path, "rb").read()
+    orphan = tmp_path / "orphan.svrs"
+    orphan.write_bytes(blob)
+    with pytest.raises(FileNotFoundError, match="meta.json"):
+        load_exported(str(orphan))
+    from jax import export as jexport
+
+    with pytest.raises(ValueError, match="svrs-export"):
+        ExportedResolver(jexport.deserialize(bytearray(blob)),
+                         {"format": "something-else"})
+
+
+def test_export_checkpoint_cli_roundtrip(tmp_path):
+    """End to end: checkpoint on disk -> CLI export -> verify pass."""
+    from simple_vae_rs_tpu.config import TrainConfig
+    from simple_vae_rs_tpu.models import CondSRVAE
+    from simple_vae_rs_tpu.train.checkpoint import save_checkpoint
+    from simple_vae_rs_tpu.train.state import (
+        create_train_state,
+        make_optimizer,
+    )
+
+    cfg = CondSRVAEConfig(cr=2.0, patch_size=16)
+    model = CondSRVAE(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 16, 16, 4)),
+        jnp.zeros((1, 8, 8, 4)),
+        jax.random.PRNGKey(1),
+        train=False,
+    )
+    state = create_train_state(variables, make_optimizer(TrainConfig()),
+                               jax.random.PRNGKey(2))
+    ckpt = str(tmp_path / "model")
+    save_checkpoint(
+        ckpt, state, epoch=1,
+        extra={"model": {"type": "Cond_SRVAE", "cr": 2.0, "patch_size": 16,
+                         "channels": 4}},
+    )
+    out = str(tmp_path / "model.svrs")
+    from simple_vae_rs_tpu.export import main
+
+    assert main([ckpt, out, "--batch", "2", "--platforms", "cpu",
+                 "--verify"]) == 0
+    esr = load_exported(out)
+    assert esr.batch == 2
+    y = np.zeros((2, 8, 8, 4), np.float32)
+    assert np.asarray(esr.super_resolve(y)).shape == (2, 16, 16, 4)
