@@ -184,6 +184,16 @@ class ModelService:
     # ------------------------------------------------------------ endpoints
     def health(self) -> Dict[str, Any]:
         r = self.resolver
+        if hasattr(r, "meta"):  # export.ExportedResolver: no live model
+            return {
+                "status": "ok",
+                "model": str(r.meta.get("model_type")),
+                "patch_size": int(r.meta["patch_size"]),
+                "channels": int(r.meta["channels"]),
+                "artifact": True,
+                "batch": int(r.batch),
+                "platforms": list(r.meta.get("platforms") or []),
+            }
         return {
             "status": "ok",
             "model": type(r.model).__name__,
@@ -350,7 +360,13 @@ def make_server(
 
 def main(argv: Optional[list] = None) -> None:
     p = argparse.ArgumentParser(description="simple-vae-rs-tpu model server")
-    p.add_argument("--model_ckpt", required=True)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--model_ckpt", default=None)
+    src.add_argument("--artifact", default=None,
+                     help="serve a portable StableHLO artifact "
+                     "(svrs-export output) instead of a checkpoint — "
+                     "kernel/mesh/model-config flags don't apply (the "
+                     "graph is baked in at export time)")
     # model-config flags default to the config the trainer embedded in the
     # checkpoint's sidecar meta; flags override (see from_checkpoint)
     p.add_argument("-cr", "--compression_ratio", type=float, default=None)
@@ -392,31 +408,57 @@ def main(argv: Optional[list] = None) -> None:
 
         jax.config.update("jax_platforms", args.backend)
 
-    mesh = None
-    if args.mesh_data > 1:
-        from simple_vae_rs_tpu.config import MeshConfig
-        from simple_vae_rs_tpu.parallel.mesh import make_mesh
+    if args.artifact:
+        baked = [name for name, val in [
+            ("--int8", args.int8), ("--pallas_conv", args.pallas_conv),
+            ("--mesh_data", args.mesh_data > 1),
+            ("-cr", args.compression_ratio is not None),
+            ("--patch_size", args.patch_size is not None),
+            ("--channels", args.channels is not None),
+            ("--latent_size", args.latent_size is not None),
+            ("--model_type", args.model_type is not None),
+        ] if val]
+        if baked:
+            p.error(f"{', '.join(baked)} cannot apply to --artifact "
+                    "serving: the exported graph is fixed at export time")
+        from simple_vae_rs_tpu.export import load_exported
 
-        mesh = make_mesh(MeshConfig(data=args.mesh_data, model=1))
-    resolver = SuperResolver.from_checkpoint(
-        args.model_ckpt,
-        cr=args.compression_ratio,
-        patch_size=args.patch_size,
-        channels=args.channels,
-        latent_size=args.latent_size,
-        model_type=args.model_type,
-        pallas_conv=args.pallas_conv,
-        int8=args.int8,
-        mesh=mesh,
-    )
-    cfg = resolver.model.config
-    if not args.no_warmup:
-        lr_side = int(cfg.patch_size) // 2
-        warmup(resolver, lr_shape=(1, lr_side, lr_side, int(cfg.channels)))
+        resolver = load_exported(args.artifact)
+        if not args.no_warmup:
+            # one dispatch compiles the artifact's single fixed shape
+            w, c = resolver.window, int(resolver.meta["channels"])
+            np.asarray(resolver.super_resolve(
+                np.zeros((1, w, w, c), np.float32)
+            ))
+        served = f"artifact {resolver.meta.get('model_type')}"
+    else:
+        mesh = None
+        if args.mesh_data > 1:
+            from simple_vae_rs_tpu.config import MeshConfig
+            from simple_vae_rs_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(MeshConfig(data=args.mesh_data, model=1))
+        resolver = SuperResolver.from_checkpoint(
+            args.model_ckpt,
+            cr=args.compression_ratio,
+            patch_size=args.patch_size,
+            channels=args.channels,
+            latent_size=args.latent_size,
+            model_type=args.model_type,
+            pallas_conv=args.pallas_conv,
+            int8=args.int8,
+            mesh=mesh,
+        )
+        cfg = resolver.model.config
+        if not args.no_warmup:
+            lr_side = int(cfg.patch_size) // 2
+            warmup(resolver,
+                   lr_shape=(1, lr_side, lr_side, int(cfg.channels)))
+        served = type(resolver.model).__name__
     server = make_server(resolver, args.host, args.port,
                          max_body_mb=args.max_body_mb, token=args.token,
                          access_log=args.access_log)
-    print(f"serving {type(resolver.model).__name__} on "
+    print(f"serving {served} on "
           f"http://{args.host}:{server.server_address[1]}")
     # graceful shutdown: SIGTERM (how orchestrators stop a pod) unwinds
     # serve_forever like Ctrl-C does, closing the listener cleanly

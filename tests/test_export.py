@@ -178,6 +178,66 @@ def test_missing_sidecar_and_bad_meta(small_pair, tmp_path):
                          {"format": "something-else"})
 
 
+def test_http_server_serves_from_artifact(small_pair):
+    """svrs-serve --artifact: the whole HTTP surface runs off the
+    portable file — healthz reports artifact metadata and the model
+    endpoints dispatch the exported graph."""
+    import io
+    import threading
+    import urllib.request
+
+    from simple_vae_rs_tpu.server import make_server
+
+    esr = load_exported(small_pair[1], seed=13)
+    srv = make_server(esr, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        with urllib.request.urlopen(url + "/healthz", timeout=30) as resp:
+            health = json.loads(resp.read())
+        assert health["artifact"] is True
+        assert health["model"] == "CondSRVAE"
+        assert (health["patch_size"], health["channels"]) == (16, 4)
+        assert health["platforms"] == ["cpu"]
+
+        y = np.random.default_rng(6).random((2, 8, 8, 4)).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, y)
+        req = urllib.request.Request(
+            url + "/v1/super_resolve", data=buf.getvalue(),
+            headers={"Content-Type": "application/x-npy"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            sr = np.load(io.BytesIO(resp.read()), allow_pickle=False)
+        assert sr.shape == (2, 16, 16, 4)
+
+        raster = np.random.default_rng(7).random((18, 22, 4)).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, raster)
+        req = urllib.request.Request(
+            url + "/v1/uncertainty_tile?samples=3&batch=4",
+            data=buf.getvalue(),
+            headers={"Content-Type": "application/x-npy"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            maps = np.load(io.BytesIO(resp.read()), allow_pickle=False)
+        assert maps["mean"].shape == (36, 44, 4)
+        assert (maps["variance"] >= 0).all()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_server_cli_rejects_baked_flags_with_artifact(small_pair):
+    from simple_vae_rs_tpu.server import main as server_main
+
+    for extra in (["--int8"], ["--mesh_data", "2"], ["--patch_size", "16"]):
+        with pytest.raises(SystemExit):
+            server_main(["--artifact", small_pair[1], *extra])
+    with pytest.raises(SystemExit):  # exactly one source required
+        server_main(["--artifact", small_pair[1], "--model_ckpt", "x"])
+
+
 def test_export_checkpoint_cli_roundtrip(tmp_path):
     """End to end: checkpoint on disk -> CLI export -> verify pass."""
     from simple_vae_rs_tpu.config import TrainConfig
