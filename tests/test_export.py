@@ -238,6 +238,34 @@ def test_server_cli_rejects_baked_flags_with_artifact(small_pair):
         server_main(["--artifact", small_pair[1], "--model_ckpt", "x"])
 
 
+def test_raster_stream_cli_against_artifact_server(small_pair, tmp_path):
+    """Whole-scene streaming off the portable file: raster --stream --url
+    drives an artifact-backed server — bounded-memory row bands on the
+    client, the exported graph on the server, GeoTIFF in -> SR out."""
+    import threading
+
+    from simple_vae_rs_tpu import raster
+    from simple_vae_rs_tpu.data.tiffio import read_tiff, write_tiff
+    from simple_vae_rs_tpu.server import make_server
+
+    srv = make_server(load_exported(small_pair[1], seed=17), port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        lr = (np.random.default_rng(22).random((21, 19, 4)) * 900).astype(
+            np.uint16
+        )
+        src, dst = str(tmp_path / "lr.tif"), str(tmp_path / "sr.tif")
+        write_tiff(src, lr)
+        raster.main([src, dst, "--url", url, "--batch", "4", "--stream"])
+        out = read_tiff(dst)
+        assert out.shape == (42, 38, 4)
+        assert out.dtype == np.uint16
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_export_checkpoint_cli_roundtrip(tmp_path):
     """End to end: checkpoint on disk -> CLI export -> verify pass."""
     from simple_vae_rs_tpu.config import TrainConfig
