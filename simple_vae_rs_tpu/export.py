@@ -24,6 +24,15 @@ version, and portability is the point of exporting. (The fused-kernel
 fast paths remain the live-``SuperResolver`` story; export trades their
 marginal wins for a file that runs anywhere XLA does.)
 
+Artifacts can also ship **compressed weights** (``--weights int8|bf16``):
+every large floating kernel is stored as an int8 tensor + per-channel f32
+scales (round-to-nearest, the symmetric scheme of ``ops/quantize.py``) or
+as bf16, and the graph dequantizes/upcasts them on entry — plain StableHLO
+``convert``/``multiply`` ops, so the file stays portable with zero custom
+calls. For the canonical 48.95M-param Cond_SRVAE this is ~196 MB (f32) →
+~98 MB (bf16, bitwise-roundable) → ~49 MB (int8, well above 40 dB vs the
+f32 artifact; weight-only quantization does not touch activations).
+
     sr = SuperResolver.from_checkpoint("ckpt/job")
     export_resolver(sr, "model.svrs")            # one ~4*params-byte file
     ...
@@ -56,6 +65,78 @@ from simple_vae_rs_tpu.utils.image import normalize_image
 
 _FORMAT = "svrs-export/1"
 
+# Leaves smaller than this stay f32 under --weights compression: biases,
+# BN affine/stats and the gamma scalars are numerically load-bearing and
+# a rounding error of total file size.
+_PACK_MIN_SIZE = 4096
+
+WEIGHT_MODES = ("f32", "bf16", "int8")
+
+
+def _rtn_numpy(arr: np.ndarray):
+    """Round-to-nearest int8 + per-last-axis symmetric scales, in numpy.
+
+    Mirrors ``ops.quantize.quantize_rtn`` exactly (absmax/127 per output
+    channel, zero channels get scale 1 — pinned by a test) but runs on the
+    host so exporting never dispatches to an accelerator.
+    """
+    a = arr.astype(np.float32)
+    absmax = np.max(np.abs(a), axis=tuple(range(a.ndim - 1)))
+    scale = np.where(absmax == 0.0, 1.0, absmax / 127.0).astype(np.float32)
+    q = np.clip(np.rint(a / scale), -127, 127).astype(np.int8)
+    return q, scale
+
+
+def _pack_variables(variables: Dict[str, Any], weights: str):
+    """Flatten ``variables`` and compress the large floating leaves.
+
+    Returns ``(packed, treedef)`` where each packed entry is one of
+    ``("raw", arr)``, ``("bf16", arr_bf16)`` or ``("int8", q, scale)``.
+    Only floating leaves with ndim >= 2 and >= _PACK_MIN_SIZE elements are
+    compressed — conv/dense kernels — so the scheme is per-output-channel
+    symmetric on exactly the tensors where it is accurate.
+    """
+    if weights not in WEIGHT_MODES:
+        raise ValueError(
+            f"weights must be one of {WEIGHT_MODES} (got {weights!r})"
+        )
+    leaves, treedef = jax.tree_util.tree_flatten(variables)
+    packed = []
+    for leaf in leaves:
+        arr = np.asarray(leaf)
+        big_float = (
+            arr.ndim >= 2
+            and arr.size >= _PACK_MIN_SIZE
+            and np.issubdtype(arr.dtype, np.floating)
+        )
+        if weights == "f32" or not big_float:
+            packed.append(("raw", arr))
+        elif weights == "bf16":
+            packed.append(
+                ("bf16", np.asarray(jnp.asarray(arr).astype(jnp.bfloat16)))
+            )
+        else:
+            q, scale = _rtn_numpy(arr)
+            packed.append(("int8", q, scale))
+    return packed, treedef
+
+
+def _unpack_variables(packed, treedef):
+    """Rebuild the f32 variable tree INSIDE a trace: the compressed arrays
+    enter the graph as int8/bf16 constants and the convert/multiply ops
+    travel with the artifact."""
+    leaves = []
+    for entry in packed:
+        if entry[0] == "raw":
+            leaves.append(jnp.asarray(entry[1]))
+        elif entry[0] == "bf16":
+            leaves.append(jnp.asarray(entry[1]).astype(jnp.float32))
+        else:
+            q, scale = entry[1], entry[2]
+            leaves.append(jnp.asarray(q).astype(jnp.float32)
+                          * jnp.asarray(scale))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
 
 def _generation_fn(model: Any, variables: Dict[str, Any]):
     """The exported computation: (y, key_data, do_norm) -> SR batch.
@@ -67,9 +148,14 @@ def _generation_fn(model: Any, variables: Dict[str, Any]):
     the normalize switch is a *traced* scalar so one artifact serves both
     the direct path (normalize on) and the tile/stream path (windows
     arrive pre-normalized, flag off) without recompilation.
+
+    ``variables`` may be a zero-arg callable (the ``--weights`` compression
+    path): it is invoked inside the trace so the compressed constants — not
+    their f32 expansion — are what the artifact serializes.
     """
 
     def fn(y, key_data, do_norm):
+        vs = variables() if callable(variables) else variables
         key = jax.random.wrap_key_data(key_data)
         y = y.astype(jnp.float32)
         y = jnp.where(do_norm, normalize_image(y), y)
@@ -78,12 +164,12 @@ def _generation_fn(model: Any, variables: Dict[str, Any]):
             lambda v, yy: model.apply(
                 v, yy, method=type(model).generation_noise_shapes
             ),
-            variables, y,
+            vs, y,
         )
         eps_u = jax.random.normal(k_u, shapes[0].shape, jnp.float32)
         eps_z = jax.random.normal(k_z, shapes[1].shape, jnp.float32)
         return model.apply(
-            variables, y, eps_u, eps_z,
+            vs, y, eps_u, eps_z,
             method=type(model).conditional_generation_eps,
         )
 
@@ -95,6 +181,7 @@ def export_resolver(
     path: str,
     batch: int = 16,
     platforms: Sequence[str] = ("tpu", "cpu"),
+    weights: str = "f32",
 ) -> str:
     """Serialize a ``serve.SuperResolver``'s SR endpoint to ``path``.
 
@@ -103,6 +190,11 @@ def export_resolver(
     compiled shape per endpoint (``serve.warmup``); ``ExportedResolver``
     re-batches arbitrary request sizes into it. A ``path + ".meta.json"``
     sidecar records the shapes and the export-time normalize default.
+
+    ``weights`` compresses the baked constants: ``"bf16"`` halves the file,
+    ``"int8"`` quarters it via per-output-channel round-to-nearest weight
+    quantization (dequantized by plain ops inside the graph — see the
+    module doc). ``"f32"`` (default) is exact.
 
     Returns ``path``.
     """
@@ -120,6 +212,12 @@ def export_resolver(
     variables = jax.device_get(resolver.variables)
     variables.pop("quant", None)  # int8 kernels are not portable — see module doc
 
+    if weights == "f32":
+        var_arg: Any = variables
+    else:
+        packed, treedef = _pack_variables(variables, weights)
+        var_arg = lambda: _unpack_variables(packed, treedef)
+
     y_spec = jax.ShapeDtypeStruct((batch, ps // 2, ps // 2, channels),
                                   jnp.float32)
     key_spec = jax.ShapeDtypeStruct(
@@ -128,7 +226,7 @@ def export_resolver(
     flag_spec = jax.ShapeDtypeStruct((), jnp.bool_)
 
     with pallas_conv.force_xla():
-        fn = jax.jit(_generation_fn(model, variables))
+        fn = jax.jit(_generation_fn(model, var_arg))
         exported = jexport.export(fn, platforms=list(platforms))(
             y_spec, key_spec, flag_spec
         )
@@ -144,6 +242,7 @@ def export_resolver(
         "scale": 2,
         "normalize": bool(resolver.normalize),
         "platforms": list(platforms),
+        "weights": weights,
         "n_params": int(
             sum(int(np.size(p)) for p in jax.tree.leaves(variables))
         ),
@@ -160,6 +259,7 @@ def export_checkpoint(
     out_path: str,
     batch: int = 16,
     platforms: Sequence[str] = ("tpu", "cpu"),
+    weights: str = "f32",
     **model_kwargs: Any,
 ) -> str:
     """Checkpoint -> artifact in one call (config resolves from the
@@ -170,7 +270,7 @@ def export_checkpoint(
         ckpt_path, pallas_conv=False, **model_kwargs
     )
     return export_resolver(resolver, out_path, batch=batch,
-                           platforms=platforms)
+                           platforms=platforms, weights=weights)
 
 
 class ExportedResolver(TileEndpoints):
@@ -328,6 +428,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     p.add_argument("--platforms", default="tpu,cpu",
                    help="comma-separated lowering platforms "
                    "(default tpu,cpu)")
+    p.add_argument("--weights", default="f32", choices=WEIGHT_MODES,
+                   help="constant precision baked into the artifact: f32 "
+                   "(exact, default), bf16 (~2x smaller file) or int8 "
+                   "(~4x smaller; per-channel weight-only quantization, "
+                   "dequantized by plain StableHLO ops — stays portable)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no_normalize", action="store_true",
                    help="bake normalize-off as the artifact default "
@@ -355,10 +460,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         resolver.normalize = False
     platforms = [s.strip() for s in args.platforms.split(",") if s.strip()]
     path = export_resolver(resolver, args.out, batch=args.batch,
-                           platforms=platforms)
+                           platforms=platforms, weights=args.weights)
     size_mb = os.path.getsize(path) / 1e6
-    print(f"wrote {path} ({size_mb:.1f} MB, platforms={platforms}) "
-          f"+ {path}.meta.json")
+    print(f"wrote {path} ({size_mb:.1f} MB, platforms={platforms}, "
+          f"weights={args.weights}) + {path}.meta.json")
 
     if args.verify:
         esr = load_exported(path, seed=args.seed)

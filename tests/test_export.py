@@ -302,3 +302,63 @@ def test_export_checkpoint_cli_roundtrip(tmp_path):
     assert esr.batch == 2
     y = np.zeros((2, 8, 8, 4), np.float32)
     assert np.asarray(esr.super_resolve(y)).shape == (2, 16, 16, 4)
+
+
+def test_rtn_numpy_matches_quantize_rtn():
+    """The host-side packer must quantize exactly like ops/quantize's
+    round-to-nearest kernel (same scales, same codes, zero-channel rule)."""
+    from simple_vae_rs_tpu.export import _rtn_numpy
+    from simple_vae_rs_tpu.ops.quantize import quantize_rtn
+
+    w = np.random.default_rng(0).normal(size=(3, 3, 8, 16)).astype(
+        np.float32
+    )
+    w[..., 5] = 0.0  # a dead channel must get scale 1
+    q_np, s_np = _rtn_numpy(w)
+    q_j, s_j = quantize_rtn(jnp.asarray(w))
+    np.testing.assert_array_equal(q_np, np.asarray(q_j))
+    np.testing.assert_allclose(s_np, np.asarray(s_j), rtol=0, atol=0)
+    assert s_np[5] == 1.0 and not q_np[..., 5].any()
+
+
+def test_weight_compressed_artifacts(small_pair, tmp_path):
+    """--weights bf16/int8: smaller files, same graph contract, output
+    within quantization noise of the f32 artifact for the same key."""
+    import os
+
+    resolver, f32_path = small_pair
+    y = (np.random.default_rng(8).random((4, 8, 8, 4)) * 500).astype(
+        np.float32
+    )
+    key = jax.random.key_data(jax.random.key(21))
+    ref = np.asarray(
+        load_exported(f32_path)._call(jnp.asarray(y), key, jnp.asarray(True))
+    )
+    span = float(ref.max() - ref.min()) or 1.0
+
+    sizes = {"f32": os.path.getsize(f32_path)}
+    psnr_floor = {"bf16": 45.0, "int8": 30.0}
+    for mode in ("bf16", "int8"):
+        path = str(tmp_path / f"model_{mode}.svrs")
+        export_resolver(resolver, path, batch=4, platforms=("cpu",),
+                        weights=mode)
+        with open(path + ".meta.json") as fh:
+            assert json.load(fh)["weights"] == mode
+        sizes[mode] = os.path.getsize(path)
+        out = np.asarray(
+            load_exported(path)._call(jnp.asarray(y), key, jnp.asarray(True))
+        )
+        assert out.shape == ref.shape and np.isfinite(out).all()
+        mse = float(np.mean((out - ref) ** 2))
+        psnr = 10 * np.log10(span * span / max(mse, 1e-20))
+        assert psnr > psnr_floor[mode], (mode, psnr)
+    assert sizes["bf16"] < sizes["f32"]
+    assert sizes["int8"] < sizes["bf16"]
+
+
+def test_pack_variables_rejects_unknown_mode(small_pair):
+    from simple_vae_rs_tpu.export import _pack_variables
+
+    resolver, _ = small_pair
+    with pytest.raises(ValueError, match="weights must be one of"):
+        _pack_variables(jax.device_get(resolver.variables), "fp16")
