@@ -7,7 +7,10 @@ the compiled endpoints resident on the TPU, and answer requests over HTTP.
 Zero dependencies beyond the standard library — ``ThreadingHTTPServer``
 accepts concurrent connections while a lock serializes device dispatch
 (one model, one chip-queue; JAX dispatch is already async so the lock only
-covers enqueue + RNG-state advance).
+covers enqueue + RNG-state advance). With ``--dynamic_batch_ms`` the
+``/v1/super_resolve`` endpoint additionally coalesces concurrent requests
+into shared pow2-bucketed device dispatches (``batching.MicroBatcher``) —
+N clients pay one device round trip instead of N.
 
 Endpoints (all arrays NHWC, channels last):
 
@@ -137,11 +140,27 @@ class ModelService:
 
     def __init__(self, resolver: SuperResolver,
                  max_body_mb: int = 512, token: str = "",
-                 access_log: bool = False) -> None:
+                 access_log: bool = False,
+                 dynamic_batch_ms: float = 0.0,
+                 max_batch: int = 64) -> None:
         self.resolver = resolver
         self.lock = threading.Lock()
         self.metrics = Metrics()
         self.max_body_bytes = int(max_body_mb) << 20
+        self.batcher = None
+        if dynamic_batch_ms > 0:
+            from simple_vae_rs_tpu.batching import MicroBatcher
+
+            def _dispatch(lr, normalize):
+                with self.lock:
+                    return np.asarray(
+                        self.resolver.super_resolve(lr, normalize=normalize)
+                    )
+
+            self.batcher = MicroBatcher(
+                _dispatch, max_batch=max_batch,
+                max_delay_ms=dynamic_batch_ms,
+            )
         # static bearer token for the model endpoints (healthz/metrics stay
         # open so probes and scrapers need no secret); compared
         # constant-time. Transport security is the deployment's job (put a
@@ -210,10 +229,14 @@ class ModelService:
             # query-string values arrive as strings ("0"/"1"); remote tile
             # drivers send pre-normalized windows with normalize=0
             normalize = str(normalize).lower() not in ("0", "false", "no")
-        with self.lock:
-            out = np.asarray(
-                self.resolver.super_resolve(lr, normalize=normalize)
-            )
+        if self.batcher is not None:
+            # coalesce with concurrent requests into one device dispatch
+            out = self.batcher.submit(lr, normalize)
+        else:
+            with self.lock:
+                out = np.asarray(
+                    self.resolver.super_resolve(lr, normalize=normalize)
+                )
         return self._encode({"sr": out}, ctype)
 
     def super_resolve_tile(self, body: bytes, ctype: str, query=None) -> Tuple[bytes, str]:
@@ -280,8 +303,10 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path == "/healthz":
             self._reply(200, json.dumps(self.service.health()).encode(), _JSON)
         elif self.path == "/metrics":
-            self._reply(200, self.service.metrics.render().encode(),
-                        "text/plain; version=0.0.4")
+            text = self.service.metrics.render()
+            if self.service.batcher is not None:
+                text += self.service.batcher.render_metrics()
+            self._reply(200, text.encode(), "text/plain; version=0.0.4")
         else:
             self._fail(404, f"unknown path {self.path}")
 
@@ -350,12 +375,29 @@ class _Handler(BaseHTTPRequestHandler):
 def make_server(
     resolver: SuperResolver, host: str = "127.0.0.1", port: int = 8471,
     max_body_mb: int = 512, token: str = "", access_log: bool = False,
+    dynamic_batch_ms: float = 0.0, max_batch: int = 64,
 ) -> ThreadingHTTPServer:
-    """Build (but don't start) the HTTP server around a resolver."""
+    """Build (but don't start) the HTTP server around a resolver.
+
+    ``dynamic_batch_ms > 0`` coalesces concurrent ``/v1/super_resolve``
+    requests into shared device dispatches (see ``batching.MicroBatcher``);
+    the returned server's ``server_close`` also stops the batcher thread.
+    """
     service = ModelService(resolver, max_body_mb=max_body_mb, token=token,
-                           access_log=access_log)
+                           access_log=access_log,
+                           dynamic_batch_ms=dynamic_batch_ms,
+                           max_batch=max_batch)
     handler = type("BoundHandler", (_Handler,), {"service": service})
-    return ThreadingHTTPServer((host, port), handler)
+    server = ThreadingHTTPServer((host, port), handler)
+    if service.batcher is not None:
+        base_close = server.server_close
+
+        def _close() -> None:
+            base_close()
+            service.batcher.close()
+
+        server.server_close = _close  # type: ignore[method-assign]
+    return server
 
 
 def main(argv: Optional[list] = None) -> None:
@@ -396,6 +438,13 @@ def main(argv: Optional[list] = None) -> None:
                    "empty = no auth — put TLS in front for non-loopback)")
     p.add_argument("--access_log", action="store_true",
                    help="log one line per request to stderr")
+    p.add_argument("--dynamic_batch_ms", type=float, default=0.0,
+                   help="coalesce concurrent /v1/super_resolve requests "
+                   "arriving within this window into one device dispatch "
+                   "(pow2-bucketed batch shapes; 0 = off). Start at ~5 ms "
+                   "locally, ~the link round trip on relayed setups")
+    p.add_argument("--max_batch", type=int, default=64,
+                   help="row cap per coalesced dispatch (--dynamic_batch_ms)")
     p.add_argument("--backend", default="",
                    help="JAX platform override (e.g. 'cpu' when the "
                    "accelerator is unreachable); same semantics as "
@@ -457,7 +506,9 @@ def main(argv: Optional[list] = None) -> None:
         served = type(resolver.model).__name__
     server = make_server(resolver, args.host, args.port,
                          max_body_mb=args.max_body_mb, token=args.token,
-                         access_log=args.access_log)
+                         access_log=args.access_log,
+                         dynamic_batch_ms=args.dynamic_batch_ms,
+                         max_batch=args.max_batch)
     print(f"serving {served} on "
           f"http://{args.host}:{server.server_address[1]}")
     # graceful shutdown: SIGTERM (how orchestrators stop a pod) unwinds
