@@ -72,15 +72,33 @@ class MicroBatcher:
         How long the first request in a batch waits for company. The
         clock starts at the first arrival, so an idle server adds at
         most this much latency to a lone request.
+    follow_ms:
+        Inter-arrival cutoff (default ``min(max_delay_ms / 8, 2.0)`` —
+        HTTP handler threads re-post within microseconds, so a couple
+        of milliseconds is generous jitter headroom). The first
+        companion is awaited for the full window (that wait is the
+        speculative cost of batching), but once ANY companion has
+        arrived — evidence the load is concurrent — collection stops as
+        soon as no further request lands within this gap. Concurrent
+        clients post within microseconds of each other, so a
+        synchronized burst dispatches after ~one follow gap instead of
+        sitting out the whole window while every would-be companion is
+        already blocked on *this* batch; ``max_delay_ms`` can then be
+        sized generously (it bounds added latency for lone requests)
+        without capping loaded throughput at ``1/window``.
     """
 
     def __init__(self, fn: Callable[[np.ndarray, Optional[bool]], np.ndarray],
-                 max_batch: int = 64, max_delay_ms: float = 5.0) -> None:
+                 max_batch: int = 64, max_delay_ms: float = 5.0,
+                 follow_ms: Optional[float] = None) -> None:
         if max_batch < 1:
             raise ValueError(f"max_batch must be >= 1 (got {max_batch})")
         self._fn = fn
         self.max_batch = int(max_batch)
         self.max_delay_s = float(max_delay_ms) / 1e3
+        if follow_ms is None:
+            follow_ms = min(max_delay_ms / 8.0, 2.0)
+        self.follow_s = min(float(follow_ms) / 1e3, self.max_delay_s)
         self._q: "queue.Queue[Optional[_Item]]" = queue.Queue()
         self._closed = False
         # telemetry (read by the server's /metrics)
@@ -123,7 +141,8 @@ class MicroBatcher:
 
     # ---------------------------------------------------------------- worker
     def _collect(self, first: _Item) -> Tuple[List[_Item], bool]:
-        """First item + whatever arrives within the delay window."""
+        """First item + companions: full window until the first one
+        arrives, then the follow gap between arrivals (see class doc)."""
         import time
 
         batch = [first]
@@ -131,6 +150,8 @@ class MicroBatcher:
         deadline = time.monotonic() + self.max_delay_s
         while rows < self.max_batch:
             timeout = deadline - time.monotonic()
+            if len(batch) > 1:
+                timeout = min(timeout, self.follow_s)
             if timeout <= 0:
                 break
             try:

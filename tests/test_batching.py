@@ -109,6 +109,30 @@ def test_groups_split_by_normalize_flag_and_shape():
         mb.close()
 
 
+def test_synchronized_burst_closes_on_follow_gap_not_window():
+    """A generous window must bound LATENCY for lone requests only: once
+    companions show up (and then stop), the batch dispatches after the
+    ~ms follow gap, not after the full window — otherwise loaded
+    throughput caps at 1/window (the v5e relay measured 0.49x serial
+    with a 300 ms window before this policy)."""
+    model = _CountingModel()
+    mb = MicroBatcher(model, max_batch=64, max_delay_ms=2000.0)
+    try:
+        assert mb.follow_s <= 0.002  # window/8 capped at 2 ms
+        y = np.ones((1, 4, 4, 2), np.float32)
+        t0 = time.monotonic()
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futs = [pool.submit(mb.submit, y) for _ in range(4)]
+            for f in futs:
+                f.result(timeout=10)
+        wall = time.monotonic() - t0
+        # burst must clear in follow-gap time, nowhere near the 2 s window
+        assert wall < 1.0, wall
+        assert mb.requests == 4
+    finally:
+        mb.close()
+
+
 def test_dispatch_error_propagates_to_all_waiters():
     gate = threading.Event()
     model = _CountingModel(fail_on=2, gate=gate)
