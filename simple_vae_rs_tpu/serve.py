@@ -105,6 +105,64 @@ def _sr_call(model, variables, y, key, normalize, mesh=None):
     return key, out
 
 
+# Whole-raster UQ runs `samples` posterior draws for EVERY tile window. The
+# naive loop fetches each draw to the host and accumulates moments there —
+# `samples`x more device->host bytes than the answer needs (the measured
+# bottleneck of `uncertainty_tile`: BASELINE.md puts the decode at ~59k
+# window-draws/s but the relayed endpoint at ~200). This kernel reduces the
+# draws to per-pixel (sum, sum-of-squares) ON DEVICE — one `lax.scan` over k
+# fresh-eps generations per window batch — so a window's UQ crosses the link
+# as exactly two moment maps regardless of sample count. On a meshed
+# resolver each scan step runs the generation under `jax.shard_map` with
+# globally-drawn eps, same as `_sr_call`, so the fused Pallas / int8 kernels
+# execute per shard and meshed == single-chip for the same key.
+@partial(jax.jit, static_argnames=("model", "k", "normalize", "mesh"))
+def _sr_moments_call(model, variables, y, key, k, normalize, mesh=None):
+    y = y.astype(jnp.float32)
+    if normalize:
+        y = normalize_image(y)
+    shapes = jax.eval_shape(
+        lambda v, yy: model.apply(
+            v, yy, method=type(model).generation_noise_shapes
+        ),
+        variables, y,
+    )
+
+    def gen(v, yy, eu, ez):
+        return model.apply(
+            v, yy, eu, ez, method=type(model).conditional_generation_eps
+        )
+
+    axes = _mesh_batch_axes(mesh)
+    if axes:
+        from jax.sharding import PartitionSpec as P
+
+        gen_call = jax.shard_map(
+            gen,
+            mesh=mesh,
+            in_specs=(P(), P(axes), P(axes), P(axes)),
+            out_specs=P(axes),
+            check_vma=False,
+        )
+    else:
+        gen_call = gen
+
+    def body(carry, key_i):
+        s1, s2 = carry
+        k_u, k_z = jax.random.split(key_i)
+        eps_u = jax.random.normal(k_u, shapes[0].shape, jnp.float32)
+        eps_z = jax.random.normal(k_z, shapes[1].shape, jnp.float32)
+        out = gen_call(variables, y, eps_u, eps_z)
+        return (s1 + out, s2 + out * out), None
+
+    zero = jnp.zeros(
+        (y.shape[0], y.shape[1] * 2, y.shape[2] * 2, y.shape[3]),
+        jnp.float32,
+    )
+    (s1, s2), _ = jax.lax.scan(body, (zero, zero), jax.random.split(key, k))
+    return s1, s2
+
+
 class SuperResolver(TileEndpoints):
     """Compiled 2x super-resolution + uncertainty service for one model."""
 
@@ -295,6 +353,40 @@ class SuperResolver(TileEndpoints):
         )
         return out[:b] if (self._batch_sharding is not None and pad) else out
 
+    def super_resolve_moments(
+        self, y, samples: int, normalize: bool = False
+    ) -> tuple:
+        """Per-row SR draw-moment sums: (B, ps/2, ps/2, C) LR windows ->
+        ``(s1, s2)`` of shape (B, ps, ps, C), the per-pixel sum and
+        sum-of-squares over ``samples`` fresh posterior draws, reduced on
+        device (``_sr_moments_call``). The ``TileEndpoints`` mixin uses
+        this hook for whole-raster UQ so only two moment maps per window
+        cross the device->host link instead of every draw; divide by
+        ``samples`` for the mean/second-moment the tile blender wants.
+        Normalization defaults OFF because the tile path sends
+        pre-normalized windows.
+        """
+        if samples < 1:
+            raise ValueError(f"samples must be >= 1 (got {samples})")
+        y = jnp.asarray(y)
+        if y.ndim == 3:
+            y = y[None]
+        b = y.shape[0]
+        pad = (-b) % self._n_shards
+        if self._batch_sharding is not None:
+            if pad:
+                y = jnp.pad(
+                    y, ((0, pad),) + ((0, 0),) * (y.ndim - 1), mode="edge"
+                )
+            y = jax.device_put(y, self._batch_sharding)
+        s1, s2 = _sr_moments_call(
+            self.model, self.variables, y, self._next_rng(), int(samples),
+            bool(normalize), mesh=self.mesh,
+        )
+        if self._batch_sharding is not None and pad:
+            s1, s2 = s1[:b], s2[:b]
+        return s1, s2
+
     # Whole-raster endpoints (super_resolve_tile / uncertainty_tile /
     # iter_tile_rows) come from the shared TileEndpoints mixin
     # (simple_vae_rs_tpu/tiling.py) over this class's compiled
@@ -337,14 +429,17 @@ class SuperResolver(TileEndpoints):
 
 def warmup(
     resolver: SuperResolver, lr_shape=(1, 32, 32, 4),
-    tile_batch: Optional[int] = 16,
+    tile_batch: Optional[int] = 16, uq_samples: Optional[int] = 32,
 ) -> None:
     """Compile the serving endpoints ahead of traffic.
 
     ``tile_batch`` also pre-compiles the fixed window-batch shape the
     ``*_tile`` endpoints dispatch (their default ``batch=16``) — otherwise
     the first whole-raster request pays that compile (~13 s measured on
-    the tunneled v5e). Pass ``None`` to skip it.
+    the tunneled v5e). Pass ``None`` to skip it. ``uq_samples`` likewise
+    pre-compiles the device-moments graph ``uncertainty_tile`` dispatches
+    at its default draw count (the scan length is a static jit argument);
+    ``None`` skips it.
     """
     y = np.zeros(lr_shape, np.float32)
     jax.block_until_ready(resolver.super_resolve(y))
@@ -352,3 +447,7 @@ def warmup(
     if tile_batch:
         wins = np.zeros((tile_batch, *lr_shape[1:]), np.float32)
         jax.block_until_ready(resolver.super_resolve(wins, normalize=False))
+        if uq_samples:
+            jax.block_until_ready(
+                resolver.super_resolve_moments(wins, uq_samples)[0]
+            )

@@ -371,15 +371,55 @@ class TileEndpoints:
         self, wins: np.ndarray, samples: int, batch: int
     ) -> tuple:
         """Per-window first/second per-pixel sample moments over
-        ``samples`` posterior draws. The (window, draw) work list is
-        window-major and packs into fixed-shape batches — so the cost is
-        ceil(N*samples/batch) dispatches, not samples*ceil(N/batch):
-        per-dispatch latency dominates on remote links, and a free batch
-        slot might as well carry the next window's draw. Slots past the
-        end repeat the last window and are dropped from the sums."""
+        ``samples`` posterior draws.
+
+        Resolvers that can reduce draws on device expose a
+        ``super_resolve_moments(wins, samples) -> (s1, s2)`` hook
+        (``serve.SuperResolver`` does); then each window batch is ONE
+        dispatch returning two moment maps — ceil(N/batch) dispatches and
+        2*N window-images over the link, independent of ``samples``.
+
+        Without the hook (remote/artifact resolvers), every draw crosses
+        the link: the (window, draw) work list is window-major and packs
+        into fixed-shape batches — ceil(N*samples/batch) dispatches, not
+        samples*ceil(N/batch), since a free batch slot might as well
+        carry the next window's draw. Slots past the end repeat the last
+        window and are dropped from the sums."""
         if batch < 1:
             raise ValueError(f"batch must be >= 1 (got {batch})")
         from collections import deque
+
+        hook = getattr(self, "super_resolve_moments", None)
+        if callable(hook):
+            n = len(wins)
+            s1 = s2 = None
+            pending: deque = deque()
+
+            def fetch_moments():
+                nonlocal s1, s2
+                (m1, m2), i0, valid = pending.popleft()
+                # device-side slice: padding past `valid` never transfers
+                m1 = np.asarray(m1[:valid], dtype=np.float32)
+                m2 = np.asarray(m2[:valid], dtype=np.float32)
+                if s1 is None:
+                    s1 = np.zeros((n, *m1.shape[1:]), np.float32)
+                    s2 = np.zeros_like(s1)
+                s1[i0:i0 + valid] = m1
+                s2[i0:i0 + valid] = m2
+
+            for i in range(0, n, batch):
+                chunk = wins[i:i + batch]
+                valid = len(chunk)
+                if valid < batch:
+                    chunk = np.concatenate(
+                        [chunk, np.repeat(chunk[-1:], batch - valid, axis=0)]
+                    )
+                pending.append((hook(chunk, samples), i, valid))
+                if len(pending) >= self._TILE_PIPELINE:
+                    fetch_moments()
+            while pending:
+                fetch_moments()
+            return s1 / samples, s2 / samples
 
         n = len(wins)
         total = n * samples

@@ -52,8 +52,12 @@ def test_artifact_files_and_meta(small_pair):
 
 
 def test_exported_matches_direct_graph(small_pair):
-    """The artifact reproduces the un-exported generation graph bitwise
-    for the same (input, key): serialization must not change the math."""
+    """The artifact reproduces the un-exported generation graph for the
+    same (input, key): serialization must not change the math. Tolerance
+    is 1e-6, not bitwise: XLA:CPU compiles of the same graph can differ
+    by 1 ulp depending on process history (observed when other test files
+    run first in one process), which is compiler scheduling, not
+    serialization."""
     resolver, path = small_pair
     from simple_vae_rs_tpu.export import _generation_fn
 
@@ -65,8 +69,9 @@ def test_exported_matches_direct_graph(small_pair):
         jnp.asarray(y), key, jnp.asarray(True)
     )
     via_artifact = esr._call(jnp.asarray(y), key, jnp.asarray(True))
-    np.testing.assert_array_equal(np.asarray(direct),
-                                  np.asarray(via_artifact))
+    np.testing.assert_allclose(np.asarray(direct),
+                               np.asarray(via_artifact),
+                               rtol=1e-6, atol=1e-6)
 
 
 def test_super_resolve_shapes_rebatching_and_draws(small_pair):

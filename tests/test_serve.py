@@ -66,6 +66,43 @@ def test_uncertainty_auto_chunk_default(resolver):
     assert float(jnp.min(maps["variance"])) >= 0.0
 
 
+def test_super_resolve_moments_rederives(resolver):
+    """The device-side moment sums equal a manual per-key generation loop
+    over the documented schedule: key = fold_in(rng, call#), split into
+    ``samples`` draw keys, each split into (k_u, k_z) -> globally drawn
+    eps -> ``conditional_generation_eps`` (``serve._sr_moments_call``)."""
+    y = np.random.default_rng(3).random((2, 8, 8, 4)).astype(np.float32)
+    calls_before = resolver._calls
+    s1, s2 = resolver.super_resolve_moments(y, 3)
+    assert s1.shape == (2, 16, 16, 4) and s2.shape == (2, 16, 16, 4)
+
+    model, variables = resolver.model, resolver.variables
+    yj = jnp.asarray(y, jnp.float32)
+    shapes = jax.eval_shape(
+        lambda v, yy: model.apply(
+            v, yy, method=type(model).generation_noise_shapes
+        ),
+        variables, yj,
+    )
+    key = jax.random.fold_in(resolver._rng, calls_before + 1)
+    e1 = np.zeros_like(np.asarray(s1))
+    e2 = np.zeros_like(e1)
+    for key_i in jax.random.split(key, 3):
+        k_u, k_z = jax.random.split(key_i)
+        eps_u = jax.random.normal(k_u, shapes[0].shape, jnp.float32)
+        eps_z = jax.random.normal(k_z, shapes[1].shape, jnp.float32)
+        out = np.asarray(model.apply(
+            variables, yj, eps_u, eps_z,
+            method=type(model).conditional_generation_eps,
+        ), np.float32)
+        e1 += out
+        e2 += out * out
+    np.testing.assert_allclose(np.asarray(s1), e1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s2), e2, rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError, match="samples"):
+        resolver.super_resolve_moments(y, 0)
+
+
 def test_warmup(resolver):
     warmup(resolver, lr_shape=(1, 8, 8, 4))
     warmup(resolver, lr_shape=(1, 8, 8, 4), tile_batch=None)
@@ -165,6 +202,31 @@ def test_mesh_serving_matches_single_device():
     assert b.shape == (8, 16, 16, 4)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_mesh_moments_match_single_device():
+    """``super_resolve_moments`` on the 8-virtual-device mesh: windows
+    shard over ``data``, each scan step's generation runs per-shard under
+    shard_map with globally drawn eps — sums equal single-chip (the
+    whole-raster UQ path therefore survives any mesh unchanged)."""
+    from simple_vae_rs_tpu.config import MeshConfig
+    from simple_vae_rs_tpu.parallel.mesh import make_mesh
+
+    model, variables = _small_cond()
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    y = np.random.default_rng(6).random((8, 8, 8, 4)).astype(np.float32)
+
+    single = SuperResolver(model, variables, seed=9)
+    meshed = SuperResolver(model, variables, seed=9, mesh=mesh)
+    a1, a2 = single.super_resolve_moments(y, 4)
+    b1, b2 = meshed.super_resolve_moments(y, 4)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(b1), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(b2), rtol=1e-5,
+                               atol=1e-5)
+    # partial batches pad to the shard count and trim back
+    c1, c2 = meshed.super_resolve_moments(y[:3], 2)
+    assert c1.shape == (3, 16, 16, 4) and c2.shape == (3, 16, 16, 4)
 
 
 def test_mesh_streaming_matches_single_device():

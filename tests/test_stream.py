@@ -225,6 +225,9 @@ def test_iter_tile_rows_moments_match_uncertainty_tile(resolver):
     rng = np.random.default_rng(4)
     y = rng.random((17, 19, 4)).astype(np.float32)
     resolver.super_resolve = _det_sr
+    # mask the device-moments hook so the fallback path draws through the
+    # deterministic stand-in (the hook runs the real model)
+    resolver.super_resolve_moments = None
     try:
         whole = resolver.uncertainty_tile(y, samples=2, overlap=3, batch=4)
         stream = _assemble(resolver.iter_tile_rows(
@@ -232,6 +235,7 @@ def test_iter_tile_rows_moments_match_uncertainty_tile(resolver):
             samples=2, moments=True), moments=True)
     finally:
         del resolver.super_resolve
+        del resolver.super_resolve_moments
     for k in ("mean", "std", "variance"):
         np.testing.assert_allclose(stream[k], whole[k], rtol=0, atol=1e-6)
     # overlapping windows disagree (the per-window offset), so the blended

@@ -180,9 +180,10 @@ def test_uncertainty_tile_maps(resolver):
 
 def test_uncertainty_tile_single_window_matches_moments():
     """On a window-sized raster the stitched moments reduce to plain
-    per-pixel sample moments: the packed work list for one window is the
-    window repeated ``samples`` times in one batch, so a fresh same-seed
-    resolver fed exactly that batch reproduces the draws."""
+    per-pixel sample moments: the tile path's one hook dispatch is the
+    window padded to the batch, so a fresh same-seed resolver's
+    ``super_resolve_moments`` on exactly that batch reproduces the sums
+    (the stitch over a single window must not perturb them)."""
     lr = np.random.default_rng(10).random((8, 8, 4)).astype(np.float32)
     a = _make_resolver(seed=11)
     maps = a.uncertainty_tile(lr, samples=5, overlap=0, batch=5)
@@ -190,17 +191,43 @@ def test_uncertainty_tile_single_window_matches_moments():
     mx = lr.max((0, 1), keepdims=True)
     norm = (lr - mn) / (mx - mn + 1e-5)
     b = _make_resolver(seed=11)
-    draws = np.asarray(
-        b.super_resolve(np.repeat(norm[None], 5, axis=0), normalize=False)
+    # the mixin pads the 1-window chunk to the batch by repeating it
+    s1, s2 = b.super_resolve_moments(np.repeat(norm[None], 5, axis=0), 5)
+    m1 = np.asarray(s1, np.float32)[0] / 5
+    m2 = np.asarray(s2, np.float32)[0] / 5
+    np.testing.assert_allclose(maps["mean"], m1, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(maps["variance"],
+                               np.maximum(m2 - m1 * m1, 0.0),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_uncertainty_tile_one_dispatch_per_window_batch(resolver,
+                                                        monkeypatch):
+    """With the device-moments hook, 4 windows x 8 draws at batch=16 is
+    ONE dispatch returning two moment maps — draws never cross the link
+    and ``super_resolve`` is never consulted."""
+    calls, sr_calls = [], []
+    orig = type(resolver).super_resolve_moments
+
+    def counting(self, y, samples, normalize=False):
+        calls.append((np.asarray(y).shape, samples))
+        return orig(self, y, samples, normalize=normalize)
+
+    monkeypatch.setattr(type(resolver), "super_resolve_moments", counting)
+    monkeypatch.setattr(
+        type(resolver), "super_resolve",
+        lambda self, y, normalize=None: sr_calls.append(1),
     )
-    np.testing.assert_allclose(maps["mean"], draws.mean(0), rtol=1e-5,
-                               atol=1e-6)
-    np.testing.assert_allclose(maps["variance"], draws.var(0), rtol=1e-4,
-                               atol=1e-6)
+    lr = np.random.default_rng(13).random((16, 16, 4)).astype(np.float32)
+    maps = resolver.uncertainty_tile(lr, samples=8, overlap=0, batch=16)
+    assert maps["mean"].shape == (32, 32, 4)
+    assert calls == [((16, 8, 8, 4), 8)] and not sr_calls
 
 
-def test_uncertainty_tile_packs_draws_into_batches(resolver, monkeypatch):
-    """(window, draw) pairs share batch slots: 4 windows x 8 draws at
+def test_uncertainty_tile_fallback_packs_draws_into_batches(resolver,
+                                                            monkeypatch):
+    """Resolvers WITHOUT the moments hook (remote/artifact) pack
+    (window, draw) pairs into shared batch slots: 4 windows x 8 draws at
     batch=16 is 2 dispatches, not 8 passes of 1."""
     calls = []
     orig = type(resolver).super_resolve
@@ -210,6 +237,7 @@ def test_uncertainty_tile_packs_draws_into_batches(resolver, monkeypatch):
         return orig(self, y, normalize=normalize)
 
     monkeypatch.setattr(type(resolver), "super_resolve", counting)
+    monkeypatch.setattr(type(resolver), "super_resolve_moments", None)
     lr = np.random.default_rng(13).random((16, 16, 4)).astype(np.float32)
     maps = resolver.uncertainty_tile(lr, samples=8, overlap=0, batch=16)
     assert maps["mean"].shape == (32, 32, 4)
