@@ -146,6 +146,21 @@ class Client:
             normalize=None if normalize is None else int(bool(normalize)),
         )["sr"]
 
+    def super_resolve_moments(
+        self, lr, samples: int, normalize: bool = False
+    ) -> tuple:
+        """LR window batch (B, ps/2, ps/2, C) -> device-reduced draw
+        moments ``(s1, s2)`` of shape (B, ps, ps, C): per-pixel sum and
+        sum-of-squares over ``samples`` posterior draws. One request
+        returns a whole batch's statistics as two maps — the remote
+        streaming-UQ fast path (servers advertise support via the
+        ``moments`` field of ``/healthz``; see ``RemoteResolver``)."""
+        out = self._post_array(
+            "/v1/super_resolve_moments", lr,
+            samples=int(samples), normalize=int(bool(normalize)),
+        )
+        return out["s1"], out["s2"]
+
     def super_resolve_tile(
         self, lr, overlap: Optional[int] = None, batch: Optional[int] = None,
         samples: Optional[int] = None,
@@ -180,6 +195,7 @@ class Client:
         return RemoteResolver(
             self, window=int(info["patch_size"]) // 2,
             channels=info.get("channels"), normalize=normalize,
+            moments=bool(info.get("moments")),
         )
 
 
@@ -198,11 +214,17 @@ class RemoteResolver(TileEndpoints):
     """
 
     def __init__(self, client: Client, window: int,
-                 channels: Optional[int] = None, normalize: bool = True) -> None:
+                 channels: Optional[int] = None, normalize: bool = True,
+                 moments: bool = False) -> None:
         self._client = client
         self._window_px = int(window)
         self.channels = channels
         self.normalize = normalize
+        if not moments:
+            # older server without /v1/super_resolve_moments: a None
+            # instance attribute masks the method below, so the
+            # TileEndpoints mixin packs (window, draw) pairs client-side
+            self.super_resolve_moments = None  # type: ignore[assignment]
 
     @property
     def window(self) -> int:
@@ -211,4 +233,14 @@ class RemoteResolver(TileEndpoints):
     def super_resolve(self, lr, normalize: Optional[bool] = None) -> np.ndarray:
         return self._client.super_resolve(
             lr, normalize=self.normalize if normalize is None else normalize
+        )
+
+    def super_resolve_moments(self, wins, samples: int,
+                              normalize: bool = False) -> tuple:
+        """Device-moments hook for the tile/stream UQ paths: a window
+        batch's ``samples``-draw statistics come back as TWO moment maps
+        (one POST), not ``samples`` SR draws — on a whole-scene sweep the
+        response traffic drops by the sample count."""
+        return self._client.super_resolve_moments(
+            wins, samples, normalize=normalize
         )

@@ -16,6 +16,10 @@ Endpoints (all arrays NHWC, channels last):
 
 - ``GET /healthz`` -> ``{"status": "ok", "model": ..., "patch_size": ...}``
 - ``POST /v1/super_resolve`` -> single-draw SR of an LR batch.
+- ``POST /v1/super_resolve_moments`` -> per-pixel (sum, sum-of-squares)
+  over ``samples`` posterior draws of an LR window batch, reduced on
+  device — the streaming-UQ client's fast path (two maps per batch
+  instead of every draw).
 - ``POST /v1/super_resolve_tile`` -> seam-free SR of ONE arbitrary-size LR
   raster (overlapping window grid + feathered stitch; body fields
   ``overlap``/``batch``/``samples`` optional).
@@ -203,6 +207,7 @@ class ModelService:
     # ------------------------------------------------------------ endpoints
     def health(self) -> Dict[str, Any]:
         r = self.resolver
+        moments = callable(getattr(r, "super_resolve_moments", None))
         if hasattr(r, "meta"):  # export.ExportedResolver: no live model
             return {
                 "status": "ok",
@@ -212,6 +217,7 @@ class ModelService:
                 "artifact": True,
                 "batch": int(r.batch),
                 "platforms": list(r.meta.get("platforms") or []),
+                "moments": moments,
             }
         return {
             "status": "ok",
@@ -220,6 +226,7 @@ class ModelService:
             "channels": int(r.model.config.channels),
             "int8": bool(r.int8),
             "mesh": dict(r.mesh.shape) if r.mesh is not None else None,
+            "moments": moments,
         }
 
     def super_resolve(self, body: bytes, ctype: str, query=None) -> Tuple[bytes, str]:
@@ -266,6 +273,34 @@ class ModelService:
         return self._encode(
             {k: np.asarray(v) for k, v in maps.items()}, ctype
         )
+
+    def super_resolve_moments(self, body: bytes, ctype: str, query=None) -> Tuple[bytes, str]:
+        """Device-reduced draw moments for a window batch: (B, ps/2, ps/2, C)
+        LR windows -> npz of ``s1``/``s2`` (B, ps, ps, C), the per-pixel sum
+        and sum-of-squares over ``samples`` posterior draws. This is the
+        remote form of the resolver's ``super_resolve_moments`` hook — a
+        streaming UQ client gets a whole window batch's statistics as TWO
+        maps instead of posting/fetching every draw (``samples``x less
+        response traffic). 400 if the serving resolver has no device-side
+        hook (artifact resolvers; ``/healthz`` advertises ``moments`` so
+        clients fall back to draw packing without a probe request)."""
+        hook = getattr(self.resolver, "super_resolve_moments", None)
+        if not callable(hook):
+            raise ValueError(
+                "this server's resolver has no device-side moments hook "
+                "(artifact-backed?); draw via /v1/super_resolve instead"
+            )
+        lr, payload = self._decode(body, ctype, query)
+        samples = int(payload.get("samples", 32))
+        normalize = payload.get("normalize")
+        normalize = (
+            str(normalize).lower() not in ("0", "false", "no")
+            if normalize is not None else False
+        )
+        with self.lock:
+            s1, s2 = hook(lr, samples, normalize=normalize)
+            s1, s2 = np.asarray(s1, np.float32), np.asarray(s2, np.float32)
+        return self._encode({"s1": s1, "s2": s2}, ctype)
 
     def uncertainty(self, body: bytes, ctype: str, query=None) -> Tuple[bytes, str]:
         lr, payload = self._decode(body, ctype, query)
@@ -315,6 +350,7 @@ class _Handler(BaseHTTPRequestHandler):
 
         routes = {
             "/v1/super_resolve": self.service.super_resolve,
+            "/v1/super_resolve_moments": self.service.super_resolve_moments,
             "/v1/super_resolve_tile": self.service.super_resolve_tile,
             "/v1/uncertainty": self.service.uncertainty,
             "/v1/uncertainty_tile": self.service.uncertainty_tile,

@@ -241,6 +241,52 @@ def test_healthz(server_url):
     assert info["model"] == "CondSRVAE"
     assert info["patch_size"] == 16
     assert info["int8"] is False
+    assert info["moments"] is True  # live resolver: device-moments hook
+
+
+def test_super_resolve_moments_endpoint(server_url):
+    """One POST returns a window batch's draw statistics as two moment
+    maps (npz body both ways); per-pixel variance derived from them is
+    non-negative."""
+    from simple_vae_rs_tpu.client import Client
+
+    c = Client(server_url, timeout=120)
+    lr = np.random.default_rng(21).random((3, 8, 8, 4)).astype(np.float32)
+    s1, s2 = c.super_resolve_moments(lr, samples=4)
+    assert s1.shape == (3, 16, 16, 4) and s2.shape == (3, 16, 16, 4)
+    mean = s1 / 4
+    var = s2 / 4 - mean * mean
+    assert float(var.min()) >= -1e-5 and np.isfinite(var).all()
+
+
+def test_remote_resolver_streams_uq_via_moments(server_url):
+    """``Client.resolver()`` picks the capability off ``/healthz``:
+    whole-raster UQ posts ONE moments request per window batch — draws
+    never cross the wire and ``/v1/super_resolve`` is never consulted.
+    Without the capability the hook is masked (packing fallback)."""
+    from simple_vae_rs_tpu.client import Client, RemoteResolver
+
+    c = Client(server_url, timeout=120)
+    rr = c.resolver()
+    assert callable(rr.super_resolve_moments)
+
+    moment_calls, sr_calls = [], []
+    orig = c.super_resolve_moments
+
+    def counting(lr, samples, normalize=False):
+        moment_calls.append((np.asarray(lr).shape, samples))
+        return orig(lr, samples, normalize=normalize)
+
+    c.super_resolve_moments = counting
+    c.super_resolve = lambda lr, normalize=None: sr_calls.append(1)
+    lr = np.random.default_rng(22).random((16, 16, 4)).astype(np.float32)
+    maps = rr.uncertainty_tile(lr, samples=6, overlap=0, batch=16)
+    assert maps["mean"].shape == (32, 32, 4)
+    assert (maps["variance"] >= 0).all()
+    assert moment_calls == [((16, 8, 8, 4), 6)] and not sr_calls
+
+    legacy = RemoteResolver(c, window=8, moments=False)
+    assert legacy.super_resolve_moments is None
 
 
 def test_super_resolve_json(server_url):
