@@ -43,7 +43,11 @@ activations).
 
 ``ExportedResolver`` implements the same ``TileEndpoints`` contract as
 the live resolver, so whole-raster SR/UQ and the bounded-memory
-``iter_tile_rows`` streaming sweep all run off the artifact unchanged.
+``iter_tile_rows`` streaming sweep all run off the artifact unchanged —
+including the device-side draw-moments fast path: a deserialized graph
+is traceable, so the k-draw (sum, sum-of-squares) reduction is rebuilt
+around it at load time (``_moments_over``) and whole-raster UQ ships two
+moment maps per window batch instead of every draw.
 
 CLI::
 
@@ -274,6 +278,37 @@ def export_checkpoint(
                            platforms=platforms, weights=weights)
 
 
+def _moments_over(exported: Any, ps: int, channels: int):
+    """Device-side draw-moment reduction AROUND a deserialized artifact.
+
+    A deserialized ``Exported.call`` is an ordinary traceable callable, so
+    the k-draw reduction the live resolver gets from
+    ``serve._sr_moments_call`` can be rebuilt at LOAD time: one jitted
+    ``lax.scan`` whose body invokes the artifact's generation graph with a
+    fresh per-draw key and accumulates (sum, sum-of-squares) on device.
+    No second blob, no file-format change, no doubled weight constants —
+    already-shipped artifacts gain whole-raster UQ's two-maps-per-batch
+    fast path the moment they are loaded by this resolver.
+    """
+    from functools import partial
+
+    @partial(jax.jit, static_argnames="k")
+    def moments(y, key_data, flag, k):
+        keys = jax.random.split(jax.random.wrap_key_data(key_data), k)
+        key_datas = jax.vmap(jax.random.key_data)(keys)
+        zero = jnp.zeros((y.shape[0], ps, ps, channels), jnp.float32)
+
+        def body(carry, key_i):
+            out = exported.call(y, key_i, flag)
+            s1, s2 = carry
+            return (s1 + out, s2 + out * out), None
+
+        (s1, s2), _ = jax.lax.scan(body, (zero, zero), key_datas)
+        return s1, s2
+
+    return moments
+
+
 class ExportedResolver(TileEndpoints):
     """Serve a deserialized artifact with the live resolver's API.
 
@@ -299,6 +334,9 @@ class ExportedResolver(TileEndpoints):
         self.batch = int(meta["batch"])
         self._exported = exported
         self._call = jax.jit(exported.call)
+        self._moments_call = _moments_over(
+            exported, int(meta["patch_size"]), int(meta["channels"])
+        )
         self._rng = jax.random.key_data(jax.random.key(seed))
         self._calls = 0
 
@@ -350,6 +388,50 @@ class ExportedResolver(TileEndpoints):
             out = self._call(chunk, self._next_key(), flag)
             outs.append(out[:out.shape[0] - short] if short else out)
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+
+    def super_resolve_moments(
+        self, y, samples: int, normalize: bool = False
+    ) -> tuple:
+        """Device-moments hook (``TileEndpoints`` / the server's
+        ``/v1/super_resolve_moments``): LR windows (B, ps/2, ps/2, C) ->
+        ``(s1, s2)`` per-pixel sum and sum-of-squares over ``samples``
+        fresh posterior draws of the artifact graph, reduced on device by
+        ``_moments_over``'s scan. Arbitrary ``B`` re-batches into the
+        exported fixed batch exactly like ``super_resolve`` (tail padded
+        by repetition, trimmed before the host copy); the key schedule is
+        one ``fold_in`` per dispatch split into per-draw keys.
+        """
+        if samples < 1:
+            raise ValueError(f"samples must be >= 1 (got {samples})")
+        y = jnp.asarray(y, jnp.float32)
+        if y.ndim == 3:
+            y = y[None]
+        w = self.window
+        c = int(self.meta["channels"])
+        if y.ndim != 4 or y.shape[1:] != (w, w, c):
+            raise ValueError(
+                f"artifact serves (B, {w}, {w}, {c}) LR batches, got "
+                f"{tuple(y.shape)}"
+            )
+        flag = jnp.asarray(bool(normalize), jnp.bool_)
+        ps = int(self.meta["patch_size"])
+        b = int(y.shape[0])
+        out1 = np.empty((b, ps, ps, c), np.float32)
+        out2 = np.empty_like(out1)
+        for i in range(0, b, self.batch):
+            chunk = y[i:i + self.batch]
+            valid = int(chunk.shape[0])
+            if valid < self.batch:
+                chunk = jnp.concatenate(
+                    [chunk,
+                     jnp.repeat(chunk[-1:], self.batch - valid, axis=0)]
+                )
+            s1, s2 = self._moments_call(
+                chunk, self._next_key(), flag, int(samples)
+            )
+            out1[i:i + valid] = np.asarray(s1[:valid], np.float32)
+            out2[i:i + valid] = np.asarray(s2[:valid], np.float32)
+        return out1, out2
 
     def uncertainty(self, y, samples: int = 32,
                     chunk: Optional[int] = None) -> Dict[str, Any]:

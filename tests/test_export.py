@@ -130,6 +130,60 @@ def test_normalize_flag_is_traced_not_baked(small_pair):
     assert not np.array_equal(on, raw)
 
 
+def test_super_resolve_moments_rederives_from_sr_graph(small_pair):
+    """The load-time scan (``_moments_over``) must equal a manual loop of
+    the artifact's own generation graph over the documented key schedule:
+    key = fold_in(rng, call#) split into ``samples`` per-draw keys."""
+    _, path = small_pair
+    esr = load_exported(path, seed=29)
+    y = np.random.default_rng(9).random((4, 8, 8, 4)).astype(np.float32)
+    s1, s2 = esr.super_resolve_moments(y, 3)
+    assert s1.shape == (4, 16, 16, 4) and s2.shape == (4, 16, 16, 4)
+
+    ref = load_exported(path, seed=29)
+    key = jax.random.fold_in(jax.random.key(29), 1)
+    e1 = np.zeros_like(s1)
+    e2 = np.zeros_like(s2)
+    flag = jnp.asarray(False, jnp.bool_)
+    for key_i in jax.random.split(key, 3):
+        out = np.asarray(
+            ref._call(jnp.asarray(y), jax.random.key_data(key_i), flag),
+            np.float32,
+        )
+        e1 += out
+        e2 += out * out
+    np.testing.assert_allclose(s1, e1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(s2, e2, rtol=1e-5, atol=1e-6)
+
+    # re-batching: 3 windows pad to the artifact batch of 4 and trim back
+    p1, p2 = esr.super_resolve_moments(y[:3], 2)
+    assert p1.shape == (3, 16, 16, 4) and p2.shape == (3, 16, 16, 4)
+    mean = p1 / 2
+    assert float((p2 / 2 - mean * mean).min()) >= -1e-5
+    with pytest.raises(ValueError, match="samples"):
+        esr.super_resolve_moments(y, 0)
+    with pytest.raises(ValueError, match="artifact serves"):
+        esr.super_resolve_moments(np.zeros((2, 9, 9, 4), np.float32), 2)
+
+
+def test_uncertainty_tile_off_artifact_uses_moments_hook(small_pair,
+                                                         monkeypatch):
+    """Whole-raster UQ from the portable file reduces draws on device:
+    ``super_resolve`` is never consulted (no per-draw traffic)."""
+    _, path = small_pair
+    esr = load_exported(path, seed=31)
+    monkeypatch.setattr(
+        ExportedResolver, "super_resolve",
+        lambda self, y, normalize=None: pytest.fail(
+            "tile UQ fell back to per-draw super_resolve"
+        ),
+    )
+    raster = np.random.default_rng(10).random((16, 16, 4)).astype(np.float32)
+    maps = esr.uncertainty_tile(raster, samples=4, overlap=0, batch=4)
+    assert maps["mean"].shape == (32, 32, 4)
+    assert (maps["variance"] >= 0).all()
+
+
 def test_uncertainty_and_mmse(small_pair):
     _, path = small_pair
     esr = load_exported(path, seed=9)
@@ -204,6 +258,18 @@ def test_http_server_serves_from_artifact(small_pair):
         assert health["model"] == "CondSRVAE"
         assert (health["patch_size"], health["channels"]) == (16, 4)
         assert health["platforms"] == ["cpu"]
+        assert health["moments"] is True  # load-time scan over the graph
+
+        from simple_vae_rs_tpu.client import Client
+
+        s1, s2 = Client(url, timeout=120).super_resolve_moments(
+            np.random.default_rng(30).random((2, 8, 8, 4)).astype(
+                np.float32
+            ),
+            samples=3,
+        )
+        assert s1.shape == (2, 16, 16, 4)
+        assert float((s2 / 3 - (s1 / 3) ** 2).min()) >= -1e-5
 
         y = np.random.default_rng(6).random((2, 8, 8, 4)).astype(np.float32)
         buf = io.BytesIO()
