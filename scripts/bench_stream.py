@@ -35,6 +35,9 @@ def main() -> int:
     ap.add_argument("--samples", type=int, default=1)
     ap.add_argument("--uncertainty", action="store_true",
                     help="stream the mean/std moments instead")
+    ap.add_argument("--no_moments", action="store_true",
+                    help="mask the device-moments hook so --uncertainty "
+                    "times the (window, draw)-packing fallback")
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--backend", default="")
     ap.add_argument("--probe_budget", type=float, default=float(
@@ -77,6 +80,8 @@ def main() -> int:
     if "batch_stats" in variables:
         vars_["batch_stats"] = variables["batch_stats"]
     r = SuperResolver(model, vars_, normalize=False, int8=args.int8)
+    if args.no_moments:
+        r.super_resolve_moments = None  # packing fallback
 
     rng = np.random.default_rng(0)
     h = w = args.hw
@@ -103,6 +108,8 @@ def main() -> int:
     print(f"warmup (compiles the {args.batch}-window batch)...")
     warm = np.zeros((args.batch, p, p, args.channels), np.float32)
     np.asarray(r.super_resolve(warm, normalize=False))
+    if args.uncertainty and not args.no_moments:
+        np.asarray(r.super_resolve_moments(warm, max(2, args.samples))[0])
 
     t0 = time.perf_counter()
     sweep()
@@ -112,7 +119,8 @@ def main() -> int:
     print(
         f"scene {h}x{w}x{args.channels} ps={args.patch_size} "
         f"batch={args.batch} samples={args.samples} "
-        f"int8={args.int8} uncertainty={args.uncertainty}: "
+        f"int8={args.int8} uncertainty={args.uncertainty}"
+        f"{' (packing fallback)' if args.uncertainty and args.no_moments else ''}: "
         f"{dt:.2f} s | {mpix / dt:.2f} LR Mpix/s | "
         f"~{n_wins * draws / dt:.0f} window-draws/s"
     )

@@ -36,13 +36,23 @@ def main():
                     help="draws for --uncertainty")
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--uncertainty", action="store_true")
+    ap.add_argument("--no_moments", action="store_true",
+                    help="mask the device-moments hook so --uncertainty "
+                    "times the (window, draw)-packing fallback — the A/B "
+                    "for the hook's dispatch/transfer win")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--backend", default="",
+                    help="JAX platform override (e.g. 'cpu'); same "
+                    "semantics as train.py --backend")
     args = ap.parse_args()
 
+    import jax
+
+    if args.backend:
+        jax.config.update("jax_platforms", args.backend)
     from simple_vae_rs_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    import jax
     import jax.numpy as jnp
     import numpy as np
 
@@ -64,6 +74,8 @@ def main():
         )
     )(jax.random.PRNGKey(0))
     resolver = SuperResolver(model, variables, int8=args.int8)
+    if args.no_moments:
+        resolver.super_resolve_moments = None  # packing fallback
 
     rng = np.random.default_rng(0)
     lr = rng.random((args.hw, args.hw, 4), np.float32)
@@ -99,7 +111,9 @@ def main():
         "windows": n_win,
         "batch": args.batch,
         "int8": args.int8,
-        **({"samples": args.samples} if args.uncertainty else {}),
+        **({"samples": args.samples,
+            "moments_hook": not args.no_moments}
+           if args.uncertainty else {}),
         "s_per_raster": round(dt, 4),
         "window_draws_per_sec": round(draws / dt, 1),
         "mpix_sr_per_sec": round((2 * args.hw) ** 2 * 4 / dt / 1e6, 2),
