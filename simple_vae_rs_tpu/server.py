@@ -510,11 +510,16 @@ def main(argv: Optional[list] = None) -> None:
 
         resolver = load_exported(args.artifact)
         if not args.no_warmup:
-            # one dispatch compiles the artifact's single fixed shape
+            # one dispatch compiles the artifact's single fixed shape,
+            # one more the load-time moments scan at the default UQ draw
+            # count (its length is a static jit argument)
             w, c = resolver.window, int(resolver.meta["channels"])
             np.asarray(resolver.super_resolve(
                 np.zeros((1, w, w, c), np.float32)
             ))
+            resolver.super_resolve_moments(
+                np.zeros((1, w, w, c), np.float32), 32
+            )
         served = f"artifact {resolver.meta.get('model_type')}"
     else:
         mesh = None

@@ -331,6 +331,31 @@ def test_mesh_serving_int8_keeps_fused_routing_and_matches_single():
     )
 
 
+def test_int8_moments_route_quantized_decode():
+    """``super_resolve_moments`` on an int8 resolver draws through the
+    quantized decode (sums differ from the f32 resolver's at the same
+    seed) and still yields valid statistics."""
+    from simple_vae_rs_tpu.ops import quantize as qz
+
+    model, variables = _small_cond()
+    y = np.random.default_rng(12).random((2, 8, 8, 4)).astype(np.float32)
+    try:
+        q1, q2 = SuperResolver(
+            model, variables, seed=5, int8=True
+        ).super_resolve_moments(y, 4)
+    finally:
+        qz.enable_int8(False)
+    f1, _ = SuperResolver(model, variables, seed=5).super_resolve_moments(
+        y, 4
+    )
+    q1, q2, f1 = (np.asarray(t) for t in (q1, q2, f1))
+    mean = q1 / 4
+    assert float((q2 / 4 - mean * mean).min()) >= -1e-5
+    assert not np.allclose(q1, f1, atol=1e-6), (
+        "int8 moments should differ from full-precision"
+    )
+
+
 def test_mixed_topology_resolvers_coexist():
     """Meshed and single-chip resolvers coexist in one process, each with
     per-call kernel routing — no warning, and the earlier resolver's
