@@ -55,7 +55,10 @@ def main() -> int:
     if probe_backend(args.probe_budget) is None:
         print("accelerator unreachable within the probe budget; aborting",
               file=sys.stderr)
-        return 2
+        # hard exit: the stuck probe thread aborts normal interpreter
+        # teardown in the native runtime (SIGABRT would mask the 2)
+        sys.stderr.flush()
+        os._exit(2)
 
     import numpy as np
 

@@ -44,6 +44,8 @@ def main():
     ap.add_argument("--backend", default="",
                     help="JAX platform override (e.g. 'cpu'); same "
                     "semantics as train.py --backend")
+    ap.add_argument("--probe_budget", type=float, default=float(
+        os.environ.get("SVRS_BENCH_PROBE_BUDGET_S", "900")))
     args = ap.parse_args()
 
     import jax
@@ -51,8 +53,16 @@ def main():
     if args.backend:
         jax.config.update("jax_platforms", args.backend)
     from simple_vae_rs_tpu.utils.cache import enable_compilation_cache
+    from simple_vae_rs_tpu.utils.health import probe_backend
 
     enable_compilation_cache()
+    if probe_backend(args.probe_budget) is None:
+        print("accelerator unreachable within the probe budget; aborting",
+              file=sys.stderr)
+        # hard exit: the stuck probe thread aborts normal interpreter
+        # teardown in the native runtime (SIGABRT would mask the 2)
+        sys.stderr.flush()
+        os._exit(2)
     import jax.numpy as jnp
     import numpy as np
 

@@ -131,7 +131,15 @@ def main(argv=None) -> int:
     ap.add_argument("--backend", default="",
                     help="force a jax platform (e.g. cpu) before probing")
     args = ap.parse_args(argv)
-    return 0 if run_checks(args.budget, args.backend) else 2
+    if run_checks(args.budget, args.backend):
+        return 0
+    # A failed probe leaves a daemon thread stuck inside native backend
+    # init; normal interpreter teardown then aborts in the C++ runtime
+    # (SIGABRT, exit 134) and breaks the documented exit-2 contract.
+    # Skip teardown entirely.
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(2)
 
 
 if __name__ == "__main__":
