@@ -282,13 +282,14 @@ class ModelService:
         streaming UQ client gets a whole window batch's statistics as TWO
         maps instead of posting/fetching every draw (``samples``x less
         response traffic). 400 if the serving resolver has no device-side
-        hook (artifact resolvers; ``/healthz`` advertises ``moments`` so
-        clients fall back to draw packing without a probe request)."""
+        hook (both live and artifact resolvers have one; ``/healthz``
+        advertises ``moments`` so clients fall back to draw packing
+        without a probe request)."""
         hook = getattr(self.resolver, "super_resolve_moments", None)
         if not callable(hook):
             raise ValueError(
-                "this server's resolver has no device-side moments hook "
-                "(artifact-backed?); draw via /v1/super_resolve instead"
+                "this server's resolver has no device-side moments hook; "
+                "draw via /v1/super_resolve instead"
             )
         lr, payload = self._decode(body, ctype, query)
         samples = int(payload.get("samples", 32))
