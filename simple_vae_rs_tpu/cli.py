@@ -44,7 +44,10 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
         help="Batch size for training and validation.",
     )
     parser.add_argument(
-        "--patch_size", type=int, default=64, help="Patch size of the High-Res Images."
+        "--patch_size", type=int, default=None,
+        help="Patch size of the High-Res Images. (default: 64; when "
+        "--model_ckpt is given, an unset flag resolves from the "
+        "checkpoint's recorded config instead)",
     )
     parser.add_argument(
         "--test", action="store_true",
@@ -59,19 +62,23 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
         help="Number of epochs between validation metrics computation.",
     )
     parser.add_argument(
-        "-cr", "--compression_ratio", type=float, default=1.5,
-        help="Compression of the ratio.",
+        "-cr", "--compression_ratio", type=float, default=None,
+        help="Compression of the ratio. (default: 1.5; when --model_ckpt "
+        "is given, an unset flag resolves from the checkpoint's recorded "
+        "config instead)",
     )
     parser.add_argument(
-        "--model_type", type=str, default="Cond_SRVAE",
+        "--model_type", type=str, default=None,
         choices=["Cond_SRVAE", "VAE", "SRVAE"],
         help="Model to use: 'Cond_SRVAE', 'VAE', or 'SRVAE' (the "
         "hierarchical two-latent-level srVAE of the paper, LR view "
-        "computed inside the model).",
+        "computed inside the model). (default: Cond_SRVAE; when "
+        "--model_ckpt is given, an unset flag resolves from the "
+        "checkpoint's recorded config instead)",
     )
     # --- TPU-native additions -------------------------------------------
     parser.add_argument(
-        "--latent_size", type=int, default=0,
+        "--latent_size", type=int, default=None,
         help="Fixed latent budget: overrides the cr-derived latent size "
         "(multiple of 256 for Cond_SRVAE/SRVAE, 64 for VAE). Keeps the "
         "latent-head conv widths bounded at large patch sizes — e.g. "
@@ -175,7 +182,46 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
         "v5e at ~86 dB vs the float output — see BASELINE.md). "
         "Eval/task only — training always runs full precision.",
     )
-    return parser.parse_args(argv)
+    args = parser.parse_args(argv)
+    _resolve_model_flags(args)
+    return args
+
+
+def _resolve_model_flags(args: argparse.Namespace) -> None:
+    """Fill model-shape flags left unset: from the checkpoint's embedded
+    config when ``--model_ckpt`` is given (the path-alone contract
+    ``SuperResolver.from_checkpoint`` and the raster/server CLIs already
+    follow), else the reference defaults — so ``--test --model_ckpt
+    ckpt/X`` needs no re-typed ``-cr/--patch_size/--model_type``. An
+    explicit flag always wins; a true mismatch still gets the
+    ``_config_drift`` warning at load time (and usually fails the weight
+    restore on shapes)."""
+    recorded = {}
+    if args.model_ckpt:
+        from simple_vae_rs_tpu.train.checkpoint import read_meta
+
+        recorded = read_meta(args.model_ckpt).get("model", {})
+
+    def pick(explicit, key, legacy):
+        saved = recorded.get(key)
+        return (legacy if saved is None else saved) if explicit is None else explicit
+
+    args.model_type = str(pick(args.model_type, "type", "Cond_SRVAE"))
+    args.compression_ratio = float(pick(args.compression_ratio, "cr", 1.5))
+    args.latent_size = int(pick(args.latent_size, "latent_size_override", 0))
+    if args.patch_size is None:
+        saved = recorded.get("patch_size")
+        # the recorded value is the MODEL's patch size; the plain VAE
+        # trains on the LR stream at --patch_size // 2 (main() below), so
+        # undo that halving when reconstructing the flag
+        args.patch_size = (
+            64 if saved is None
+            else int(saved) * (2 if args.model_type == "VAE" else 1)
+        )
+    # converted reference checkpoints carry the C-major latent wiring; the
+    # rebuilt graph must match it or generation silently mis-wires
+    # (serve.from_checkpoint carries the same note)
+    args.torch_regroup = bool(recorded.get("torch_regroup", False))
 
 
 def main(args: argparse.Namespace) -> None:
@@ -243,14 +289,18 @@ def main(args: argparse.Namespace) -> None:
         project = "VAE"
     elif args.model_type == "Cond_SRVAE":
         cfg = CondSRVAEConfig(cr=cr, patch_size=args.patch_size,
-                              latent_size_override=args.latent_size)
+                              latent_size_override=args.latent_size,
+                              torch_regroup=getattr(args, "torch_regroup",
+                                                    False))
         model = CondSRVAE(cfg, dtype=dtype)
         project = "Cond_SRVAE"
     elif args.model_type == "SRVAE":
         from simple_vae_rs_tpu.models import SRVAE
 
         cfg = CondSRVAEConfig(cr=cr, patch_size=args.patch_size,
-                              latent_size_override=args.latent_size)
+                              latent_size_override=args.latent_size,
+                              torch_regroup=getattr(args, "torch_regroup",
+                                                    False))
         model = SRVAE(cfg, dtype=dtype)
         project = "SRVAE"
     else:

@@ -104,3 +104,51 @@ def test_apply_backend_is_idempotent(monkeypatch):
     calls.clear()
     cli._apply_backend(parse_args([]))
     assert calls == []
+
+
+def test_model_flags_resolve_from_checkpoint_meta(tmp_path):
+    """Unset model-shape flags resolve from the checkpoint's embedded
+    config (path-alone --test/resume, matching the serve/raster CLIs);
+    explicit flags win."""
+    import json
+
+    ckpt = tmp_path / "job"
+    (tmp_path / "job.meta.json").write_text(json.dumps({
+        "epoch": 7,
+        "model": {"type": "Cond_SRVAE", "cr": 2.0, "patch_size": 32,
+                  "channels": 4, "latent_size_override": 0,
+                  "torch_regroup": True},
+    }))
+    args = parse_args(["--test", "--model_ckpt", str(ckpt)])
+    assert args.model_type == "Cond_SRVAE"
+    assert args.compression_ratio == 2.0
+    assert args.patch_size == 32
+    assert args.latent_size == 0
+    assert args.torch_regroup is True  # converted-ckpt wiring carried over
+    # explicit flag beats the recorded config (drift warning fires later)
+    args = parse_args(["--test", "--model_ckpt", str(ckpt),
+                       "--patch_size", "64"])
+    assert args.patch_size == 64
+    assert args.compression_ratio == 2.0
+
+
+def test_vae_patch_size_resolution_undoes_lr_halving(tmp_path):
+    """The recorded patch size is the MODEL's; the plain VAE trains on the
+    LR stream at --patch_size // 2, so the flag reconstructs doubled."""
+    import json
+
+    ckpt = tmp_path / "vae_job"
+    (tmp_path / "vae_job.meta.json").write_text(json.dumps({
+        "model": {"type": "VAE", "cr": 1.28, "patch_size": 32},
+    }))
+    args = parse_args(["--test", "--model_ckpt", str(ckpt)])
+    assert args.model_type == "VAE"
+    assert args.patch_size == 64
+    assert args.compression_ratio == 1.28
+
+
+def test_model_flags_without_ckpt_keep_reference_defaults():
+    args = parse_args([])
+    assert (args.model_type, args.compression_ratio, args.patch_size,
+            args.latent_size) == ("Cond_SRVAE", 1.5, 64, 0)
+    assert args.torch_regroup is False
