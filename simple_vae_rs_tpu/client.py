@@ -135,19 +135,26 @@ class Client:
         out, _ = self._request("/healthz")
         return json.loads(out)
 
-    def super_resolve(self, lr, normalize: Optional[bool] = None) -> np.ndarray:
+    def super_resolve(self, lr, normalize: Optional[bool] = None,
+                      seed: Optional[int] = None) -> np.ndarray:
         """LR batch (B, ps/2, ps/2, C) -> single-draw SR (B, ps, ps, C).
 
         ``normalize`` overrides the server resolver's default for this
         request (``False`` for pre-normalized windows — the remote tile
-        drivers below send those)."""
+        drivers below send those). ``seed`` pins the request's posterior
+        draw server-side: same input + seed + options -> bitwise-identical
+        response (servers advertise support via ``/healthz``'s ``seed``
+        field — older servers silently ignore the param, which
+        ``RemoteResolver`` guards against)."""
         return self._post_array(
             "/v1/super_resolve", lr,
             normalize=None if normalize is None else int(bool(normalize)),
+            seed=seed,
         )["sr"]
 
     def super_resolve_moments(
-        self, lr, samples: int, normalize: bool = False
+        self, lr, samples: int, normalize: bool = False,
+        seed: Optional[int] = None,
     ) -> tuple:
         """LR window batch (B, ps/2, ps/2, C) -> device-reduced draw
         moments ``(s1, s2)`` of shape (B, ps, ps, C): per-pixel sum and
@@ -158,35 +165,37 @@ class Client:
         out = self._post_array(
             "/v1/super_resolve_moments", lr,
             samples=int(samples), normalize=int(bool(normalize)),
+            seed=seed,
         )
         return out["s1"], out["s2"]
 
     def super_resolve_tile(
         self, lr, overlap: Optional[int] = None, batch: Optional[int] = None,
-        samples: Optional[int] = None,
+        samples: Optional[int] = None, seed: Optional[int] = None,
     ) -> np.ndarray:
         """Arbitrary-size LR raster (H, W, C) -> stitched SR (2H, 2W, C)."""
         return self._post_array(
             "/v1/super_resolve_tile", lr,
-            overlap=overlap, batch=batch, samples=samples,
+            overlap=overlap, batch=batch, samples=samples, seed=seed,
         )["sr"]
 
     def uncertainty(
-        self, lr, samples: Optional[int] = None, chunk: Optional[int] = None
+        self, lr, samples: Optional[int] = None, chunk: Optional[int] = None,
+        seed: Optional[int] = None,
     ) -> Dict[str, np.ndarray]:
         """Posterior mean/std/variance maps for one LR patch."""
         return self._post_array(
-            "/v1/uncertainty", lr, samples=samples, chunk=chunk
+            "/v1/uncertainty", lr, samples=samples, chunk=chunk, seed=seed
         )
 
     def uncertainty_tile(
         self, lr, samples: Optional[int] = None, overlap: Optional[int] = None,
-        batch: Optional[int] = None,
+        batch: Optional[int] = None, seed: Optional[int] = None,
     ) -> Dict[str, np.ndarray]:
         """Posterior mean/std/variance maps for one arbitrary-size raster."""
         return self._post_array(
             "/v1/uncertainty_tile", lr,
-            samples=samples, overlap=overlap, batch=batch,
+            samples=samples, overlap=overlap, batch=batch, seed=seed,
         )
 
     def resolver(self, normalize: bool = True) -> "RemoteResolver":
@@ -196,6 +205,7 @@ class Client:
             self, window=int(info["patch_size"]) // 2,
             channels=info.get("channels"), normalize=normalize,
             moments=bool(info.get("moments")),
+            seed_support=bool(info.get("seed")),
         )
 
 
@@ -215,11 +225,15 @@ class RemoteResolver(TileEndpoints):
 
     def __init__(self, client: Client, window: int,
                  channels: Optional[int] = None, normalize: bool = True,
-                 moments: bool = False) -> None:
+                 moments: bool = False, seed_support: bool = True) -> None:
         self._client = client
         self._window_px = int(window)
         self.channels = channels
         self.normalize = normalize
+        # pre-seed servers ignore an unknown `seed` param, which would
+        # silently break the reproducibility contract — refuse instead
+        # (/healthz advertises support via its `seed` field)
+        self._seed_support = bool(seed_support)
         if not moments:
             # older server without /v1/super_resolve_moments: a None
             # instance attribute masks the method below, so the
@@ -230,17 +244,31 @@ class RemoteResolver(TileEndpoints):
     def window(self) -> int:
         return self._window_px
 
-    def super_resolve(self, lr, normalize: Optional[bool] = None) -> np.ndarray:
+    def _check_seed(self, seed: Optional[int]) -> None:
+        if seed is not None and not self._seed_support:
+            raise ServerError(
+                "this server predates per-request seeds (/healthz has no "
+                "'seed' capability) — it would silently ignore the param"
+            )
+
+    def super_resolve(self, lr, normalize: Optional[bool] = None,
+                      seed: Optional[int] = None) -> np.ndarray:
+        self._check_seed(seed)
+        kw = {} if seed is None else {"seed": seed}
         return self._client.super_resolve(
-            lr, normalize=self.normalize if normalize is None else normalize
+            lr, normalize=self.normalize if normalize is None else normalize,
+            **kw,
         )
 
     def super_resolve_moments(self, wins, samples: int,
-                              normalize: bool = False) -> tuple:
+                              normalize: bool = False,
+                              seed: Optional[int] = None) -> tuple:
         """Device-moments hook for the tile/stream UQ paths: a window
         batch's ``samples``-draw statistics come back as TWO moment maps
         (one POST), not ``samples`` SR draws — on a whole-scene sweep the
         response traffic drops by the sample count."""
+        self._check_seed(seed)
+        kw = {} if seed is None else {"seed": seed}
         return self._client.super_resolve_moments(
-            wins, samples, normalize=normalize
+            wins, samples, normalize=normalize, **kw
         )

@@ -354,14 +354,28 @@ class ExportedResolver(TileEndpoints):
             )
         )
 
-    def super_resolve(self, y, normalize: Optional[bool] = None):
+    @staticmethod
+    def _seeded_key(seed: int, i: int) -> jax.Array:
+        """Dispatch ``i``'s key for a seeded request: a pure function of
+        (seed, i), independent of the resolver's rolling ``_calls`` state
+        — the artifact graph is deterministic given (input, key), so the
+        same input + seed reproduces the output bitwise across processes
+        and deployments of the same artifact file."""
+        return jax.random.key_data(
+            jax.random.fold_in(jax.random.key(int(seed)), i)
+        )
+
+    def super_resolve(self, y, normalize: Optional[bool] = None,
+                      seed: Optional[int] = None):
         """LR batch (B, ps/2, ps/2, C) -> single-draw SR (B, ps, ps, C).
 
         Arbitrary ``B`` runs as ceil(B/batch) fixed-shape dispatches of
         the artifact (ragged tail padded by repetition, trimmed on device
         before fetch). ``normalize`` overrides the export-time default
         for this call — it is a traced flag inside the artifact, so both
-        settings share the one compiled graph.
+        settings share the one compiled graph. ``seed`` pins the draws
+        (``_seeded_key`` per internal dispatch) without advancing the
+        rolling RNG.
         """
         y = jnp.asarray(y, jnp.float32)
         if y.ndim == 3:
@@ -378,19 +392,22 @@ class ExportedResolver(TileEndpoints):
         )
         b = int(y.shape[0])
         outs = []
-        for i in range(0, b, self.batch):
+        for j, i in enumerate(range(0, b, self.batch)):
             chunk = y[i:i + self.batch]
             short = self.batch - int(chunk.shape[0])
             if short:
                 chunk = jnp.concatenate(
                     [chunk, jnp.repeat(chunk[-1:], short, axis=0)]
                 )
-            out = self._call(chunk, self._next_key(), flag)
+            key = (self._next_key() if seed is None
+                   else self._seeded_key(seed, j))
+            out = self._call(chunk, key, flag)
             outs.append(out[:out.shape[0] - short] if short else out)
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
     def super_resolve_moments(
-        self, y, samples: int, normalize: bool = False
+        self, y, samples: int, normalize: bool = False,
+        seed: Optional[int] = None,
     ) -> tuple:
         """Device-moments hook (``TileEndpoints`` / the server's
         ``/v1/super_resolve_moments``): LR windows (B, ps/2, ps/2, C) ->
@@ -418,7 +435,7 @@ class ExportedResolver(TileEndpoints):
         b = int(y.shape[0])
         out1 = np.empty((b, ps, ps, c), np.float32)
         out2 = np.empty_like(out1)
-        for i in range(0, b, self.batch):
+        for j, i in enumerate(range(0, b, self.batch)):
             chunk = y[i:i + self.batch]
             valid = int(chunk.shape[0])
             if valid < self.batch:
@@ -426,15 +443,16 @@ class ExportedResolver(TileEndpoints):
                     [chunk,
                      jnp.repeat(chunk[-1:], self.batch - valid, axis=0)]
                 )
-            s1, s2 = self._moments_call(
-                chunk, self._next_key(), flag, int(samples)
-            )
+            key = (self._next_key() if seed is None
+                   else self._seeded_key(seed, j))
+            s1, s2 = self._moments_call(chunk, key, flag, int(samples))
             out1[i:i + valid] = np.asarray(s1[:valid], np.float32)
             out2[i:i + valid] = np.asarray(s2[:valid], np.float32)
         return out1, out2
 
     def uncertainty(self, y, samples: int = 32,
-                    chunk: Optional[int] = None) -> Dict[str, Any]:
+                    chunk: Optional[int] = None,
+                    seed: Optional[int] = None) -> Dict[str, Any]:
         """Posterior SR statistics for one LR image: mean/std/variance.
 
         Draws accumulate host-side in ceil(samples/batch) artifact
@@ -455,11 +473,13 @@ class ExportedResolver(TileEndpoints):
         flag = jnp.asarray(False, jnp.bool_)
         s1 = s2 = None
         done = 0
+        j = 0
         while done < samples:
             take = min(self.batch, samples - done)
-            sr = np.asarray(
-                self._call(tile, self._next_key(), flag)[:take], np.float32
-            )
+            key = (self._next_key() if seed is None
+                   else self._seeded_key(seed, j))
+            j += 1
+            sr = np.asarray(self._call(tile, key, flag)[:take], np.float32)
             if s1 is None:
                 s1 = np.zeros(sr.shape[1:], np.float32)
                 s2 = np.zeros_like(s1)
@@ -471,9 +491,11 @@ class ExportedResolver(TileEndpoints):
         return {"mean": mean, "std": np.sqrt(var), "variance": var}
 
     def mmse_estimate(self, y, samples: int = 32,
-                      chunk: Optional[int] = None):
+                      chunk: Optional[int] = None,
+                      seed: Optional[int] = None):
         """Posterior-mean SR reconstruction (minimum-MSE estimator)."""
-        return self.uncertainty(y, samples=samples, chunk=chunk)["mean"]
+        return self.uncertainty(y, samples=samples, chunk=chunk,
+                                seed=seed)["mean"]
 
 
 def load_exported(path: str, seed: int = 0) -> ExportedResolver:

@@ -11,6 +11,8 @@ from simple_vae_rs_tpu.tiling import (  # noqa: F401
     feather_profile,
     grid_starts,
     stitch,
+    subseed,
 )
 
-__all__ = ["grid_starts", "feather_profile", "stitch", "TileEndpoints"]
+__all__ = ["grid_starts", "feather_profile", "stitch", "subseed",
+           "TileEndpoints"]

@@ -225,6 +225,7 @@ def run_stream(args) -> None:
     for k, (_base, block) in enumerate(resolver.iter_tile_rows(
         read_norm, h, w, overlap=args.overlap, batch=args.batch or 16,
         samples=samples, moments=args.uncertainty,
+        seed=args.request_seed,
     )):
         if (k + 1) % every == 0 or k + 1 == n_bands:
             print(f"  band {k + 1}/{n_bands}", end="\r" if tty else "\n",
@@ -276,7 +277,8 @@ def run(args) -> None:
     mn = lr.min(axis=(0, 1), keepdims=True)
     denom = lr.max(axis=(0, 1), keepdims=True) - mn + _EPS
 
-    opts = dict(overlap=args.overlap, batch=args.batch)
+    opts = dict(overlap=args.overlap, batch=args.batch,
+                seed=args.request_seed)
     if args.uncertainty:
         maps = unc_tile(lr, samples=args.samples or 32, **opts)
         sr, std = np.asarray(maps["mean"]), np.asarray(maps["std"])
@@ -332,7 +334,16 @@ def main(argv: Optional[list] = None) -> None:
                      choices=["Cond_SRVAE", "SRVAE"])
     loc.add_argument("--int8", action="store_true",
                      help="serve through the int8 W8A8 decoder")
-    loc.add_argument("--seed", type=int, default=0)
+    loc.add_argument("--seed", type=int, default=0,
+                     help="local resolver RNG seed (rolling state; a fresh "
+                     "local run is deterministic for a given seed)")
+    p.add_argument("--request_seed", type=int, default=None,
+                   help="per-request reproducibility seed: the product's "
+                   "posterior draws derive purely from this value, so the "
+                   "same input + seed + options yields a bit-identical "
+                   "product locally, against any server replica "
+                   "(--url; the server must advertise the 'seed' "
+                   "capability), and on re-runs after interruption")
     p.add_argument("--uncertainty", action="store_true",
                    help="output = posterior mean; also write the std map")
     p.add_argument("--samples", type=int, default=None,

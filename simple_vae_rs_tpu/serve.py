@@ -318,6 +318,17 @@ class SuperResolver(TileEndpoints):
         self._calls += 1
         return jax.random.fold_in(self._rng, self._calls)
 
+    # Per-request reproducibility: every endpoint takes ``seed=None``.
+    # Unseeded calls thread the resolver's rolling RNG state (fresh draws
+    # each call); ``seed=N`` derives the request's key purely from N, so
+    # the same input + seed + options reproduces the output bitwise on
+    # repeat calls, across processes, and (for seeded *_tile/stream
+    # requests, via ``tiling.subseed``) whether the windowing runs in this
+    # process or on a remote client — given the same resolver graph
+    # (model/config/int8 mode; meshed == single-chip already holds because
+    # eps is drawn globally). Seeded calls do NOT advance the rolling
+    # state, so they never perturb concurrent unseeded traffic.
+
     def _prep(self, y) -> Array:
         y = jnp.asarray(y)
         if y.ndim == 3:
@@ -326,14 +337,17 @@ class SuperResolver(TileEndpoints):
             y = normalize_image(y.astype(jnp.float32))
         return y
 
-    def super_resolve(self, y, normalize: Optional[bool] = None) -> Array:
+    def super_resolve(self, y, normalize: Optional[bool] = None,
+                      seed: Optional[int] = None) -> Array:
         """LR batch (B, ps/2, ps/2, C) -> single-draw SR (B, ps, ps, C).
 
         On a meshed resolver the batch is padded to the shard count and
         sharded over the batch axes; XLA partitions the whole compiled
         request behind the input sharding. ``normalize`` overrides the
         resolver default for this call (the tile path normalizes once over
-        the whole raster and sends pre-normalized windows).
+        the whole raster and sends pre-normalized windows). ``seed`` pins
+        this request's posterior draw (see the class note above) without
+        advancing the rolling RNG.
         """
         y = jnp.asarray(y)
         if y.ndim == 3:
@@ -346,15 +360,19 @@ class SuperResolver(TileEndpoints):
                     y, ((0, pad),) + ((0, 0),) * (y.ndim - 1), mode="edge"
                 )
             y = jax.device_put(y, self._batch_sharding)
-        self._rng, out = _sr_call(
-            self.model, self.variables, y, self._rng,
+        key = self._rng if seed is None else jax.random.PRNGKey(int(seed))
+        new_rng, out = _sr_call(
+            self.model, self.variables, y, key,
             self.normalize if normalize is None else normalize,
             mesh=self.mesh,
         )
+        if seed is None:
+            self._rng = new_rng
         return out[:b] if (self._batch_sharding is not None and pad) else out
 
     def super_resolve_moments(
-        self, y, samples: int, normalize: bool = False
+        self, y, samples: int, normalize: bool = False,
+        seed: Optional[int] = None,
     ) -> tuple:
         """Per-row SR draw-moment sums: (B, ps/2, ps/2, C) LR windows ->
         ``(s1, s2)`` of shape (B, ps, ps, C), the per-pixel sum and
@@ -379,8 +397,10 @@ class SuperResolver(TileEndpoints):
                     y, ((0, pad),) + ((0, 0),) * (y.ndim - 1), mode="edge"
                 )
             y = jax.device_put(y, self._batch_sharding)
+        key = (self._next_rng() if seed is None
+               else jax.random.PRNGKey(int(seed)))
         s1, s2 = _sr_moments_call(
-            self.model, self.variables, y, self._next_rng(), int(samples),
+            self.model, self.variables, y, key, int(samples),
             bool(normalize), mesh=self.mesh,
         )
         if self._batch_sharding is not None and pad:
@@ -398,20 +418,26 @@ class SuperResolver(TileEndpoints):
         return int(self.model.config.patch_size) // 2
 
     def uncertainty(self, y, samples: int = 32,
-                    chunk: Optional[int] = None) -> Dict[str, Array]:
+                    chunk: Optional[int] = None,
+                    seed: Optional[int] = None) -> Dict[str, Array]:
         """Posterior SR statistics for one LR image: mean/std/variance maps.
 
         ``chunk=None`` sizes decode chunks by HBM budget (``tasks.auto_chunk``
         — one dispatch for typical requests). On a meshed resolver the draws
         shard over the batch axes (chunk is rounded up to the shard count) —
-        N-draw UQ scales linearly in chips.
+        N-draw UQ scales linearly in chips. ``seed`` pins the draw set;
+        the chunk layout feeds the key schedule, so cross-machine
+        reproduction also needs an explicit matching ``chunk`` (auto_chunk
+        is pure in (samples, patch_size) but HBM budgets may differ).
         """
         y = self._prep(y)[:1]
         if chunk is None:
             chunk = auto_chunk(samples, int(y.shape[1]) * 2)
         chunk = -(-chunk // self._n_shards) * self._n_shards
+        key = (self._next_rng() if seed is None
+               else jax.random.PRNGKey(int(seed)))
         draws = sample_chunked(
-            self.model, self.variables, y, self._next_rng(),
+            self.model, self.variables, y, key,
             samples=samples, chunk=chunk, sharding=self._batch_sharding,
             mesh=self.mesh,
         )
@@ -422,9 +448,11 @@ class SuperResolver(TileEndpoints):
         }
 
     def mmse_estimate(self, y, samples: int = 32,
-                      chunk: Optional[int] = None) -> Array:
+                      chunk: Optional[int] = None,
+                      seed: Optional[int] = None) -> Array:
         """Posterior-mean SR reconstruction (minimum-MSE estimator)."""
-        return self.uncertainty(y, samples=samples, chunk=chunk)["mean"]
+        return self.uncertainty(y, samples=samples, chunk=chunk,
+                                seed=seed)["mean"]
 
 
 def warmup(

@@ -42,6 +42,14 @@ Endpoint options may also ride the query string on either encoding
 keeps the binary body when options are set; JSON body fields win over
 query params.
 
+Every model endpoint accepts ``seed`` (int): the request's posterior
+draws derive purely from it instead of the server's rolling RNG, so the
+same input + seed + options reproduces the response bitwise — across
+retries, server restarts, and replicas serving the same model (auditable
+EO products). Seeded ``/v1/super_resolve`` requests bypass the dynamic
+micro-batcher (a shared dispatch would share one draw); ``/healthz``
+advertises ``"seed": true`` so clients can detect support.
+
 Launch::
 
     python -m simple_vae_rs_tpu.server --model_ckpt ckpt/job -cr 1.2 \
@@ -218,6 +226,7 @@ class ModelService:
                 "batch": int(r.batch),
                 "platforms": list(r.meta.get("platforms") or []),
                 "moments": moments,
+                "seed": True,
             }
         return {
             "status": "ok",
@@ -227,7 +236,16 @@ class ModelService:
             "int8": bool(r.int8),
             "mesh": dict(r.mesh.shape) if r.mesh is not None else None,
             "moments": moments,
+            "seed": True,
         }
+
+    @staticmethod
+    def _seed_of(payload: Dict[str, Any]) -> Dict[str, int]:
+        """Optional per-request reproducibility seed, as forwardable
+        kwargs ({} when absent, so wrapped/legacy resolvers that predate
+        the ``seed`` kwarg keep working unseeded)."""
+        seed = payload.get("seed")
+        return {} if seed is None else {"seed": int(seed)}
 
     def super_resolve(self, body: bytes, ctype: str, query=None) -> Tuple[bytes, str]:
         lr, payload = self._decode(body, ctype, query)
@@ -236,13 +254,18 @@ class ModelService:
             # query-string values arrive as strings ("0"/"1"); remote tile
             # drivers send pre-normalized windows with normalize=0
             normalize = str(normalize).lower() not in ("0", "false", "no")
-        if self.batcher is not None:
+        seed_kw = self._seed_of(payload)
+        if self.batcher is not None and not seed_kw:
             # coalesce with concurrent requests into one device dispatch
+            # (seeded requests dispatch privately: a merged batch shares
+            # one draw, which would tie the response to its co-riders)
             out = self.batcher.submit(lr, normalize)
         else:
             with self.lock:
                 out = np.asarray(
-                    self.resolver.super_resolve(lr, normalize=normalize)
+                    self.resolver.super_resolve(
+                        lr, normalize=normalize, **seed_kw
+                    )
                 )
         return self._encode({"sr": out}, ctype)
 
@@ -255,7 +278,8 @@ class ModelService:
         with self.lock:
             out = np.asarray(
                 self.resolver.super_resolve_tile(
-                    lr, overlap=overlap, batch=batch, samples=samples
+                    lr, overlap=overlap, batch=batch, samples=samples,
+                    **self._seed_of(payload),
                 )
             )
         return self._encode({"sr": out}, ctype)
@@ -268,7 +292,8 @@ class ModelService:
         batch = int(payload.get("batch", 16))
         with self.lock:
             maps = self.resolver.uncertainty_tile(
-                lr, samples=samples, overlap=overlap, batch=batch
+                lr, samples=samples, overlap=overlap, batch=batch,
+                **self._seed_of(payload),
             )
         return self._encode(
             {k: np.asarray(v) for k, v in maps.items()}, ctype
@@ -299,7 +324,8 @@ class ModelService:
             if normalize is not None else False
         )
         with self.lock:
-            s1, s2 = hook(lr, samples, normalize=normalize)
+            s1, s2 = hook(lr, samples, normalize=normalize,
+                          **self._seed_of(payload))
             s1, s2 = np.asarray(s1, np.float32), np.asarray(s2, np.float32)
         return self._encode({"s1": s1, "s2": s2}, ctype)
 
@@ -309,7 +335,10 @@ class ModelService:
         chunk = payload.get("chunk")  # None -> HBM-aware auto_chunk
         chunk = int(chunk) if chunk is not None else None
         with self.lock:
-            maps = self.resolver.uncertainty(lr, samples=samples, chunk=chunk)
+            maps = self.resolver.uncertainty(
+                lr, samples=samples, chunk=chunk,
+                **self._seed_of(payload),
+            )
         return self._encode(
             {k: np.asarray(v) for k, v in maps.items()}, ctype
         )

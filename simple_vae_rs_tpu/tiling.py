@@ -38,6 +38,25 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 
+def subseed(seed: int, *path: int) -> int:
+    """Deterministic well-mixed sub-seed for dispatch ``path`` of a seeded
+    request.
+
+    The tile/stream endpoints fan one request out into many model
+    dispatches; per-request reproducibility needs every dispatch to get a
+    seed that is (a) a pure function of the request seed and the
+    dispatch's position and (b) statistically independent of its siblings
+    (sequential seeds like ``seed + i`` collide across requests and are
+    correlated under some PRNGs). ``np.random.SeedSequence`` is exactly
+    that contract — stable across numpy versions by documented guarantee —
+    and returns plain ints, so the derivation is identical on whichever
+    side of the HTTP link runs the windowing (the seed an in-process
+    resolver folds for window batch ``i`` is the seed the remote client
+    sends for window batch ``i``).
+    """
+    return int(np.random.SeedSequence(seed, spawn_key=path).generate_state(1)[0])
+
+
 def grid_starts(size: int, patch: int, stride: int) -> List[int]:
     """Window start offsets covering ``[0, size)`` with the last one flush.
 
@@ -131,7 +150,7 @@ class TileEndpoints:
 
     def super_resolve_tile(
         self, y, overlap: Optional[int] = None, batch: int = 16,
-        samples: int = 1,
+        samples: int = 1, seed: Optional[int] = None,
     ) -> np.ndarray:
         """Arbitrary-size LR raster (H, W, C) -> seam-free SR (2H, 2W, C).
 
@@ -148,15 +167,21 @@ class TileEndpoints:
         window (an MMSE-flavored output whose extra smoothness also
         suppresses seam variance); (window, draw) pairs pack into the same
         fixed-shape batches, so extra draws cost dispatches proportional
-        to ``samples / batch``, not ``samples``.
+        to ``samples / batch``, not ``samples``. ``seed`` makes the
+        request reproducible: every window-batch dispatch derives its
+        RNG from ``subseed(seed, batch_index)`` instead of the
+        resolver's rolling state, so the same raster + seed + options
+        yields the identical product on repeat calls and across
+        processes (given the same resolver graph).
         """
         if samples < 1:
             raise ValueError(f"samples must be >= 1 (got {samples})")
         wins, starts, (h, w), (hp, wp), overlap = self._tile_windows(y, overlap)
         if samples == 1:
-            sr_wins = self._tile_pass(wins, batch)
+            sr_wins = self._tile_pass(wins, batch, seed=seed)
         else:
-            sr_wins, _ = self._tile_draw_moments(wins, samples, batch)
+            sr_wins, _ = self._tile_draw_moments(wins, samples, batch,
+                                                 seed=seed)
         out = stitch(
             sr_wins, [(2 * a, 2 * b) for a, b in starts],
             (2 * hp, 2 * wp), 2 * overlap,
@@ -165,7 +190,7 @@ class TileEndpoints:
 
     def uncertainty_tile(
         self, y, samples: int = 32, overlap: Optional[int] = None,
-        batch: int = 16,
+        batch: int = 16, seed: Optional[int] = None,
     ) -> Dict[str, np.ndarray]:
         """Whole-raster posterior SR statistics: mean/std/variance maps.
 
@@ -176,12 +201,13 @@ class TileEndpoints:
         ``blend(E[x^2]) - blend(E[x])^2`` is the variance of the blended
         posterior mixture: inside overlap bands it adds the between-window
         disagreement on top of the blended within-window variance (Jensen
-        keeps it >= that blend, so it is never negative).
+        keeps it >= that blend, so it is never negative). ``seed`` makes
+        the request reproducible (see ``super_resolve_tile``).
         """
         if samples < 2:
             raise ValueError(f"samples must be >= 2 (got {samples})")
         wins, starts, (h, w), (hp, wp), overlap = self._tile_windows(y, overlap)
-        m1, m2 = self._tile_draw_moments(wins, samples, batch)
+        m1, m2 = self._tile_draw_moments(wins, samples, batch, seed=seed)
         starts_sr = [(2 * a, 2 * b) for a, b in starts]
         out_hw = (2 * hp, 2 * wp)
         mean = stitch(m1, starts_sr, out_hw, 2 * overlap)[:2 * h, :2 * w]
@@ -198,6 +224,7 @@ class TileEndpoints:
         batch: int = 16,
         samples: int = 1,
         moments: bool = False,
+        seed: Optional[int] = None,
     ):
         """Streaming counterpart of the ``*_tile`` endpoints: a generator of
         finalized SR row bands over an arbitrarily tall raster, bounded
@@ -217,6 +244,11 @@ class TileEndpoints:
         in-memory endpoints, so on rasters that fit in memory the
         concatenated blocks reproduce ``super_resolve_tile`` /
         ``uncertainty_tile`` exactly (modulo the RNG draw order).
+        ``seed`` makes the sweep reproducible: window-row ``k`` derives
+        its dispatch seeds under ``subseed(seed, k)``, so re-running the
+        same scene with the same seed and options yields the identical
+        product (including after a resumed/partial sweep — a row's draws
+        depend only on the request seed and its row index).
 
         Rasters smaller than one model window in either dimension are not
         streamable (the in-memory endpoints reflect-pad them up; use
@@ -263,10 +295,12 @@ class TileEndpoints:
                     f"expected ({p}, {width}, C)"
                 )
             wins = np.stack([lr[:, cs:cs + p] for cs in col_starts])
+            row_seed = subseed(seed, k) if seed is not None else None
             if moments or samples > 1:
-                m1, m2 = self._tile_draw_moments(wins, samples, batch)
+                m1, m2 = self._tile_draw_moments(wins, samples, batch,
+                                                 seed=row_seed)
             else:
-                m1, m2 = self._tile_pass(wins, batch), None
+                m1, m2 = self._tile_pass(wins, batch, seed=row_seed), None
             top = 2 * rs + ps
             chans = m1.shape[-1]
             num1 = grown(num1, top - base, chans)
@@ -335,11 +369,14 @@ class TileEndpoints:
         wins = np.stack([y[a:a + p, b:b + p] for a, b in starts])
         return wins, starts, (h, w), (hp, wp), overlap
 
-    def _tile_pass(self, wins: np.ndarray, batch: int) -> np.ndarray:
+    def _tile_pass(self, wins: np.ndarray, batch: int,
+                   seed: Optional[int] = None) -> np.ndarray:
         """One posterior draw for every window, in fixed-shape batches
         (ragged last chunk padded so one compile serves any tile size);
         dispatches ride ``_TILE_PIPELINE`` deep before the oldest is
-        fetched."""
+        fetched. ``seed`` pins dispatch ``j``'s RNG to ``subseed(seed, j)``
+        (the seed kwarg is only forwarded when set, so resolvers that
+        predate per-request seeds keep working unseeded)."""
         if batch < 1:
             raise ValueError(f"batch must be >= 1 (got {batch})")
         from collections import deque
@@ -353,14 +390,17 @@ class TileEndpoints:
             sr, short = pending.popleft()
             outs.append(np.asarray(sr[:sr.shape[0] - short] if short else sr))
 
-        for i in range(0, len(wins), batch):
+        for j, i in enumerate(range(0, len(wins), batch)):
             chunk = wins[i:i + batch]
             short = batch - len(chunk)
             if short:
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], short, axis=0)]
                 )
-            pending.append((self.super_resolve(chunk, normalize=False), short))
+            kw = {} if seed is None else {"seed": subseed(seed, j)}
+            pending.append(
+                (self.super_resolve(chunk, normalize=False, **kw), short)
+            )
             if len(pending) >= self._TILE_PIPELINE:
                 fetch()
         while pending:
@@ -368,14 +408,16 @@ class TileEndpoints:
         return np.concatenate(outs)
 
     def _tile_draw_moments(
-        self, wins: np.ndarray, samples: int, batch: int
+        self, wins: np.ndarray, samples: int, batch: int,
+        seed: Optional[int] = None,
     ) -> tuple:
         """Per-window first/second per-pixel sample moments over
         ``samples`` posterior draws.
 
         Resolvers that can reduce draws on device expose a
         ``super_resolve_moments(wins, samples) -> (s1, s2)`` hook
-        (``serve.SuperResolver`` does); then each window batch is ONE
+        (``serve.SuperResolver`` does; a ``seed`` kwarg is forwarded only
+        when the request is seeded); then each window batch is ONE
         dispatch returning two moment maps — ceil(N/batch) dispatches and
         2*N window-images over the link, independent of ``samples``.
 
@@ -407,14 +449,15 @@ class TileEndpoints:
                 s1[i0:i0 + valid] = m1
                 s2[i0:i0 + valid] = m2
 
-            for i in range(0, n, batch):
+            for j, i in enumerate(range(0, n, batch)):
                 chunk = wins[i:i + batch]
                 valid = len(chunk)
                 if valid < batch:
                     chunk = np.concatenate(
                         [chunk, np.repeat(chunk[-1:], batch - valid, axis=0)]
                     )
-                pending.append((hook(chunk, samples), i, valid))
+                kw = {} if seed is None else {"seed": subseed(seed, j)}
+                pending.append((hook(chunk, samples, **kw), i, valid))
                 if len(pending) >= self._TILE_PIPELINE:
                     fetch_moments()
             while pending:
@@ -439,10 +482,11 @@ class TileEndpoints:
             np.add.at(s1, idx[:valid], sr)
             np.add.at(s2, idx[:valid], sr ** 2)
 
-        for i in range(0, total, batch):
+        for j, i in enumerate(range(0, total, batch)):
             idx = np.minimum(np.arange(i, i + batch) // samples, n - 1)
+            kw = {} if seed is None else {"seed": subseed(seed, j)}
             pending.append((
-                self.super_resolve(wins[idx], normalize=False),
+                self.super_resolve(wins[idx], normalize=False, **kw),
                 idx, min(batch, total - i),
             ))
             if len(pending) >= self._TILE_PIPELINE:
