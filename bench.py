@@ -56,6 +56,7 @@ def main(
     bf16: bool = True,
     pallas_conv: bool = False,
     bf16_moments: bool = False,
+    scan_steps: int = 1,
 ) -> None:
     from simple_vae_rs_tpu.config import CondSRVAEConfig, MeshConfig, TrainConfig
     from simple_vae_rs_tpu.utils.cache import enable_compilation_cache
@@ -114,8 +115,23 @@ def main(
     state = trainer.init_state(batch)
     lr = jnp.float32(1e-4)
 
-    for _ in range(warmup):
-        state, terms = trainer._train_step(state, batch, lr)
+    # --scan_steps k: dispatch-fusion arm — k full optimizer steps per jit
+    # call (lax.scan in trainer._train_multi_step). Amortizes per-dispatch
+    # launch latency; steps rounds down to a whole number of fused calls
+    # so the patches/step accounting stays exact.
+    k = max(1, int(scan_steps))
+    if k > 1:
+        host = tuple(np.asarray(a) for a in batch)
+        fused = trainer._device_batch_stack([host] * k)
+        step_call = lambda st: trainer._train_multi_step(st, fused, lr)
+        n_calls = max(1, steps // k)
+        steps = n_calls * k
+    else:
+        step_call = lambda st: trainer._train_step(st, batch, lr)
+        n_calls = steps
+
+    for _ in range(max(1, warmup // k)):
+        state, terms = step_call(state)
     # fetch a value, not just block_until_ready: the final loss depends on
     # every previous step's optimizer update, and a host read cannot
     # complete before the device work (block_until_ready proved unreliable
@@ -123,8 +139,8 @@ def main(
     float(jax.device_get(terms["loss"]))
 
     t0 = time.perf_counter()
-    for _ in range(steps):
-        state, terms = trainer._train_step(state, batch, lr)
+    for _ in range(n_calls):
+        state, terms = step_call(state)
     float(jax.device_get(terms["loss"]))
     dt = time.perf_counter() - t0
 
@@ -134,10 +150,16 @@ def main(
     # chip's peak bf16 matmul rate (backs BASELINE.md's roofline claim)
     mfu = None
     try:
-        cost = trainer._train_step.lower(state, batch, lr).compile().cost_analysis()
-        step_flops = float(cost.get("flops", 0.0))
-        if step_flops > 0:
-            mfu = step_flops * steps / dt / n_chips / _V5E_PEAK_BF16
+        if k > 1:
+            cost = trainer._train_multi_step.lower(
+                state, fused, lr).compile().cost_analysis()
+            call_flops = float(cost.get("flops", 0.0))
+        else:
+            cost = trainer._train_step.lower(
+                state, batch, lr).compile().cost_analysis()
+            call_flops = float(cost.get("flops", 0.0))
+        if call_flops > 0:
+            mfu = call_flops * n_calls / dt / n_chips / _V5E_PEAK_BF16
     except Exception:
         pass
 
@@ -158,6 +180,8 @@ def main(
     }
     if mfu is not None:
         record["mfu"] = round(mfu, 4)
+    if k > 1:
+        record["scan_steps"] = k
     print(json.dumps(record))
 
 
@@ -174,7 +198,11 @@ if __name__ == "__main__":
     if "--sweep" in sys.argv:
         sweep()
     else:
+        scan = 1
+        if "--scan_steps" in sys.argv:
+            scan = int(sys.argv[sys.argv.index("--scan_steps") + 1])
         main(
             pallas_conv="--pallas_conv" in sys.argv,
             bf16_moments="--bf16_moments" in sys.argv,
+            scan_steps=scan,
         )

@@ -142,6 +142,14 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
         "average grads, one optimizer update. batch_size must divide evenly.",
     )
     parser.add_argument(
+        "--scan_steps", type=int, default=1,
+        help="Dispatch fusion: scan this many full optimizer steps (each "
+        "its own batch + update) inside one jit dispatch — amortizes the "
+        "per-dispatch launch latency (biggest on relayed/tunneled links). "
+        "Composes with --accum_steps; leftover epoch-tail batches run as "
+        "single steps.",
+    )
+    parser.add_argument(
         "--bf16_moments", action="store_true",
         help="Keep Adam's first moment in bf16 (halves that state's HBM "
         "traffic; optimizer numerics change slightly).",
@@ -344,6 +352,7 @@ def main(args: argparse.Namespace) -> None:
         bf16_moments=args.bf16_moments,
         zero1=args.zero1,
         accum_steps=args.accum_steps,
+        scan_steps=args.scan_steps,
     )
     trainer = Trainer(
         model, train_cfg, callbacks=callbacks, logger=logger, mesh=mesh, job_id=job_id

@@ -226,3 +226,11 @@ class TrainConfig:
     # BatchNorm normalizes per microbatch (running stats thread through
     # the scan) — the standard accumulation semantics.
     accum_steps: int = 1
+    # Dispatch fusion: lax.scan this many FULL optimizer steps (each its
+    # own batch + update) inside ONE jit dispatch. Amortizes per-dispatch
+    # launch latency — the dominant per-step cost on high-latency links
+    # (a relayed/tunneled TPU pays the round trip per dispatch) and a real
+    # tail cost even locally. Orthogonal to accum_steps (which scans
+    # microbatches WITHIN one update); the two compose. Epoch-tail batches
+    # that don't fill a chunk run as single steps.
+    scan_steps: int = 1

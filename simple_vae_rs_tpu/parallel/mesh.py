@@ -62,19 +62,25 @@ def batch_axes(mesh: Mesh) -> Tuple[str, ...]:
     return ("dcn", "data") if "dcn" in mesh.axis_names else ("data",)
 
 
-def shard_batch(mesh: Mesh, batch: Tuple[Any, ...]) -> Tuple[Any, ...]:
+def shard_batch(mesh: Mesh, batch: Tuple[Any, ...],
+                time_major: bool = False) -> Tuple[Any, ...]:
     """Shard each (B, H, W, C) array's batch dim over the batch axes
     (``data``, plus ``dcn`` on a multi-slice mesh).
 
     Multi-host: each process passes its *local* slice of the global batch
     and ``jax.make_array_from_process_local_data`` assembles the global
     array (SURVEY §5.h); single-host uses a plain ``device_put``.
+
+    ``time_major=True`` handles (k, B, H, W, C) stacks — the fused
+    multi-step dispatch's input (``scan_steps``): the leading scan axis
+    replicates and the SECOND axis is the batch dim to shard.
     """
     out = []
     multihost = jax.process_count() > 1
     axes = batch_axes(mesh)
+    lead = (None,) if time_major else ()
     for arr in batch:
-        spec = P(axes, *([None] * (arr.ndim - 1)))
+        spec = P(*lead, axes, *([None] * (arr.ndim - 1 - len(lead))))
         sharding = NamedSharding(mesh, spec)
         if multihost:
             out.append(jax.make_array_from_process_local_data(sharding, arr))

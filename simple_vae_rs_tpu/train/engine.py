@@ -286,9 +286,30 @@ class Trainer:
             )
             return terms
 
+        def train_multi_step(state: TrainState, batches, lr):
+            """``scan_steps`` FULL optimizer steps — each its own batch,
+            grads and update — in ONE jit dispatch (``batches`` stacked on
+            a leading k axis). Amortizes the per-dispatch launch latency,
+            the dominant per-step cost on relayed/tunneled links (16 ms+
+            per dispatch measured on this box's healthy tunnel, up to
+            ~1 s degraded) and a real tail cost even locally. The scanned
+            body IS ``train_step`` — same RNG folding (``state.step``
+            advances in the carry), same accumulation path — so k fused
+            steps compute exactly what k dispatches would."""
+            new_state, terms_stack = jax.lax.scan(
+                lambda st, b: train_step(st, b, lr), state, batches
+            )
+            # sum (not mean) over the k steps: the epoch accumulator
+            # divides by the STEP count, so each fused step must weigh
+            # the same as a dispatched one
+            return new_state, jax.tree.map(
+                lambda t: jnp.sum(t, axis=0), terms_stack
+            )
+
         donate = (0,)
         self._step_fn = train_step  # raw (unjitted) step: scan fusion /
         self._train_step = jax.jit(train_step, donate_argnums=donate)  # flag sweeps
+        self._train_multi_step = jax.jit(train_multi_step, donate_argnums=donate)
         self._val_step = jax.jit(val_step)
         self._eval_metrics_step = jax.jit(self._eval_metrics)
         self._eval_images_step = jax.jit(self._eval_images)
@@ -424,6 +445,20 @@ class Trainer:
 
             arrays = shard_batch(self.mesh, arrays)
         return arrays
+
+    def _device_batch_stack(self, batches):
+        """k same-shape batches -> one (k, B, ...) stack for the fused
+        multi-step dispatch (stacked on host — one transfer, not k; on a
+        mesh the k axis replicates and B shards over the batch axes)."""
+        arrays = tuple(
+            np.stack([np.asarray(b[i], np.float32) for b in batches])
+            for i in range(len(batches[0]))
+        )
+        if self.mesh is not None:
+            from simple_vae_rs_tpu.parallel.mesh import shard_batch
+
+            return shard_batch(self.mesh, arrays, time_major=True)
+        return tuple(jnp.asarray(a) for a in arrays)
 
     # ------------------------------------------------------- LR pre-training
     def pretrain_lr_branch(self, train_loader: Iterable[Batch], pre_epochs: int) -> None:
@@ -598,12 +633,47 @@ class Trainer:
             sums: Dict[str, Array] = {}
             n_train = 0
             lr = jnp.float32(self.scheduler.lr)
-            for batch in train_loader:
-                self.state, terms = self._train_step(
-                    self.state, self._device_batch(batch), lr
-                )
+            k = max(1, int(getattr(self.cfg, "scan_steps", 1)))
+            pending: list = []
+
+            def _accumulate(terms, steps):
+                nonlocal sums, n_train
                 sums = terms if not sums else _tree_add(sums, terms)
-                n_train += 1
+                n_train += steps
+
+            def _flush_pending():
+                # ragged tails (or a flush forced by a shape change) run
+                # as single dispatched steps — same math, just unfused
+                nonlocal pending
+                for b in pending:
+                    st, terms = self._train_step(
+                        self.state, self._device_batch(b), lr
+                    )
+                    self.state = st
+                    _accumulate(terms, 1)
+                pending = []
+
+            for batch in train_loader:
+                if k == 1:
+                    self.state, terms = self._train_step(
+                        self.state, self._device_batch(batch), lr
+                    )
+                    _accumulate(terms, 1)
+                    continue
+                # fused dispatch needs same-shape batches to stack
+                if pending and any(
+                    np.shape(a) != np.shape(b)
+                    for a, b in zip(batch, pending[0])
+                ):
+                    _flush_pending()
+                pending.append(batch)
+                if len(pending) == k:
+                    self.state, terms = self._train_multi_step(
+                        self.state, self._device_batch_stack(pending), lr
+                    )
+                    _accumulate(terms, k)
+                    pending = []
+            _flush_pending()
             train_terms = {
                 prefix[0] + k: float(v) / n_train
                 for k, v in jax.device_get(sums).items()

@@ -569,3 +569,75 @@ def test_async_checkpoint_flush_awaits_all_saves(tmp_path, monkeypatch):
         ck.wait_for_saves()
     # the second save completed BEFORE the error was re-raised
     assert marker.exists()
+
+
+# ----------------------------------------------------------- dispatch fusion
+def test_scan_steps_matches_sequential_dispatches():
+    """scan_steps=2: ONE fused dispatch of two full optimizer steps must
+    equal the same two steps dispatched separately — same RNG folding
+    (state.step advances in the scan carry), same updates; terms come
+    back summed over the fused steps."""
+    import jax
+
+    b0, b1 = _sr_batches(n=2, bs=2, ps=16, seed=3)
+    model = CondSRVAE(CondSRVAEConfig(cr=2.0, patch_size=16))
+    lr = jnp.float32(1e-3)
+
+    t_seq = Trainer(model, TrainConfig(learning_rate=1e-3))
+    s = t_seq.init_state(b0, seed=0)
+    s, tm0 = t_seq._train_step(s, t_seq._device_batch(b0), lr)
+    s, tm1 = t_seq._train_step(s, t_seq._device_batch(b1), lr)
+
+    t_fused = Trainer(model, TrainConfig(learning_rate=1e-3, scan_steps=2))
+    r = t_fused.init_state(b0, seed=0)
+    r, terms = t_fused._train_multi_step(
+        r, t_fused._device_batch_stack([b0, b1]), lr
+    )
+
+    assert int(r.step) == int(s.step) == 2
+    # scan-vs-inline compiles reassociate float adds and Adam's rsqrt
+    # amplifies that near zero; two chained updates double the noise
+    # (same tolerance class as the dcn all-reduce equality test)
+    for a, b in zip(jax.tree.leaves(r.params), jax.tree.leaves(s.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-4)
+    # step-2 BN stats see step-1's (noise-perturbed) params, so the
+    # reassociation noise propagates — tolerance covers that, not math
+    for a, b in zip(jax.tree.leaves(r.batch_stats),
+                    jax.tree.leaves(s.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-5)
+    expect_loss = float(tm0["loss"]) + float(tm1["loss"])
+    np.testing.assert_allclose(float(terms["loss"]), expect_loss, rtol=1e-4)
+
+
+def test_scan_steps_through_engine_with_ragged_tail():
+    """A fit with scan_steps=2 over 5 batches (one mid-epoch shape change)
+    fuses what it can and single-dispatches the rest: every batch still
+    trains exactly once and the epoch loss stays the per-step mean."""
+    batches = _sr_batches(n=2, bs=4, ps=32, seed=5) \
+        + _sr_batches(n=1, bs=2, ps=32, seed=6) \
+        + _sr_batches(n=2, bs=4, ps=32, seed=7)
+    loader = ArrayLoader(batches)
+    model = VAE(VAEConfig(cr=2.0, patch_size=16))
+    trainer = Trainer(model, TrainConfig(epochs=1, learning_rate=1e-3,
+                                         scan_steps=2))
+    state = trainer.fit(loader, loader, epochs=1, val_metrics_every=10)
+    assert int(state.step) == len(batches)
+    import jax
+
+    leaves = jax.tree.leaves(state.params)
+    assert all(np.isfinite(np.asarray(v)).all() for v in leaves)
+
+
+def test_scan_steps_composes_with_accum():
+    """scan_steps=2 x accum_steps=2: two fused optimizer updates, each
+    averaging two microbatch grads — runs through the engine and applies
+    exactly one update per batch."""
+    batches = _sr_batches(n=4, bs=4, ps=16, seed=9)
+    loader = ArrayLoader(batches)
+    model = CondSRVAE(CondSRVAEConfig(cr=2.0, patch_size=16))
+    trainer = Trainer(model, TrainConfig(epochs=1, learning_rate=1e-3,
+                                         scan_steps=2, accum_steps=2))
+    state = trainer.fit(loader, loader, epochs=1, val_metrics_every=10)
+    assert int(state.step) == len(batches)
