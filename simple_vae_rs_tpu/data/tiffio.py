@@ -19,6 +19,7 @@ strips covering one row band at a time.
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 from collections import OrderedDict
@@ -452,7 +453,14 @@ class TiffStripWriter:
         compression: str = "none",
         predictor: bool = False,
         rows_per_strip: Optional[int] = None,
+        resume_state: Optional[dict] = None,
     ) -> None:
+        """``resume_state`` (a ``checkpoint()`` dict) reopens an
+        interrupted file instead of starting one: the file is truncated
+        to the checkpointed position and the strip bookkeeping and
+        pending row buffer restore, so writing continues exactly where
+        the checkpoint was taken (everything after it — e.g. a torn
+        half-written strip — is discarded)."""
         if height < 1 or width < 1 or channels < 1:
             raise ValueError(
                 f"invalid geometry {height}x{width}x{channels}"
@@ -485,9 +493,35 @@ class TiffStripWriter:
         self._emitted = 0  # rows already encoded into strips
         self._buf: List[np.ndarray] = []  # pending (rows, W, C) blocks
         self._buf_rows = 0
-        self._fh = open(path, "wb")
-        # header with a zero IFD pointer, patched in close()
-        self._fh.write(struct.pack("<2sHI", b"II", 42, 0))
+        if resume_state is None:
+            self._fh = open(path, "wb")
+            # header with a zero IFD pointer, patched in close()
+            self._fh.write(struct.pack("<2sHI", b"II", 42, 0))
+        else:
+            st = resume_state
+            if int(st.get("rps", -1)) != self._rps or \
+                    len(st.get("offsets", ())) != n:
+                raise ValueError(
+                    f"{path}: resume state does not match this geometry "
+                    f"(rps {st.get('rps')} vs {self._rps}, "
+                    f"{len(st.get('offsets', ()))} vs {n} strips)"
+                )
+            self._fh = open(path, "r+b")
+            self._fh.truncate(int(st["pos"]))
+            self._fh.seek(int(st["pos"]))
+            self._offsets = [int(v) for v in st["offsets"]]
+            self._counts = [int(v) for v in st["counts"]]
+            self._row = int(st["row"])
+            self._emitted = int(st["emitted"])
+            if st.get("buf_b64"):
+                import base64
+
+                shape = tuple(int(v) for v in st["buf_shape"])
+                buf = np.frombuffer(
+                    base64.b64decode(st["buf_b64"]), dtype=self.dtype
+                ).reshape(shape)
+                self._buf = [buf]
+                self._buf_rows = shape[0]
         self._closed = False
 
     # -- context management: emit the IFD only on a clean exit
@@ -531,6 +565,38 @@ class TiffStripWriter:
         self._buf_rows += rows
         while self._buf_rows >= self._rps:
             self._emit_strip()
+
+    def checkpoint(self) -> dict:
+        """JSON-serializable writer state at this instant (see
+        ``resume_state``): file position, strip bookkeeping, and any rows
+        still buffered below one strip (base64 of the raw samples — at
+        most ``rows_per_strip`` rows, ~1 MiB). Written strip bytes are
+        fsynced first so the state on disk is at least as fresh as the
+        checkpoint that points into it."""
+        import base64
+
+        self._fh.flush()
+        os.fsync(self._fh.fileno())
+        buf = (
+            np.ascontiguousarray(self._take_rows(self._buf_rows))
+            if self._buf_rows else None
+        )
+        if buf is not None:  # _take_rows consumed the buffer: put it back
+            self._buf = [buf]
+            self._buf_rows = buf.shape[0]
+        return {
+            "pos": self._fh.tell(),
+            "offsets": list(self._offsets),
+            "counts": list(self._counts),
+            "row": self._row,
+            "emitted": self._emitted,
+            "rps": self._rps,
+            "buf_shape": list(buf.shape) if buf is not None else None,
+            "buf_b64": (
+                base64.b64encode(buf.astype(self.dtype).tobytes()).decode()
+                if buf is not None else None
+            ),
+        }
 
     def _take_rows(self, n: int) -> np.ndarray:
         """Pop exactly n rows off the block buffer as one (n, W, C) array."""

@@ -35,6 +35,7 @@ Behavior:
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 from typing import Optional, Tuple
@@ -177,10 +178,73 @@ def run_stream(args) -> None:
         "chw": lambda b: np.moveaxis(b, 0, -1),
         "hwc": lambda b: b,
     }[layout]
-    mn, mx, bad = _stream_stats(reader, to_hwc, max(reader.rows_per_strip, 256))
+
+    h, w = reader.height, reader.width
+    in_dtype = reader.dtype
+    out_dtype = in_dtype if args.scale == "input" else np.dtype(np.float32)
+    predictor = (args.predictor and args.scale == "input"
+                 and not np.issubdtype(in_dtype, np.floating))
+    samples = args.samples or (32 if args.uncertainty else 1)
+    ov = args.overlap if args.overlap is not None else min(4, p // 2)
+    batch = args.batch or 16
+    std_out = args.std_out
+    if args.uncertainty and not std_out:
+        stem, ext = os.path.splitext(args.output)
+        std_out = f"{stem}_std{ext or '.tif'}"
+
+    # --resume: a sidecar journal checkpoints the sweep after every
+    # finalized band (writer state + next band index). Interrupt the run
+    # anywhere and re-run with --resume: already-written bands are not
+    # recomputed (one extra band rebuilds the overlap accumulator — see
+    # iter_tile_rows(start_band=...)), and because the request seed pins
+    # every window draw, the resumed product is bitwise the product of an
+    # uninterrupted run. The seed is REQUIRED: without it the seam band's
+    # recomputed draws would differ from the rows already on disk.
+    journal_path = args.output + ".resume.json"
+    fingerprint = {
+        "input": os.path.abspath(args.input),
+        "input_size": os.path.getsize(args.input),
+        "hw": [h, w], "channels": channels,
+        "overlap": ov, "batch": batch, "samples": samples,
+        "uncertainty": bool(args.uncertainty),
+        "scale": args.scale, "compression": args.compression,
+        "predictor": bool(predictor), "seed": args.request_seed,
+        "dtype": str(np.dtype(out_dtype)), "std_out": std_out,
+    }
+    journal = None
+    if args.resume:
+        if args.request_seed is None:
+            raise SystemExit(
+                "--resume requires --request_seed: only a pinned request "
+                "seed makes the recomputed seam band's draws identical to "
+                "the rows already on disk"
+            )
+        if os.path.exists(journal_path):
+            with open(journal_path) as fh:
+                journal = json.load(fh)
+            if journal.get("fingerprint") != fingerprint:
+                raise SystemExit(
+                    f"{journal_path} was written by a different invocation "
+                    f"(input or options changed) — delete it to start over"
+                )
+            print(f"resuming at band {journal['next_band']} "
+                  f"(from {journal_path})")
+        else:
+            print("no resume journal found; starting a fresh sweep")
+    elif os.path.exists(journal_path):
+        os.remove(journal_path)  # fresh non-resume run truncates the output
+
+    if journal is not None:
+        mn = np.asarray(journal["norm"]["mn"], np.float32)
+        mx = np.asarray(journal["norm"]["mx"], np.float32)
+        bad = int(journal["norm"]["bad"])
+    else:
+        mn, mx, bad = _stream_stats(reader, to_hwc,
+                                    max(reader.rows_per_strip, 256))
     if bad:
         print(f"warning: {bad} non-finite sample(s) in {args.input} "
               f"filled with the per-channel finite minimum")
+    norm_record = {"mn": mn.tolist(), "mx": mx.tolist(), "bad": bad}
     mn = mn[None, None]
     denom = (mx[None, None] - mn) + _EPS
 
@@ -191,45 +255,41 @@ def run_stream(args) -> None:
             blk = np.where(nb, mn, blk)
         return (blk - mn) / denom
 
-    h, w = reader.height, reader.width
-    in_dtype = reader.dtype
-    out_dtype = in_dtype if args.scale == "input" else np.dtype(np.float32)
-    predictor = (args.predictor and args.scale == "input"
-                 and not np.issubdtype(in_dtype, np.floating))
+    next_band = int(journal["next_band"]) if journal else 0
     writer = TiffStripWriter(
         args.output, 2 * h, 2 * w, channels, out_dtype,
         planar_channels_first=layout == "chw",
         compression=args.compression, predictor=predictor,
+        resume_state=journal["writer"] if journal else None,
     )
-    std_writer = std_out = None
+    std_writer = None
     if args.uncertainty:
-        std_out = args.std_out
-        if not std_out:
-            stem, ext = os.path.splitext(args.output)
-            std_out = f"{stem}_std{ext or '.tif'}"
         std_writer = TiffStripWriter(
             std_out, 2 * h, 2 * w, channels, np.float32,
             planar_channels_first=layout == "chw",
             compression=args.compression, predictor=False,
+            resume_state=journal["std_writer"] if journal else None,
         )
-    samples = args.samples or (32 if args.uncertainty else 1)
     # one generator yield per window-row band; scene sweeps are long
     # (up to hours over remote links), so report progress on stderr —
     # every band on a tty (carriage-return style), ~5% steps otherwise
-    ov = args.overlap if args.overlap is not None else min(4, p // 2)
     from simple_vae_rs_tpu.tiling import grid_starts
 
     n_bands = len(grid_starts(h, p, (p - ov) if ov else p))
     tty = sys.stderr.isatty()
     every = 1 if tty else max(1, n_bands // 20)
-    for k, (_base, block) in enumerate(resolver.iter_tile_rows(
-        read_norm, h, w, overlap=args.overlap, batch=args.batch or 16,
+    start_band = max(0, next_band - 1)
+    for i, (_base, block) in enumerate(resolver.iter_tile_rows(
+        read_norm, h, w, overlap=args.overlap, batch=batch,
         samples=samples, moments=args.uncertainty,
-        seed=args.request_seed,
+        seed=args.request_seed, start_band=start_band,
     )):
+        k = start_band + i
         if (k + 1) % every == 0 or k + 1 == n_bands:
             print(f"  band {k + 1}/{n_bands}", end="\r" if tty else "\n",
                   file=sys.stderr)
+        if k < next_band:
+            continue  # recomputed only to rebuild the overlap accumulator
         sr = block["mean"] if args.uncertainty else block
         if args.scale == "input":
             out = _cast_like(sr * denom + mn, in_dtype)
@@ -241,10 +301,26 @@ def run_stream(args) -> None:
             if args.scale == "input":
                 std = std * denom  # std is scale-equivariant; no offset
             std_writer.write_rows(_from_hwc(std.astype(np.float32), layout))
+        if args.resume:
+            state = {
+                "format": "svrs-stream-resume/1",
+                "fingerprint": fingerprint,
+                "next_band": k + 1,
+                "norm": norm_record,
+                "writer": writer.checkpoint(),
+                "std_writer": (std_writer.checkpoint()
+                               if std_writer else None),
+            }
+            tmp = journal_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(state, fh)
+            os.replace(tmp, journal_path)  # atomic: old journal or new
     if tty:
         print(file=sys.stderr)  # leave the \r progress line intact
     writer.close()
     reader.close()
+    if args.resume and os.path.exists(journal_path):
+        os.remove(journal_path)  # complete: the product stands alone
     print(f"wrote {args.output} (streamed): ({2 * h}, {2 * w}, {channels}) "
           f"{np.dtype(out_dtype)} "
           f"({'input-scale' if args.scale == 'input' else '[0,1] float'})")
@@ -369,6 +445,13 @@ def main(argv: Optional[list] = None) -> None:
                    "scene in strip windows (peak memory O(width) instead "
                    "of O(scene); with --url, window batches post to the "
                    "server so neither side materializes the scene)")
+    p.add_argument("--resume", action="store_true",
+                   help="with --stream: checkpoint the sweep to "
+                   "<output>.resume.json after every band, and continue "
+                   "an interrupted run from its journal instead of "
+                   "starting over. Requires --request_seed (the pinned "
+                   "draws make the resumed product bitwise identical to "
+                   "an uninterrupted run).")
     p.add_argument("--backend", default="",
                    help="JAX platform override for the local model (e.g. "
                    "'cpu' when the accelerator is unreachable); same "
@@ -378,6 +461,8 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--token", default=os.environ.get("SVRS_TOKEN", ""),
                    help="bearer token for --url mode (default $SVRS_TOKEN)")
     args = p.parse_args(argv)
+    if args.resume and not args.stream:
+        p.error("--resume only applies to --stream runs")
     if args.backend and not args.url:
         # the baked sitecustomize force-sets jax_platforms, so an env var
         # alone cannot switch backends (see cli._apply_backend)

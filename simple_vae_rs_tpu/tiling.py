@@ -225,6 +225,7 @@ class TileEndpoints:
         samples: int = 1,
         moments: bool = False,
         seed: Optional[int] = None,
+        start_band: int = 0,
     ):
         """Streaming counterpart of the ``*_tile`` endpoints: a generator of
         finalized SR row bands over an arbitrarily tall raster, bounded
@@ -249,6 +250,18 @@ class TileEndpoints:
         same scene with the same seed and options yields the identical
         product (including after a resumed/partial sweep — a row's draws
         depend only on the request seed and its row index).
+
+        ``start_band`` resumes a partial sweep: processing begins at that
+        window-row index (absolute — seeds and yielded ``sr_row0`` keep
+        their full-sweep values). A finalized band only ever receives
+        contributions from window-rows ``k-1`` and ``k`` (``overlap <=
+        window//2`` bounds the reach), so a caller resuming output band
+        ``k0`` passes ``start_band=k0-1`` and DISCARDS the first yield:
+        that band is recomputed purely to rebuild the overlap
+        accumulator (its own value may miss window ``k0-2``'s
+        contribution) and every yield after it is exact. With a ``seed``
+        the recomputed window draws are identical, so a resumed sweep
+        reproduces the uninterrupted product bitwise.
 
         Rasters smaller than one model window in either dimension are not
         streamable (the in-memory endpoints reflect-pad them up; use
@@ -275,7 +288,11 @@ class TileEndpoints:
         prof = feather_profile(ps, 2 * overlap)
         w2d = (prof[:, None] * prof[None, :])[..., None]
 
-        base = 0  # first SR row not yet yielded
+        if not 0 <= start_band < len(row_starts):
+            raise ValueError(
+                f"start_band {start_band} outside [0, {len(row_starts)})"
+            )
+        base = 2 * row_starts[start_band]  # first SR row not yet yielded
         num1 = num2 = den = None  # accumulators cover SR rows [base, ...)
 
         def grown(buf, rows, chans):
@@ -287,7 +304,8 @@ class TileEndpoints:
                 return np.concatenate([buf, pad])
             return buf
 
-        for k, rs in enumerate(row_starts):
+        for k in range(start_band, len(row_starts)):
+            rs = row_starts[k]
             lr = np.asarray(read_rows(rs, rs + p), np.float32)
             if lr.ndim != 3 or lr.shape[:2] != (p, width):
                 raise ValueError(

@@ -563,3 +563,45 @@ def test_init_dataloader_rejects_zero_batch_split():
     the epoch averages deep inside the engine (found live on TPU)."""
     with pytest.raises(ValueError, match="val split has 13 tiles"):
         init_dataloader("synthetic", batch_size=16, patch_size=64)
+
+
+def test_strip_writer_checkpoint_resume_roundtrip(tmp_path):
+    """checkpoint() + resume_state reopen: interrupt a striped write
+    mid-scene (torn rows past the checkpoint), resume, and the file is
+    byte-identical to a one-shot write — including a mid-strip buffered
+    row tail, planar layout and compression."""
+    import numpy as np
+
+    from simple_vae_rs_tpu.data.tiffio import TiffStripWriter, read_tiff
+
+    rng = np.random.default_rng(0)
+    img = (rng.random((37, 21, 3)) * 60000).astype(np.uint16)
+    kw = dict(planar_channels_first=True, compression="deflate",
+              predictor=True, rows_per_strip=8)
+
+    one = str(tmp_path / "one.tif")
+    w = TiffStripWriter(one, 37, 21, 3, np.uint16, **kw)
+    w.write_rows(np.moveaxis(img, -1, 0))
+    w.close()
+
+    two = str(tmp_path / "two.tif")
+    w = TiffStripWriter(two, 37, 21, 3, np.uint16, **kw)
+    w.write_rows(np.moveaxis(img[:19], -1, 0))  # 2 full strips + 3 pending
+    state = w.checkpoint()
+    w.write_rows(np.moveaxis(img[19:30], -1, 0))  # torn: past the checkpoint
+    w._fh.close()  # simulated crash: no close(), no IFD
+
+    w = TiffStripWriter(two, 37, 21, 3, np.uint16, resume_state=state, **kw)
+    w.write_rows(np.moveaxis(img[19:], -1, 0))  # resume from the checkpoint
+    w.close()
+
+    np.testing.assert_array_equal(read_tiff(two), read_tiff(one))
+    with open(one, "rb") as a, open(two, "rb") as b:
+        assert a.read() == b.read()
+
+    # geometry drift is refused
+    import pytest
+
+    with pytest.raises(ValueError, match="resume state"):
+        TiffStripWriter(str(tmp_path / "x.tif"), 50, 21, 3, np.uint16,
+                        resume_state=state, **kw)

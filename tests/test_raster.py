@@ -132,3 +132,87 @@ def test_nan_nodata_pixels_are_filled(ckpt, tmp_path, capsys):
     out = read_tiff(dst)
     assert np.isfinite(out).all()
     assert "non-finite" in capsys.readouterr().out
+
+
+# ------------------------------------------------------- resumable streaming
+def test_stream_resume_reproduces_uninterrupted_product(ckpt, tmp_path,
+                                                        monkeypatch):
+    """Crash a seeded --stream --resume sweep mid-scene, re-run with
+    --resume: already-written bands are not recomputed and the finished
+    SR + std products equal an uninterrupted run's exactly (the request
+    seed pins every window draw, so the seam band recomputes to the same
+    values)."""
+    rng = np.random.default_rng(7)
+    lr = (rng.random((40, 30, 4)) * 2500 + 100).astype(np.uint16)
+    src = str(tmp_path / "lr.tif")
+    write_tiff(src, lr)
+    full, part = str(tmp_path / "full.tif"), str(tmp_path / "part.tif")
+    flags = [*_model_flags(ckpt), "--stream", "--uncertainty",
+             "--samples", "3", "--batch", "4", "--request_seed", "11"]
+    raster.main([src, full, *flags])  # uninterrupted reference product
+
+    from simple_vae_rs_tpu.data import tiffio
+
+    real = tiffio.TiffStripWriter.write_rows
+    calls = {"n": 0}
+
+    def bomb(self, block):
+        calls["n"] += 1
+        if calls["n"] > 5:
+            raise RuntimeError("simulated crash")
+        return real(self, block)
+
+    monkeypatch.setattr(tiffio.TiffStripWriter, "write_rows", bomb)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        raster.main([src, part, *flags, "--resume"])
+    monkeypatch.setattr(tiffio.TiffStripWriter, "write_rows", real)
+    assert os.path.exists(part + ".resume.json")
+
+    raster.main([src, part, *flags, "--resume"])
+    assert not os.path.exists(part + ".resume.json")  # complete -> removed
+    np.testing.assert_array_equal(read_tiff(part), read_tiff(full))
+    np.testing.assert_array_equal(
+        read_tiff(str(tmp_path / "part_std.tif")),
+        read_tiff(str(tmp_path / "full_std.tif")),
+    )
+
+
+def test_stream_resume_guards(ckpt, tmp_path):
+    lr = np.random.default_rng(8).random((20, 20, 4)).astype(np.float32)
+    src, dst = str(tmp_path / "lr.tif"), str(tmp_path / "out.tif")
+    write_tiff(src, lr)
+    # --resume needs --stream
+    with pytest.raises(SystemExit):
+        raster.main([src, dst, *_model_flags(ckpt), "--resume"])
+    # --resume needs --request_seed (seam draws must be pinned)
+    with pytest.raises(SystemExit, match="request_seed"):
+        raster.main([src, dst, *_model_flags(ckpt), "--stream", "--resume"])
+
+
+def test_stream_resume_rejects_changed_invocation(ckpt, tmp_path,
+                                                  monkeypatch):
+    """A journal written by one invocation must not silently continue a
+    different one (changed options would corrupt the product)."""
+    lr = (np.random.default_rng(9).random((24, 20, 4)) * 900).astype(
+        np.uint16)
+    src, dst = str(tmp_path / "lr.tif"), str(tmp_path / "out.tif")
+    write_tiff(src, lr)
+    flags = [*_model_flags(ckpt), "--stream", "--request_seed", "5"]
+
+    from simple_vae_rs_tpu.data import tiffio
+
+    real = tiffio.TiffStripWriter.write_rows
+    calls = {"n": 0}
+
+    def bomb(self, block):
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise RuntimeError("simulated crash")
+        return real(self, block)
+
+    monkeypatch.setattr(tiffio.TiffStripWriter, "write_rows", bomb)
+    with pytest.raises(RuntimeError):
+        raster.main([src, dst, *flags, "--resume"])
+    monkeypatch.setattr(tiffio.TiffStripWriter, "write_rows", real)
+    with pytest.raises(SystemExit, match="different invocation"):
+        raster.main([src, dst, *flags, "--resume", "--request_seed", "6"])
