@@ -147,6 +147,81 @@ class Metrics:
         return "\n".join(lines) + "\n"
 
 
+class DeviceProber:
+    """Resident accelerator liveness monitor (``--probe_device N``).
+
+    The deployments this server targets can wedge at the link level — a
+    dispatch simply never returns (the tunneled-TPU failure mode
+    ``utils/health.probe_backend`` guards entry points against). A
+    serving replica in that state looks alive to TCP health checks while
+    every model request hangs, so orchestrators never rotate it out.
+    This prober closes that gap: ONE daemon thread round-trips a trivial
+    jit every ``interval_s`` and timestamps the success; ``status()``
+    derives health from the heartbeat's AGE. A wedged dispatch blocks
+    the loop thread (never spawning more — no thread leak), the
+    heartbeat goes stale, ``/healthz`` flips to ``"degraded"`` and the
+    orchestrator's readiness probe takes the replica out; when the link
+    recovers, the same blocked dispatch completes and the heartbeat
+    resumes. The probe dispatch is independent of the model (a trivial
+    add), so it measures link+runtime liveness, not model latency.
+    """
+
+    def __init__(self, interval_s: float) -> None:
+        import time
+
+        self.interval = float(interval_s)
+        # a healthy loop heartbeats every ~interval (+ probe latency);
+        # allow two missed beats plus relay-scale latency headroom
+        self.stale_after = 2.0 * self.interval + 60.0
+        self._lock = threading.Lock()
+        self._last: Optional[Tuple[float, float]] = None
+        self._started = time.monotonic()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._loop, daemon=True, name="svrs-device-probe"
+        )
+        self._thread.start()
+
+    def _dispatch(self) -> None:
+        """One trivial device round trip (tests stub this)."""
+        import jax
+        import jax.numpy as jnp
+
+        x = jax.jit(lambda a: a + 1)(jnp.zeros((8, 128)))
+        float(jax.device_get(x.sum()))
+
+    def _loop(self) -> None:
+        import time
+
+        while not self._stop.is_set():
+            t0 = time.monotonic()
+            try:
+                self._dispatch()
+                with self._lock:
+                    self._last = (time.monotonic(), time.monotonic() - t0)
+            except Exception:
+                pass  # no heartbeat IS the signal
+            self._stop.wait(self.interval)
+
+    def status(self) -> Dict[str, Any]:
+        import time
+
+        now = time.monotonic()
+        with self._lock:
+            last = self._last
+        if last is None:
+            age = now - self._started
+            return {"ok": age < self.stale_after, "age_s": round(age, 1),
+                    "latency_ms": None}
+        ts, lat = last
+        age = now - ts
+        return {"ok": age < self.stale_after, "age_s": round(age, 1),
+                "latency_ms": round(lat * 1000.0, 1)}
+
+    def close(self) -> None:
+        self._stop.set()
+
+
 class ModelService:
     """Request-level wrapper: decode body -> resolver call -> encode body."""
 
@@ -154,11 +229,14 @@ class ModelService:
                  max_body_mb: int = 512, token: str = "",
                  access_log: bool = False,
                  dynamic_batch_ms: float = 0.0,
-                 max_batch: int = 64) -> None:
+                 max_batch: int = 64,
+                 probe_device_s: float = 0.0) -> None:
         self.resolver = resolver
         self.lock = threading.Lock()
         self.metrics = Metrics()
         self.max_body_bytes = int(max_body_mb) << 20
+        self.prober = DeviceProber(probe_device_s) if probe_device_s > 0 \
+            else None
         self.batcher = None
         if dynamic_batch_ms > 0:
             from simple_vae_rs_tpu.batching import MicroBatcher
@@ -217,7 +295,7 @@ class ModelService:
         r = self.resolver
         moments = callable(getattr(r, "super_resolve_moments", None))
         if hasattr(r, "meta"):  # export.ExportedResolver: no live model
-            return {
+            out: Dict[str, Any] = {
                 "status": "ok",
                 "model": str(r.meta.get("model_type")),
                 "patch_size": int(r.meta["patch_size"]),
@@ -228,16 +306,26 @@ class ModelService:
                 "moments": moments,
                 "seed": True,
             }
-        return {
-            "status": "ok",
-            "model": type(r.model).__name__,
-            "patch_size": int(r.model.config.patch_size),
-            "channels": int(r.model.config.channels),
-            "int8": bool(r.int8),
-            "mesh": dict(r.mesh.shape) if r.mesh is not None else None,
-            "moments": moments,
-            "seed": True,
-        }
+        else:
+            out = {
+                "status": "ok",
+                "model": type(r.model).__name__,
+                "patch_size": int(r.model.config.patch_size),
+                "channels": int(r.model.config.channels),
+                "int8": bool(r.int8),
+                "mesh": dict(r.mesh.shape) if r.mesh is not None else None,
+                "moments": moments,
+                "seed": True,
+            }
+        if self.prober is not None:
+            dev = self.prober.status()
+            out["device"] = dev
+            if not dev["ok"]:
+                # readiness consumers key off status != "ok": a replica
+                # whose accelerator link is wedged must rotate out even
+                # though its HTTP front end still answers
+                out["status"] = "degraded"
+        return out
 
     @staticmethod
     def _seed_of(payload: Dict[str, Any]) -> Dict[str, int]:
@@ -371,6 +459,26 @@ class _Handler(BaseHTTPRequestHandler):
             text = self.service.metrics.render()
             if self.service.batcher is not None:
                 text += self.service.batcher.render_metrics()
+            if self.service.prober is not None:
+                dev = self.service.prober.status()
+                text += (
+                    "# HELP svrs_device_probe_ok 1 while the accelerator "
+                    "heartbeat is fresh\n"
+                    "# TYPE svrs_device_probe_ok gauge\n"
+                    f"svrs_device_probe_ok {int(dev['ok'])}\n"
+                    "# HELP svrs_device_probe_age_seconds seconds since "
+                    "the last successful device round trip\n"
+                    "# TYPE svrs_device_probe_age_seconds gauge\n"
+                    f"svrs_device_probe_age_seconds {dev['age_s']}\n"
+                )
+                if dev["latency_ms"] is not None:
+                    text += (
+                        "# HELP svrs_device_probe_latency_seconds last "
+                        "probe round trip\n"
+                        "# TYPE svrs_device_probe_latency_seconds gauge\n"
+                        f"svrs_device_probe_latency_seconds "
+                        f"{dev['latency_ms'] / 1000.0:.6f}\n"
+                    )
             self._reply(200, text.encode(), "text/plain; version=0.0.4")
         else:
             self._fail(404, f"unknown path {self.path}")
@@ -442,25 +550,33 @@ def make_server(
     resolver: SuperResolver, host: str = "127.0.0.1", port: int = 8471,
     max_body_mb: int = 512, token: str = "", access_log: bool = False,
     dynamic_batch_ms: float = 0.0, max_batch: int = 64,
+    probe_device_s: float = 0.0,
 ) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server around a resolver.
 
     ``dynamic_batch_ms > 0`` coalesces concurrent ``/v1/super_resolve``
     requests into shared device dispatches (see ``batching.MicroBatcher``);
-    the returned server's ``server_close`` also stops the batcher thread.
+    ``probe_device_s > 0`` runs the resident accelerator heartbeat
+    (``DeviceProber`` — /healthz turns ``"degraded"`` when it goes
+    stale). The returned server's ``server_close`` also stops both
+    background threads.
     """
     service = ModelService(resolver, max_body_mb=max_body_mb, token=token,
                            access_log=access_log,
                            dynamic_batch_ms=dynamic_batch_ms,
-                           max_batch=max_batch)
+                           max_batch=max_batch,
+                           probe_device_s=probe_device_s)
     handler = type("BoundHandler", (_Handler,), {"service": service})
     server = ThreadingHTTPServer((host, port), handler)
-    if service.batcher is not None:
+    if service.batcher is not None or service.prober is not None:
         base_close = server.server_close
 
         def _close() -> None:
             base_close()
-            service.batcher.close()
+            if service.batcher is not None:
+                service.batcher.close()
+            if service.prober is not None:
+                service.prober.close()
 
         server.server_close = _close  # type: ignore[method-assign]
     return server
@@ -511,6 +627,12 @@ def main(argv: Optional[list] = None) -> None:
                    "locally, ~the link round trip on relayed setups")
     p.add_argument("--max_batch", type=int, default=64,
                    help="row cap per coalesced dispatch (--dynamic_batch_ms)")
+    p.add_argument("--probe_device", type=float, default=0.0,
+                   help="resident accelerator heartbeat: round-trip a "
+                   "trivial dispatch every N seconds; when it goes stale "
+                   "(a wedged link blocks the dispatch), /healthz turns "
+                   "'degraded' so readiness probes rotate the replica "
+                   "out. 0 = off; ~60 is a good production setting")
     p.add_argument("--backend", default="",
                    help="JAX platform override (e.g. 'cpu' when the "
                    "accelerator is unreachable); same semantics as "
@@ -579,7 +701,8 @@ def main(argv: Optional[list] = None) -> None:
                          max_body_mb=args.max_body_mb, token=args.token,
                          access_log=args.access_log,
                          dynamic_batch_ms=args.dynamic_batch_ms,
-                         max_batch=args.max_batch)
+                         max_batch=args.max_batch,
+                         probe_device_s=args.probe_device)
     print(f"serving {served} on "
           f"http://{args.host}:{server.server_address[1]}")
     # graceful shutdown: SIGTERM (how orchestrators stop a pod) unwinds

@@ -261,3 +261,39 @@ def test_artifact_seeded_reproducible(tmp_path):
     fresh.super_resolve(y, seed=19)
     fresh_first = np.asarray(fresh.super_resolve(y))
     np.testing.assert_array_equal(twin_first, fresh_first)
+
+
+def test_seeded_meshed_matches_single_chip(lr):
+    """Seed + mesh: the reparameterization noise is drawn globally and
+    each shard consumes its slice (serve._sr_call), so a seeded request
+    answers identically on a meshed and a single-chip resolver — replicas
+    of different topology agree on seeded products."""
+    from simple_vae_rs_tpu.config import MeshConfig
+    from simple_vae_rs_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = CondSRVAEConfig(cr=2.0, patch_size=16)
+    model = CondSRVAE(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 16, 16, 4)),
+        jnp.zeros((1, 8, 8, 4)),
+        jax.random.PRNGKey(1),
+        train=False,
+    )
+    single = SuperResolver(model, variables, seed=0)
+    meshed = SuperResolver(model, variables, seed=123,  # seed must not matter
+                           mesh=make_mesh(MeshConfig(data=8, model=1)))
+    wins = np.random.default_rng(10).random((8, 8, 8, 4)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(single.super_resolve(wins, seed=51)),
+        np.asarray(meshed.super_resolve(wins, seed=51)),
+        rtol=0, atol=1e-6,
+    )
+    s1a, s2a = single.super_resolve_moments(wins, 3, seed=52)
+    s1b, s2b = meshed.super_resolve_moments(wins, 3, seed=52)
+    np.testing.assert_allclose(np.asarray(s1a), np.asarray(s1b),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s2a), np.asarray(s2b),
+                               rtol=0, atol=1e-6)

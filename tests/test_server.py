@@ -443,3 +443,84 @@ def test_concurrent_requests_serialize_cleanly(server_url):
     for t in threads:
         t.join()
     assert results == [(1, 16, 16, 4)] * 4
+
+
+# ------------------------------------------------------ device health probe
+def test_device_prober_reports_ok_on_healthz_and_metrics():
+    """--probe_device: the resident heartbeat lands on /healthz (device
+    ok/latency/age) and /metrics (svrs_device_probe_*); healthy backend
+    -> status stays 'ok'."""
+    import time
+    import urllib.request
+
+    cfg = CondSRVAEConfig(cr=2.0, patch_size=16)
+    model = CondSRVAE(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 16, 16, 4)),
+        jnp.zeros((1, 8, 8, 4)),
+        jax.random.PRNGKey(1),
+        train=False,
+    )
+    resolver = SuperResolver(model, variables)
+    srv = make_server(resolver, port=0, probe_device_s=0.2)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        health = None
+        for _ in range(100):  # first heartbeat: one trivial CPU dispatch
+            with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+                health = json.loads(r.read())
+            if health["device"]["latency_ms"] is not None:
+                break
+            time.sleep(0.1)
+        assert health["status"] == "ok"
+        assert health["device"]["ok"] is True
+        assert health["device"]["latency_ms"] is not None
+        with urllib.request.urlopen(url + "/metrics", timeout=30) as r:
+            text = r.read().decode()
+        assert "svrs_device_probe_ok 1" in text
+        assert "svrs_device_probe_age_seconds" in text
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_device_prober_stale_heartbeat_degrades():
+    """A wedged link blocks the probe dispatch forever; the heartbeat
+    ages past stale_after and status() flips ok=False — the signal that
+    turns /healthz 'degraded' so orchestrators rotate the replica out."""
+    import time
+
+    from simple_vae_rs_tpu.server import DeviceProber
+
+    release = threading.Event()
+
+    class Wedged(DeviceProber):
+        def __init__(self):
+            self._beats = 0
+            super().__init__(0.05)
+            self.stale_after = 0.5  # test-scale staleness
+
+        def _dispatch(self):
+            if self._beats == 0:
+                self._beats = 1
+                return  # one healthy heartbeat, then the link wedges
+            release.wait()  # blocks the loop thread, like a wedged RPC
+
+    p = Wedged()
+    try:
+        deadline = time.monotonic() + 10.0
+        while time.monotonic() < deadline:
+            st = p.status()
+            if st["latency_ms"] is not None and not st["ok"]:
+                break
+            time.sleep(0.05)
+        st = p.status()
+        assert st["latency_ms"] is not None  # the healthy beat landed
+        assert st["ok"] is False  # ...and then went stale
+        assert st["age_s"] >= 0.5  # age_s rounds to 0.1 s
+    finally:
+        release.set()
+        p.close()
