@@ -132,6 +132,152 @@ def evaluate_product(
     return out
 
 
+def _open_reader(path: str):
+    """(reader, to_hwc, H, W, C) for strip-windowed scoring."""
+    from simple_vae_rs_tpu.data.tiffio import TiffReader
+
+    r = TiffReader(path)
+    to_hwc = {
+        "hw": lambda b: b[:, :, None],
+        "chw": lambda b: np.moveaxis(b, 0, -1),
+        "hwc": lambda b: b,
+    }[r.layout]
+    c = 1 if r.layout == "hw" else r.samples_per_pixel
+    return r, to_hwc, r.height, r.width, c
+
+
+def evaluate_product_streamed(
+    product_path: str,
+    truth_path: str,
+    lr_path: Optional[str] = None,
+    win: int = 64,
+) -> Dict[str, Optional[float]]:
+    """Bounded-memory scoring sweep for scenes too large to materialize.
+
+    PSNR and RMSE are EXACT (squared error accumulates over
+    non-overlapping rows). SSIM and LPIPS run over a ``win``-px window
+    grid (tails flush to the edge) and average per-window values — SSIM
+    is itself a mean of local-window statistics, so the grid mean tracks
+    the full-image value, differing only through boundary-window
+    weighting (with ``win`` >= the raster extent it is identical). The
+    bicubic baseline reads each LR band with a 2-px halo (the cubic
+    kernel's footprint), so band-wise upsampling equals the full-image
+    upsample exactly; odd extents score the baseline on the covered
+    region. Peak memory is O(win x width), independent of scene height.
+    """
+    import jax.numpy as jnp
+
+    from simple_vae_rs_tpu.ops.metrics import ssim_batch
+    from simple_vae_rs_tpu.ops.resize import bicubic_upsample_2x
+    from simple_vae_rs_tpu.raster import _stream_stats
+    from simple_vae_rs_tpu.tiling import grid_starts
+
+    rp, to_p, ph, pw, pc = _open_reader(product_path)
+    rt, to_t, h, w, c = _open_reader(truth_path)
+    if (ph, pw, pc) != (h, w, c):
+        raise ValueError(
+            f"product {(ph, pw, pc)} and truth {(h, w, c)} differ in shape"
+        )
+    rl = None
+    if lr_path:
+        rl, to_l, lh, lw, lc = _open_reader(lr_path)
+        if (lh, lw, lc) != (h // 2, w // 2, c):
+            raise ValueError(
+                f"LR {(lh, lw, lc)} is not half the truth's extent "
+                f"{(h, w, c)}"
+            )
+    win = min(win, h, w)
+
+    # pass 1: truth range (the metric domain) + product range (unit
+    # detection), streamed exactly like raster --stream's stats pass
+    tmn, tmx, _tbad = _stream_stats(rt, to_t, max(rt.rows_per_strip, 256))
+    pmn, pmx, _pbad = _stream_stats(rp, to_p, max(rp.rows_per_strip, 256))
+    unit = float(pmx.max()) <= 1.0 + 1e-6 and float(pmn.min()) >= -1e-6 \
+        and float(tmx.max()) > 2.0
+    mn = tmn[None, None]
+    denom = (tmx[None, None] - mn) + _EPS
+
+    se_n = se_in = 0.0          # normalized / input-unit squared error
+    ssim_sum, n_win = 0.0, 0
+    lp_sum, lp_n = 0.0, 0
+    bse_n = 0.0
+    bssim_sum, bn_win = 0.0, 0
+    blp_sum, blp_n = 0.0, 0
+    b_px = 0
+    b_counted = 0                # baseline rows already in its MSE sum
+    counted = 0                  # truth rows already in the MSE sums
+    bh, bw = 2 * (h // 2), 2 * (w // 2)  # baseline-covered region
+    from simple_vae_rs_tpu.utils.lpips_optional import lpips_batch
+
+    for rs in grid_starts(h, win, win):
+        p_rows = to_p(rp.read_rows(rs, rs + win)).astype(np.float32)
+        t_rows = to_t(rt.read_rows(rs, rs + win)).astype(np.float32)
+        p_n = p_rows if unit else (p_rows - mn) / denom
+        t_n = (t_rows - mn) / denom
+        new0 = max(0, counted - rs)  # the flush tail band overlaps
+        d = p_n[new0:] - t_n[new0:]
+        se_n += float(np.sum(d * d))
+        din = d * denom
+        se_in += float(np.sum(din * din))
+        counted = rs + win
+        cols = grid_starts(w, win, win)
+        wa = np.stack([p_n[:, cs:cs + win] for cs in cols])
+        wb = np.stack([t_n[:, cs:cs + win] for cs in cols])
+        ssim_sum += float(np.sum(np.asarray(
+            ssim_batch(jnp.asarray(wa), jnp.asarray(wb))
+        )))
+        n_win += len(cols)
+        lv = lpips_batch(wa, wb)
+        if lv is not None:
+            lp_sum += float(np.sum(lv))
+            lp_n += len(lv)
+        if rl is not None and rs + win <= bh:
+            # LR band with the cubic kernel's 2-px halo: band-wise
+            # upsample == full-image upsample on the sliced rows
+            lo = max(0, rs // 2 - 2)
+            hi = min(h // 2, (rs + win - 1) // 2 + 3)
+            lr_rows = to_l(rl.read_rows(lo, hi)).astype(np.float32)
+            lr_n = (lr_rows - mn) / denom
+            up = np.asarray(bicubic_upsample_2x(jnp.asarray(lr_n)[None]))[0]
+            band = up[rs - 2 * lo: rs - 2 * lo + win, :bw]
+            tb = t_n[:, :bw]
+            nb = max(0, b_counted - rs)  # the flush tail band overlaps
+            db = band[nb:] - tb[nb:]
+            bse_n += float(np.sum(db * db))
+            b_px += db.size
+            b_counted = rs + win
+            bcols = grid_starts(bw, win, win)
+            ba = np.stack([band[:, cs:cs + win] for cs in bcols])
+            bb = np.stack([tb[:, cs:cs + win] for cs in bcols])
+            bssim_sum += float(np.sum(np.asarray(
+                ssim_batch(jnp.asarray(ba), jnp.asarray(bb))
+            )))
+            bn_win += len(bcols)
+            blv = lpips_batch(ba, bb)
+            if blv is not None:
+                blp_sum += float(np.sum(blv))
+                blp_n += len(blv)
+    rp.close()
+    rt.close()
+    if rl is not None:
+        rl.close()
+
+    n_px = float(h * w * c)
+    out: Dict[str, Optional[float]] = {
+        "psnr": float(10.0 * np.log10(1.0 / max(se_n / n_px, 1e-12))),
+        "ssim": ssim_sum / max(n_win, 1),
+        "rmse_input_units": float(np.sqrt(se_in / n_px)),
+        "lpips": (lp_sum / lp_n) if lp_n else None,
+    }
+    if rl is not None:
+        out["psnr_baseline"] = float(
+            10.0 * np.log10(1.0 / max(bse_n / max(b_px, 1), 1e-12))
+        )
+        out["ssim_baseline"] = bssim_sum / max(bn_win, 1)
+        out["lpips_baseline"] = (blp_sum / blp_n) if blp_n else None
+    return out
+
+
 def main(argv: Optional[list] = None) -> int:
     p = argparse.ArgumentParser(
         prog="python -m simple_vae_rs_tpu.evaluate",
@@ -149,6 +295,14 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--channels", type=int, default=None,
                    help="band count (disambiguates (C,H,W) vs (H,W,C) "
                    "layouts; default: small-axis heuristic)")
+    p.add_argument("--stream", action="store_true",
+                   help="bounded-memory scoring sweep for whole scenes: "
+                   "strip-windowed reads, exact PSNR/RMSE, SSIM/LPIPS "
+                   "averaged over a --win window grid (peak memory "
+                   "O(win x width))")
+    p.add_argument("--win", type=int, default=64,
+                   help="window size for the streamed SSIM/LPIPS grid "
+                   "(default 64)")
     p.add_argument("--backend", default="",
                    help="JAX platform override (e.g. 'cpu'); same "
                    "semantics as train.py --backend")
@@ -158,12 +312,17 @@ def main(argv: Optional[list] = None) -> int:
 
         jax.config.update("jax_platforms", args.backend)
 
-    sr, _ = _load_hwc(args.product, args.channels)
-    truth, _ = _load_hwc(args.truth, args.channels)
-    lr = None
-    if args.lr:
-        lr, _ = _load_hwc(args.lr, args.channels)
-    out = evaluate_product(sr, truth, lr=lr)
+    if args.stream:
+        out = evaluate_product_streamed(
+            args.product, args.truth, lr_path=args.lr, win=args.win
+        )
+    else:
+        sr, _ = _load_hwc(args.product, args.channels)
+        truth, _ = _load_hwc(args.truth, args.channels)
+        lr = None
+        if args.lr:
+            lr, _ = _load_hwc(args.lr, args.channels)
+        out = evaluate_product(sr, truth, lr=lr)
 
     print(f"product: {os.path.abspath(args.product)}")
     print(f"truth:   {os.path.abspath(args.truth)}")

@@ -86,3 +86,57 @@ def test_cli_end_to_end(tmp_path, capsys):
     assert out["metric"] == "product_eval"
     assert 0 < out["ssim"] <= 1 and out["psnr"] > 5
     assert "psnr_baseline" in out
+
+
+# ----------------------------------------------------------- streamed scoring
+def test_streamed_matches_in_memory_exactly_when_window_covers(tmp_path):
+    """win >= extent: the streamed sweep's single window IS the full
+    image, so PSNR/RMSE (exact by construction) AND SSIM match the
+    in-memory scorer."""
+    t = _truth(h=48, w=48, seed=11)
+    rng = np.random.default_rng(12)
+    product = (t + rng.normal(0, 60.0, t.shape)).astype(np.float32)
+    tp, pp = str(tmp_path / "t.tif"), str(tmp_path / "p.tif")
+    write_tiff(tp, t)
+    write_tiff(pp, product)
+    mem = evaluate.evaluate_product(product, t)
+    st = evaluate.evaluate_product_streamed(pp, tp, win=48)
+    assert st["psnr"] == pytest.approx(mem["psnr"], abs=1e-3)
+    assert st["rmse_input_units"] == pytest.approx(
+        mem["rmse_input_units"], rel=1e-5)
+    assert st["ssim"] == pytest.approx(mem["ssim"], abs=1e-5)
+
+
+def test_streamed_baseline_upsample_is_exact(tmp_path):
+    """Band-wise bicubic with the 2-px halo equals the full-image
+    upsample: streamed psnr_baseline == in-memory psnr_baseline even
+    with several bands (exact accumulation, boundary-halo reads)."""
+    t = _truth(h=64, w=32, seed=13)
+    rng = np.random.default_rng(14)
+    product = (t + rng.normal(0, 60.0, t.shape)).astype(np.float32)
+    lr = t.reshape(32, 2, 16, 2, 4).mean(axis=(1, 3))
+    tp, pp, lp = (str(tmp_path / n) for n in ("t.tif", "p.tif", "l.tif"))
+    write_tiff(tp, t)
+    write_tiff(pp, product)
+    write_tiff(lp, lr.astype(np.float32))
+    mem = evaluate.evaluate_product(product, t, lr=lr)
+    st = evaluate.evaluate_product_streamed(pp, tp, lr_path=lp, win=16)
+    assert st["psnr_baseline"] == pytest.approx(mem["psnr_baseline"],
+                                                abs=2e-3)
+    # multi-band PSNR/RMSE stay exact too
+    assert st["psnr"] == pytest.approx(mem["psnr"], abs=1e-3)
+    # window-grid SSIM tracks the full-image value (boundary weighting)
+    assert st["ssim"] == pytest.approx(mem["ssim"], abs=0.05)
+
+
+def test_streamed_cli_flag(tmp_path, capsys):
+    t = _truth(h=40, w=36, seed=15)
+    product = (t + np.random.default_rng(16).normal(0, 40.0, t.shape)
+               ).astype(np.float32)
+    tp, pp = str(tmp_path / "t.tif"), str(tmp_path / "p.tif")
+    write_tiff(tp, t)
+    write_tiff(pp, product)
+    assert evaluate.main([pp, tp, "--stream", "--win", "20"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["metric"] == "product_eval"
+    assert 0 < out["ssim"] <= 1
