@@ -279,12 +279,44 @@ def run_stream(args) -> None:
     tty = sys.stderr.isatty()
     every = 1 if tty else max(1, n_bands // 20)
     start_band = max(0, next_band - 1)
+
+    # --stall_timeout: a wedged accelerator link blocks a dispatch
+    # forever and Python cannot interrupt it (the failure mode
+    # utils/health documents), so a stuck sweep would otherwise hang
+    # until the scheduler kills it. The watchdog hard-exits (os._exit —
+    # a blocked runtime thread would stall a clean shutdown) once no
+    # band has completed within the budget; with --resume the journal
+    # from the last completed band is already on disk, so the product
+    # continues from where it stalled.
+    import threading
+    import time as _time
+
+    stall = float(getattr(args, "stall_timeout", 0.0) or 0.0)
+    _beat = [_time.monotonic()]
+    _done = threading.Event()
+    if stall > 0:
+        def _watch() -> None:
+            while not _done.wait(min(max(stall / 4.0, 0.5), 30.0)):
+                if _time.monotonic() - _beat[0] > stall:
+                    print(
+                        f"no band completed in {stall:.0f}s — accelerator "
+                        f"link stalled; aborting"
+                        + (f" (re-run with --resume to continue from "
+                           f"{journal_path})" if args.resume else
+                           " (use --resume to make stalls recoverable)"),
+                        file=sys.stderr,
+                    )
+                    os._exit(3)
+
+        threading.Thread(target=_watch, daemon=True,
+                         name="svrs-stall-watchdog").start()
     for i, (_base, block) in enumerate(resolver.iter_tile_rows(
         read_norm, h, w, overlap=args.overlap, batch=batch,
         samples=samples, moments=args.uncertainty,
         seed=args.request_seed, start_band=start_band,
     )):
         k = start_band + i
+        _beat[0] = _time.monotonic()  # a band arrived: feed the watchdog
         if (k + 1) % every == 0 or k + 1 == n_bands:
             print(f"  band {k + 1}/{n_bands}", end="\r" if tty else "\n",
                   file=sys.stderr)
@@ -315,6 +347,7 @@ def run_stream(args) -> None:
             with open(tmp, "w") as fh:
                 json.dump(state, fh)
             os.replace(tmp, journal_path)  # atomic: old journal or new
+    _done.set()
     if tty:
         print(file=sys.stderr)  # leave the \r progress line intact
     writer.close()
@@ -445,6 +478,13 @@ def main(argv: Optional[list] = None) -> None:
                    "scene in strip windows (peak memory O(width) instead "
                    "of O(scene); with --url, window batches post to the "
                    "server so neither side materializes the scene)")
+    p.add_argument("--stall_timeout", type=float, default=0.0,
+                   help="with --stream: hard-abort (exit 3) if no "
+                   "window-row band completes within this many seconds — "
+                   "a wedged accelerator link blocks a dispatch forever "
+                   "and cannot be interrupted from Python. With --resume "
+                   "the journal survives, so re-running continues the "
+                   "product. 0 = off")
     p.add_argument("--resume", action="store_true",
                    help="with --stream: checkpoint the sweep to "
                    "<output>.resume.json after every band, and continue "
@@ -463,6 +503,8 @@ def main(argv: Optional[list] = None) -> None:
     args = p.parse_args(argv)
     if args.resume and not args.stream:
         p.error("--resume only applies to --stream runs")
+    if args.stall_timeout and not args.stream:
+        p.error("--stall_timeout only applies to --stream runs")
     if args.backend and not args.url:
         # the baked sitecustomize force-sets jax_platforms, so an env var
         # alone cannot switch backends (see cli._apply_backend)

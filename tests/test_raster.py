@@ -216,3 +216,60 @@ def test_stream_resume_rejects_changed_invocation(ckpt, tmp_path,
     monkeypatch.setattr(tiffio.TiffStripWriter, "write_rows", real)
     with pytest.raises(SystemExit, match="different invocation"):
         raster.main([src, dst, *flags, "--resume", "--request_seed", "6"])
+
+
+def test_stall_watchdog_aborts_and_resume_completes(ckpt, tmp_path):
+    """A wedged dispatch mid-sweep: the --stall_timeout watchdog
+    hard-exits (code 3) since a blocked call cannot be interrupted; the
+    resume journal from the last completed band survives, and a --resume
+    re-run finishes a product identical to an uninterrupted run. Runs the
+    stalled sweep in a subprocess because the abort is os._exit."""
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(21)
+    lr = (rng.random((40, 24, 4)) * 2000 + 50).astype(np.uint16)
+    src = str(tmp_path / "lr.tif")
+    write_tiff(src, lr)
+    full, part = str(tmp_path / "full.tif"), str(tmp_path / "part.tif")
+    flags = ["-cr", "2.0", "--patch_size", "16", "--stream",
+             "--batch", "4", "--request_seed", "3"]
+    raster.main([src, full, "--model_ckpt", ckpt, *flags])
+
+    driver = tmp_path / "wedge.py"
+    driver.write_text(f"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import time
+from simple_vae_rs_tpu import raster
+from simple_vae_rs_tpu.serve import SuperResolver
+
+real = SuperResolver.super_resolve
+calls = {{"n": 0}}
+
+def wedged(self, *a, **k):
+    calls["n"] += 1
+    if calls["n"] > 4:
+        time.sleep(3600)  # the wedged-link failure mode
+    return real(self, *a, **k)
+
+SuperResolver.super_resolve = wedged
+raster.main([{src!r}, {part!r}, "--model_ckpt", {ckpt!r},
+             *{flags!r}, "--resume", "--stall_timeout", "60"])
+""")
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.abspath(raster.__file__))
+    )  # the package is imported from the repo root, not pip-installed
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, str(driver)], capture_output=True, text=True,
+        timeout=600, cwd=repo_root, env=env,
+    )
+    assert proc.returncode == 3, proc.stderr[-2000:]
+    assert "stalled" in proc.stderr
+    assert os.path.exists(part + ".resume.json")
+
+    raster.main([src, part, "--model_ckpt", ckpt, *flags, "--resume"])
+    assert not os.path.exists(part + ".resume.json")
+    np.testing.assert_array_equal(read_tiff(part), read_tiff(full))
