@@ -433,3 +433,24 @@ def test_pack_variables_rejects_unknown_mode(small_pair):
     resolver, _ = small_pair
     with pytest.raises(ValueError, match="weights must be one of"):
         _pack_variables(jax.device_get(resolver.variables), "fp16")
+
+
+def test_artifact_seeded_tile_reproducible(small_pair):
+    """Per-request seeds reach the artifact's whole-raster endpoints: the
+    TileEndpoints mixin derives subseed(seed, batch) per window batch and
+    the deserialized graph is deterministic given (input, key), so a
+    seeded tile product repeats bitwise."""
+    import numpy as np
+
+    _, path = small_pair
+    esr = load_exported(path)
+    raster = np.random.default_rng(3).random((12, 18, 4)).astype(np.float32)
+    a = esr.super_resolve_tile(raster, overlap=2, batch=4, seed=7)
+    b = esr.super_resolve_tile(raster, overlap=2, batch=4, seed=7)
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(
+        a, esr.super_resolve_tile(raster, overlap=2, batch=4, seed=8)
+    )
+    ua = esr.uncertainty_tile(raster, samples=3, overlap=2, batch=4, seed=9)
+    ub = esr.uncertainty_tile(raster, samples=3, overlap=2, batch=4, seed=9)
+    np.testing.assert_array_equal(ua["std"], ub["std"])
