@@ -1,40 +1,67 @@
 #!/bin/bash
 # Fire the queued TPU work as soon as the tunnel recovers.
 #
-# Polls the environment doctor (python -m simple_vae_rs_tpu.doctor, exit 2
-# = accelerator unreachable) on a 15-minute cadence, up to $POLLS polls;
-# on the first healthy probe runs, strictly sequentially (never two TPU
-# processes — see CLAUDE.md):
-#   1. python bench.py  — sanity at HEAD (its own wedge guard,
-#      SVRS_BENCH_PROBE_BUDGET_S, aborts on a half-recovered tunnel)
-#   2. scripts/quality_parity.py --side tpu --epochs 120 — the canonical
-#      e120 framework arm the BASELINE parity table still needs
-#      (~30 min at the healthy 14.4 s/epoch)
-# Every stage is deadline-bounded so a re-wedging tunnel cannot hang the
-# queue. Progress appends to $LOG; parity archives land in results/ as
-# usual. Afterwards run scripts/quality_parity.py --report and
-# scripts/plot_parity.py and update BASELINE.md by hand.
+# Current queue (CLAUDE.md, 2026-08-19 evening — tunnel wedged ~11:02):
+#   1. bench_tile --uncertainty --samples 32, then --no_moments  (UQ moments A/B)
+#   2. bench_stream --hw 1024 --uncertainty --samples 32, then --no_moments
+#   3. bench.py sanity at HEAD (expect ~10.6k p/s)
+#   4. bench.py --scan_steps 2, then 4 and 8 only if 2 compiled sanely
+#      (LAST: new-graph remote compiles have wedged the tunnel before; each
+#      arm is deadline-bounded and the ladder stops on the first failure)
+#
+# Polls the environment doctor (exit 2 = accelerator unreachable) on a
+# 15-minute cadence, up to $POLLS polls; on the first healthy probe runs the
+# queue strictly sequentially (never two TPU processes — see CLAUDE.md).
+# Re-probes the tunnel between stages so a mid-queue wedge skips the rest
+# instead of burning every stage's timeout. Per-stage stdout lands in
+# results/tpu_queue/<stage>.log; progress notes append to $LOG. Recording the
+# numbers in BASELINE.md is manual afterwards.
 #
 # Usage (repo root):  nohup scripts/tpu_queue.sh >/dev/null 2>&1 &
 
 set -u
 cd "$(dirname "$0")/.."
 LOG=${LOG:-results/tpu_queue.log}
+DIR=results/tpu_queue
 POLLS=${POLLS:-96} # 96 x 15 min = 24 h
-mkdir -p results
+mkdir -p "$DIR"
+export SVRS_BENCH_PROBE_BUDGET_S=${SVRS_BENCH_PROBE_BUDGET_S:-300}
 
 note() { echo "[$(date -u +%FT%TZ)] $*" >>"$LOG"; }
 
-note "queue armed: bench sanity + canonical e120 parity (max $POLLS polls)"
+# run <stage-name> <timeout-s> <cmd...>  — returns the command's exit code.
+run() {
+    local name=$1 tmo=$2; shift 2
+    note "start $name: $*"
+    timeout "$tmo" "$@" >"$DIR/$name.log" 2>&1
+    local rc=$?
+    note "done  $name exit=$rc"
+    return $rc
+}
+
+healthy() { timeout 300 python -m simple_vae_rs_tpu.doctor --budget 120 >>"$LOG" 2>&1; }
+
+note "queue armed: tile/stream UQ moments A/B + bench sanity + scan_steps ladder (max $POLLS polls)"
 for i in $(seq 1 "$POLLS"); do
-    if timeout 300 python -m simple_vae_rs_tpu.doctor --budget 120 >>"$LOG" 2>&1; then
-        note "tunnel healthy (poll $i) — running bench.py"
-        timeout 3600 python bench.py >>"$LOG" 2>&1
-        note "bench exit=$?"
-        note "starting the canonical e120 parity arm"
-        timeout 14400 python scripts/quality_parity.py --side tpu \
-            --epochs 120 >>"$LOG" 2>&1
-        note "parity exit=$? — queue done (report + BASELINE update are manual)"
+    if healthy; then
+        note "tunnel healthy (poll $i) — draining queue"
+        run tile_moments    2400 python scripts/bench_tile.py --uncertainty --samples 32
+        run tile_no_moments 2400 python scripts/bench_tile.py --uncertainty --samples 32 --no_moments
+        healthy || { note "tunnel wedged after tile stage — stopping"; exit 1; }
+        run stream_moments    3600 python scripts/bench_stream.py --hw 1024 --uncertainty --samples 32
+        run stream_no_moments 3600 python scripts/bench_stream.py --hw 1024 --uncertainty --samples 32 --no_moments
+        healthy || { note "tunnel wedged after stream stage — stopping"; exit 1; }
+        run bench_sanity 3600 python bench.py
+        healthy || { note "tunnel wedged after bench sanity — stopping"; exit 1; }
+        # scan_steps ladder: k=2 bounded tight (compile risk); only climb on success.
+        if run scan2 1800 python bench.py --scan_steps 2; then
+            if run scan4 1800 python bench.py --scan_steps 4; then
+                run scan8 2400 python bench.py --scan_steps 8
+            fi
+        else
+            note "scan_steps 2 failed/timed out — abandoning the ladder (see CLAUDE.md caution)"
+        fi
+        note "queue done (record numbers in BASELINE.md by hand)"
         exit 0
     fi
     note "tunnel still wedged (poll $i)"

@@ -65,7 +65,7 @@ class Client:
 
     # ------------------------------------------------------------- plumbing
     def _request(self, path: str, body: Optional[bytes] = None,
-                 ctype: str = _JSON):
+                 ctype: str = _JSON, degraded_ok: bool = False):
         import http.client
         import time
 
@@ -85,7 +85,17 @@ class Client:
                 with urllib.request.urlopen(req, timeout=self.timeout) as resp:
                     return resp.read(), resp.headers.get("Content-Type", _JSON)
             except urllib.error.HTTPError as e:
-                detail = e.read().decode("utf-8", "replace")
+                raw = e.read()
+                if degraded_ok and e.code == 503:
+                    # /healthz answers 503 with the normal JSON payload when
+                    # the device prober reports a wedged link — callers doing
+                    # capability discovery still want the body
+                    try:
+                        json.loads(raw)
+                        return raw, e.headers.get("Content-Type", _JSON)
+                    except ValueError:
+                        pass
+                detail = raw.decode("utf-8", "replace")
                 try:
                     detail = json.loads(detail).get("error", detail)
                 except ValueError:
@@ -132,7 +142,7 @@ class Client:
 
     # ------------------------------------------------------------ endpoints
     def health(self) -> Dict[str, Any]:
-        out, _ = self._request("/healthz")
+        out, _ = self._request("/healthz", degraded_ok=True)
         return json.loads(out)
 
     def super_resolve(self, lr, normalize: Optional[bool] = None,

@@ -334,6 +334,15 @@ class TiffReader:
         return "chw" if self.planar == 2 else "hwc"
 
     @property
+    def to_hwc(self):
+        """``read_rows`` block (in ``layout``) -> ``(rows, width, C)`` view.
+
+        The single place the layout->HWC mapping lives: every streaming
+        consumer (raster sweep, product scoring) uses this so a new layout
+        variant cannot make them silently diverge."""
+        return layout_to_hwc(self.layout)
+
+    @property
     def shape(self):
         h, w, c = self.height, self.width, self.samples_per_pixel
         return {"hw": (h, w), "hwc": (h, w, c), "chw": (c, h, w)}[self.layout]
@@ -407,6 +416,16 @@ class TiffReader:
         if self.planar == 2:
             return out.reshape(planes, rows, self.width)
         return out.reshape(rows, self.width, self.samples_per_pixel)
+
+
+def layout_to_hwc(layout: str):
+    """Function mapping a ``TiffReader.read_rows`` block in ``layout`` to
+    an ``(rows, width, C)`` HWC array (grayscale gains a channel axis)."""
+    return {
+        "hw": lambda b: b[:, :, None],
+        "chw": lambda b: np.moveaxis(b, 0, -1),
+        "hwc": lambda b: b,
+    }[layout]
 
 
 def read_tiff(path: str) -> np.ndarray:

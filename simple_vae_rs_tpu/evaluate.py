@@ -137,13 +137,8 @@ def _open_reader(path: str):
     from simple_vae_rs_tpu.data.tiffio import TiffReader
 
     r = TiffReader(path)
-    to_hwc = {
-        "hw": lambda b: b[:, :, None],
-        "chw": lambda b: np.moveaxis(b, 0, -1),
-        "hwc": lambda b: b,
-    }[r.layout]
     c = 1 if r.layout == "hw" else r.samples_per_pixel
-    return r, to_hwc, r.height, r.width, c
+    return r, r.to_hwc, r.height, r.width, c
 
 
 def evaluate_product_streamed(
@@ -231,21 +226,25 @@ def evaluate_product_streamed(
         if lv is not None:
             lp_sum += float(np.sum(lv))
             lp_n += len(lv)
-        if rl is not None and rs + win <= bh:
+        if rl is not None and rs < bh:
             # LR band with the cubic kernel's 2-px halo: band-wise
-            # upsample == full-image upsample on the sliced rows
+            # upsample == full-image upsample on the sliced rows. On odd
+            # truth heights the final band extends past the covered
+            # region — clip its rows to bh instead of skipping it (the
+            # in-memory scorer covers all bh rows; so must this one).
+            be = min(rs + win, bh)
             lo = max(0, rs // 2 - 2)
-            hi = min(h // 2, (rs + win - 1) // 2 + 3)
+            hi = min(h // 2, (be - 1) // 2 + 3)
             lr_rows = to_l(rl.read_rows(lo, hi)).astype(np.float32)
             lr_n = (lr_rows - mn) / denom
             up = np.asarray(bicubic_upsample_2x(jnp.asarray(lr_n)[None]))[0]
-            band = up[rs - 2 * lo: rs - 2 * lo + win, :bw]
-            tb = t_n[:, :bw]
+            band = up[rs - 2 * lo: rs - 2 * lo + (be - rs), :bw]
+            tb = t_n[:be - rs, :bw]
             nb = max(0, b_counted - rs)  # the flush tail band overlaps
             db = band[nb:] - tb[nb:]
             bse_n += float(np.sum(db * db))
             b_px += db.size
-            b_counted = rs + win
+            b_counted = be
             bcols = grid_starts(bw, win, win)
             ba = np.stack([band[:, cs:cs + win] for cs in bcols])
             bb = np.stack([tb[:, cs:cs + win] for cs in bcols])

@@ -89,6 +89,16 @@ def _open_endpoints(args):
 
         c = Client(args.url, timeout=args.timeout, token=args.token)
         info = c.health()
+        if getattr(args, "request_seed", None) is not None \
+                and not info.get("seed"):
+            # same guard RemoteResolver._check_seed applies on the
+            # streaming path: a pre-seed server ignores unknown query
+            # params, silently breaking the bit-identical-product promise
+            raise SystemExit(
+                "--request_seed: this server predates per-request seeds "
+                "(/healthz has no 'seed' capability) — it would silently "
+                "ignore the param"
+            )
         return c.super_resolve_tile, c.uncertainty_tile, info.get("channels")
     if not args.model_ckpt:
         raise SystemExit("one of --model_ckpt or --url is required")
@@ -173,11 +183,7 @@ def run_stream(args) -> None:
             f"{args.input}: {channels} band(s), model expects {expected}"
         )
 
-    to_hwc = {
-        "hw": lambda b: b[:, :, None],
-        "chw": lambda b: np.moveaxis(b, 0, -1),
-        "hwc": lambda b: b,
-    }[layout]
+    to_hwc = reader.to_hwc
 
     h, w = reader.height, reader.width
     in_dtype = reader.dtype
@@ -195,8 +201,8 @@ def run_stream(args) -> None:
     # --resume: a sidecar journal checkpoints the sweep after every
     # finalized band (writer state + next band index). Interrupt the run
     # anywhere and re-run with --resume: already-written bands are not
-    # recomputed (one extra band rebuilds the overlap accumulator — see
-    # iter_tile_rows(start_band=...)), and because the request seed pins
+    # re-yielded (iter_tile_rows(start_band=...) itself recomputes just the
+    # windows that still reach the resumed band), and because the request seed pins
     # every window draw, the resumed product is bitwise the product of an
     # uninterrupted run. The seed is REQUIRED: without it the seam band's
     # recomputed draws would differ from the rows already on disk.
@@ -210,6 +216,18 @@ def run_stream(args) -> None:
         "scale": args.scale, "compression": args.compression,
         "predictor": bool(predictor), "seed": args.request_seed,
         "dtype": str(np.dtype(out_dtype)), "std_out": std_out,
+        # model identity: resuming with a different network would splice
+        # two models' rows into one product — exactly what the
+        # different-invocation guard exists to refuse
+        "model": {
+            "url": args.url or None,
+            "ckpt": (os.path.abspath(args.model_ckpt)
+                     if args.model_ckpt else None),
+            "int8": bool(args.int8), "window": p,
+            "model_type": args.model_type,
+            "cr": args.compression_ratio,
+            "latent_size": args.latent_size,
+        },
     }
     journal = None
     if args.resume:
@@ -278,7 +296,7 @@ def run_stream(args) -> None:
     n_bands = len(grid_starts(h, p, (p - ov) if ov else p))
     tty = sys.stderr.isatty()
     every = 1 if tty else max(1, n_bands // 20)
-    start_band = max(0, next_band - 1)
+    start_band = next_band  # iter_tile_rows rebuilds the overlap itself
 
     # --stall_timeout: a wedged accelerator link blocks a dispatch
     # forever and Python cannot interrupt it (the failure mode
@@ -292,12 +310,16 @@ def run_stream(args) -> None:
     import time as _time
 
     stall = float(getattr(args, "stall_timeout", 0.0) or 0.0)
-    _beat = [_time.monotonic()]
+    # The watchdog arms only after the FIRST band completes: band 1's
+    # dispatch includes the window-batch jit compile, which is
+    # legitimately minutes-slow cold on a remote backend — killing it
+    # would livelock a --resume retry into the same compile.
+    _beat = [None]
     _done = threading.Event()
     if stall > 0:
         def _watch() -> None:
             while not _done.wait(min(max(stall / 4.0, 0.5), 30.0)):
-                if _time.monotonic() - _beat[0] > stall:
+                if _beat[0] is not None and _time.monotonic() - _beat[0] > stall:
                     print(
                         f"no band completed in {stall:.0f}s — accelerator "
                         f"link stalled; aborting"
@@ -310,18 +332,17 @@ def run_stream(args) -> None:
 
         threading.Thread(target=_watch, daemon=True,
                          name="svrs-stall-watchdog").start()
-    for i, (_base, block) in enumerate(resolver.iter_tile_rows(
+    bands = () if start_band >= n_bands else resolver.iter_tile_rows(
         read_norm, h, w, overlap=args.overlap, batch=batch,
         samples=samples, moments=args.uncertainty,
         seed=args.request_seed, start_band=start_band,
-    )):
+    )  # a journal written after the final band leaves nothing to compute
+    for i, (_base, block) in enumerate(bands):
         k = start_band + i
         _beat[0] = _time.monotonic()  # a band arrived: feed the watchdog
         if (k + 1) % every == 0 or k + 1 == n_bands:
             print(f"  band {k + 1}/{n_bands}", end="\r" if tty else "\n",
                   file=sys.stderr)
-        if k < next_band:
-            continue  # recomputed only to rebuild the overlap accumulator
         sr = block["mean"] if args.uncertainty else block
         if args.scale == "input":
             out = _cast_like(sr * denom + mn, in_dtype)
@@ -335,7 +356,7 @@ def run_stream(args) -> None:
             std_writer.write_rows(_from_hwc(std.astype(np.float32), layout))
         if args.resume:
             state = {
-                "format": "svrs-stream-resume/1",
+                "format": "svrs-stream-resume/2",
                 "fingerprint": fingerprint,
                 "next_band": k + 1,
                 "norm": norm_record,
@@ -482,9 +503,11 @@ def main(argv: Optional[list] = None) -> None:
                    help="with --stream: hard-abort (exit 3) if no "
                    "window-row band completes within this many seconds — "
                    "a wedged accelerator link blocks a dispatch forever "
-                   "and cannot be interrupted from Python. With --resume "
-                   "the journal survives, so re-running continues the "
-                   "product. 0 = off")
+                   "and cannot be interrupted from Python. Arms after the "
+                   "first band (band 1 legitimately includes a cold jit "
+                   "compile, minutes-slow on remote backends). With "
+                   "--resume the journal survives, so re-running "
+                   "continues the product. 0 = off")
     p.add_argument("--resume", action="store_true",
                    help="with --stream: checkpoint the sweep to "
                    "<output>.resume.json after every band, and continue "
@@ -501,6 +524,8 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--token", default=os.environ.get("SVRS_TOKEN", ""),
                    help="bearer token for --url mode (default $SVRS_TOKEN)")
     args = p.parse_args(argv)
+    if args.request_seed is not None and args.request_seed < 0:
+        p.error("--request_seed must be a non-negative integer")
     if args.resume and not args.stream:
         p.error("--resume only applies to --stream runs")
     if args.stall_timeout and not args.stream:

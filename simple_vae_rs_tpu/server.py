@@ -333,7 +333,14 @@ class ModelService:
         kwargs ({} when absent, so wrapped/legacy resolvers that predate
         the ``seed`` kwarg keep working unseeded)."""
         seed = payload.get("seed")
-        return {} if seed is None else {"seed": int(seed)}
+        if seed is None:
+            return {}
+        seed = int(seed)
+        if seed < 0:
+            # one rule for every endpoint (tiling.subseed would reject a
+            # negative seed deep inside the tile sweep anyway) -> 400
+            raise ValueError(f"seed must be a non-negative integer (got {seed})")
+        return {"seed": seed}
 
     def super_resolve(self, body: bytes, ctype: str, query=None) -> Tuple[bytes, str]:
         lr, payload = self._decode(body, ctype, query)
@@ -454,7 +461,11 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):  # noqa: N802 (stdlib handler API)
         if self.path == "/healthz":
-            self._reply(200, json.dumps(self.service.health()).encode(), _JSON)
+            info = self.service.health()
+            # HTTP-code-based readiness probes (k8s httpGet treats any 2xx
+            # as ready) must see the degraded state, not just body parsers
+            code = 200 if info.get("status") == "ok" else 503
+            self._reply(code, json.dumps(info).encode(), _JSON)
         elif self.path == "/metrics":
             text = self.service.metrics.render()
             if self.service.batcher is not None:

@@ -54,6 +54,10 @@ def subseed(seed: int, *path: int) -> int:
     resolver folds for window batch ``i`` is the seed the remote client
     sends for window batch ``i``).
     """
+    if seed < 0:
+        # SeedSequence would raise a deep ValueError anyway; fail with the
+        # contract every seeded endpoint shares (the server maps it to 400).
+        raise ValueError(f"seed must be a non-negative integer (got {seed})")
     return int(np.random.SeedSequence(seed, spawn_key=path).generate_state(1)[0])
 
 
@@ -251,17 +255,17 @@ class TileEndpoints:
         product (including after a resumed/partial sweep — a row's draws
         depend only on the request seed and its row index).
 
-        ``start_band`` resumes a partial sweep: processing begins at that
-        window-row index (absolute — seeds and yielded ``sr_row0`` keep
-        their full-sweep values). A finalized band only ever receives
-        contributions from window-rows ``k-1`` and ``k`` (``overlap <=
-        window//2`` bounds the reach), so a caller resuming output band
-        ``k0`` passes ``start_band=k0-1`` and DISCARDS the first yield:
-        that band is recomputed purely to rebuild the overlap
-        accumulator (its own value may miss window ``k0-2``'s
-        contribution) and every yield after it is exact. With a ``seed``
-        the recomputed window draws are identical, so a resumed sweep
-        reproduces the uninterrupted product bitwise.
+        ``start_band`` resumes a partial sweep: the first yield is band
+        ``start_band`` (absolute — seeds and ``sr_row0`` keep their
+        full-sweep values) and every yielded band is exact. Internally
+        the sweep rebuilds the overlap accumulator from the earliest
+        window-row that still reaches into the resumed band's SR rows —
+        usually ``start_band - 1``, but the flush-tail window sits closer
+        than the regular stride, so when its gap is smaller than the
+        overlap an earlier window contributes too and more rows are
+        recomputed (never yielded twice). With a ``seed`` the recomputed
+        window draws are identical, so a resumed sweep reproduces the
+        uninterrupted product bitwise.
 
         Rasters smaller than one model window in either dimension are not
         streamable (the in-memory endpoints reflect-pad them up; use
@@ -292,7 +296,17 @@ class TileEndpoints:
             raise ValueError(
                 f"start_band {start_band} outside [0, {len(row_starts)})"
             )
-        base = 2 * row_starts[start_band]  # first SR row not yet yielded
+        # Rebuild from the earliest window that still reaches into the
+        # resumed band: window j covers SR rows [2*rs_j, 2*rs_j + 2p), so
+        # it contributes iff rs_j + p > rs_start. With the regular stride
+        # that is only j = start_band - 1, but the flush-tail window sits
+        # (size - patch) % stride rows after its neighbor — when that gap
+        # is smaller than the overlap, windows further back reach in too.
+        first_win = start_band
+        while (first_win > 0
+               and row_starts[first_win - 1] + p > row_starts[start_band]):
+            first_win -= 1
+        base = 2 * row_starts[first_win]  # first SR row accumulated
         num1 = num2 = den = None  # accumulators cover SR rows [base, ...)
 
         def grown(buf, rows, chans):
@@ -304,7 +318,7 @@ class TileEndpoints:
                 return np.concatenate([buf, pad])
             return buf
 
-        for k in range(start_band, len(row_starts)):
+        for k in range(first_win, len(row_starts)):
             rs = row_starts[k]
             lr = np.asarray(read_rows(rs, rs + p), np.float32)
             if lr.ndim != 3 or lr.shape[:2] != (p, width):
@@ -336,6 +350,13 @@ class TileEndpoints:
                 else 2 * height
             n = flush_to - base
             if n <= 0:
+                continue
+            if k < start_band:
+                # recomputed purely to rebuild the overlap accumulator:
+                # slice the finalized rows off without yielding them
+                num1, den, base = num1[n:], den[n:], flush_to
+                if moments:
+                    num2 = num2[n:]
                 continue
             mean = num1[:n] / den[:n]
             if moments:

@@ -129,6 +129,28 @@ def test_streamed_baseline_upsample_is_exact(tmp_path):
     assert st["ssim"] == pytest.approx(mem["ssim"], abs=0.05)
 
 
+def test_streamed_baseline_covers_final_band_on_odd_heights(tmp_path):
+    """Odd truth height: the final row band extends past the
+    baseline-covered region (bh = 2*(h//2)). Its rows must still be
+    scored — clipped to bh — or streamed baseline metrics silently cover
+    up to win-1 fewer rows than the in-memory scorer."""
+    t = _truth(h=101, w=32, seed=17)  # bands [0, 37]; 37+64 > bh=100
+    rng = np.random.default_rng(18)
+    product = (t + rng.normal(0, 60.0, t.shape)).astype(np.float32)
+    lr = t[:100].reshape(50, 2, 16, 2, 4).mean(axis=(1, 3))
+    tp, pp, lp = (str(tmp_path / n) for n in ("t.tif", "p.tif", "l.tif"))
+    write_tiff(tp, t)
+    write_tiff(pp, product)
+    write_tiff(lp, lr.astype(np.float32))
+    mem = evaluate.evaluate_product(product, t, lr=lr)
+    st = evaluate.evaluate_product_streamed(pp, tp, lr_path=lp, win=64)
+    # PSNR is exact accumulation: streamed == in-memory only if the final
+    # band's 36 covered rows are included
+    assert st["psnr_baseline"] == pytest.approx(mem["psnr_baseline"],
+                                                abs=2e-3)
+    assert st["psnr"] == pytest.approx(mem["psnr"], abs=1e-3)
+
+
 def test_streamed_cli_flag(tmp_path, capsys):
     t = _truth(h=40, w=36, seed=15)
     product = (t + np.random.default_rng(16).normal(0, 40.0, t.shape)

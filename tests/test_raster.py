@@ -187,6 +187,25 @@ def test_stream_resume_guards(ckpt, tmp_path):
     # --resume needs --request_seed (seam draws must be pinned)
     with pytest.raises(SystemExit, match="request_seed"):
         raster.main([src, dst, *_model_flags(ckpt), "--stream", "--resume"])
+    # seeds are non-negative by contract (tiling.subseed's domain)
+    with pytest.raises(SystemExit):
+        raster.main([src, dst, *_model_flags(ckpt), "--request_seed", "-2"])
+
+
+def test_url_request_seed_requires_server_capability(monkeypatch):
+    """Non-stream --url --request_seed: a pre-seed server silently ignores
+    unknown query params, breaking the bit-identical-product promise — the
+    CLI must refuse up front, like RemoteResolver does on the stream path."""
+    import argparse
+
+    from simple_vae_rs_tpu import client as client_mod
+
+    monkeypatch.setattr(client_mod.Client, "health",
+                        lambda self: {"channels": 4})  # no "seed" capability
+    args = argparse.Namespace(url="http://unit.test", token="", timeout=1.0,
+                              model_ckpt=None, request_seed=3)
+    with pytest.raises(SystemExit, match="seed"):
+        raster._open_endpoints(args)
 
 
 def test_stream_resume_rejects_changed_invocation(ckpt, tmp_path,
@@ -216,6 +235,11 @@ def test_stream_resume_rejects_changed_invocation(ckpt, tmp_path,
     monkeypatch.setattr(tiffio.TiffStripWriter, "write_rows", real)
     with pytest.raises(SystemExit, match="different invocation"):
         raster.main([src, dst, *flags, "--resume", "--request_seed", "6"])
+    # the fingerprint covers the MODEL identity too: resuming with a
+    # different network (here: the int8 decode variant) would splice two
+    # models' rows into one product
+    with pytest.raises(SystemExit, match="different invocation"):
+        raster.main([src, dst, *flags, "--resume", "--int8"])
 
 
 def test_stall_watchdog_aborts_and_resume_completes(ckpt, tmp_path):

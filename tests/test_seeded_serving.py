@@ -61,6 +61,10 @@ def test_subseed_is_pinned():
     assert subseed(0, 1) == 673228719
     assert subseed(7, 0) == 1201125462
     assert subseed(7, 3, 2) == 4014525388
+    # the seed domain is non-negative ints; fail at the contract surface,
+    # not deep inside SeedSequence mid-sweep
+    with pytest.raises(ValueError, match="non-negative"):
+        subseed(-3, 0)
 
 
 def test_seeded_super_resolve_reproducible_and_isolated(resolver, lr):

@@ -379,6 +379,15 @@ def test_error_paths(server_url):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server_url + "/v1/nope", b"{}", "application/json")
     assert e.value.code == 404
+    # negative seed: one rule on every endpoint (tile sweeps would reject
+    # it deep inside subseed anyway) -> clean 400
+    lr = np.random.default_rng(9).random((8, 8, 4)).astype(np.float32)
+    buf = io.BytesIO()
+    np.save(buf, lr)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server_url + "/v1/super_resolve?seed=-1", buf.getvalue(),
+              "application/x-npy")
+    assert e.value.code == 400
 
 
 def test_query_string_options_with_npy_body(server_url):
@@ -482,6 +491,53 @@ def test_device_prober_reports_ok_on_healthz_and_metrics():
             text = r.read().decode()
         assert "svrs_device_probe_ok 1" in text
         assert "svrs_device_probe_age_seconds" in text
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_degraded_healthz_returns_503_with_parseable_body():
+    """HTTP-code-based readiness probes (k8s httpGet: any 2xx = ready)
+    must see a wedged replica: degraded /healthz answers 503 — and
+    Client.health() still parses the body for capability discovery."""
+    import urllib.error
+    import urllib.request
+
+    cfg = CondSRVAEConfig(cr=2.0, patch_size=16)
+    model = CondSRVAE(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 16, 16, 4)),
+        jnp.zeros((1, 8, 8, 4)),
+        jax.random.PRNGKey(1),
+        train=False,
+    )
+    resolver = SuperResolver(model, variables)
+    srv = make_server(resolver, port=0)
+
+    class Degraded:
+        def status(self):
+            return {"ok": False, "latency_ms": 1.0, "age_s": 99.0}
+
+        def close(self):
+            pass
+
+    # reach the service through the bound handler class
+    srv.RequestHandlerClass.service.prober = Degraded()
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(url + "/healthz", timeout=30)
+        assert ei.value.code == 503
+        body = json.loads(ei.value.read())
+        assert body["status"] == "degraded"
+        from simple_vae_rs_tpu.client import Client
+
+        info = Client(url, retries=0).health()
+        assert info["status"] == "degraded"
+        assert info["device"]["ok"] is False
     finally:
         srv.shutdown()
         srv.server_close()

@@ -251,6 +251,46 @@ def test_iter_tile_rows_real_model(resolver):
     assert np.isfinite(out).all() and 0.0 <= out.min() and out.max() <= 1.0
 
 
+def test_iter_tile_rows_resume_exact_at_every_band(resolver):
+    """``start_band`` resumes bitwise even when the flush-tail window sits
+    closer than the overlap (gap 1 < overlap 4 here): window k-2 still
+    reaches into the final band's SR rows, so the sweep must rebuild from
+    it rather than assume only band k-1 contributes."""
+    from simple_vae_rs_tpu.tiling import grid_starts
+
+    rng = np.random.default_rng(6)
+    p = resolver.window  # LR window (8 for a 16px SR model)
+    H = 3 * (p - 4) + p + 1  # one regular stride past exact tiling
+    y = rng.random((H, 2 * p, 4)).astype(np.float32)
+    resolver.super_resolve = _det_sr
+    resolver.super_resolve_moments = None  # fallback draws via the stand-in
+    try:
+        starts = grid_starts(H, p, p - 4)
+        gap = starts[-1] - starts[-2]
+        assert 0 < gap < 4  # the tail window reaches 2 bands back
+        full = _assemble(resolver.iter_tile_rows(
+            lambda a, b: y[a:b], H, 2 * p, overlap=4, batch=4))
+        for k0, rs in enumerate(starts):
+            tail = _assemble(resolver.iter_tile_rows(
+                lambda a, b: y[a:b], H, 2 * p, overlap=4, batch=4,
+                start_band=k0))
+            np.testing.assert_array_equal(tail, full[2 * rs:])
+        # the moments path slices its second accumulator through the same
+        # recompute-without-yield branch
+        fm = _assemble(resolver.iter_tile_rows(
+            lambda a, b: y[a:b], H, 2 * p, overlap=4, batch=4,
+            samples=2, moments=True), moments=True)
+        tm = _assemble(resolver.iter_tile_rows(
+            lambda a, b: y[a:b], H, 2 * p, overlap=4, batch=4,
+            samples=2, moments=True, start_band=len(starts) - 1),
+            moments=True)
+        for k in ("mean", "std", "variance"):
+            np.testing.assert_array_equal(tm[k], fm[k][2 * starts[-1]:])
+    finally:
+        del resolver.super_resolve
+        del resolver.super_resolve_moments
+
+
 def test_iter_tile_rows_validates(resolver):
     y = np.zeros((6, 27, 4), np.float32)
     with pytest.raises(ValueError, match="smaller than one"):
