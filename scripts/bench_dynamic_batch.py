@@ -71,10 +71,11 @@ def main() -> int:
                    help="JAX platform override (e.g. cpu)")
     args = p.parse_args()
 
+    from simple_vae_rs_tpu.utils.backend import apply_backend
+
+    apply_backend(args.backend)
     import jax
 
-    if args.backend:
-        jax.config.update("jax_platforms", args.backend)
     from simple_vae_rs_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()

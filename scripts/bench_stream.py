@@ -44,10 +44,11 @@ def main() -> int:
         os.environ.get("SVRS_BENCH_PROBE_BUDGET_S", "900")))
     args = ap.parse_args()
 
+    from simple_vae_rs_tpu.utils.backend import apply_backend
+
+    apply_backend(args.backend)
     import jax
 
-    if args.backend:
-        jax.config.update("jax_platforms", args.backend)
     from simple_vae_rs_tpu.utils.cache import enable_compilation_cache
     from simple_vae_rs_tpu.utils.health import probe_backend
 

@@ -125,7 +125,13 @@ class MicroBatcher:
             )
         item = _Item(lr, normalize)
         self._q.put(item)
-        item.event.wait()
+        # bounded wait: if close() raced with this submit (worker consumed
+        # its sentinel and drained between our _closed check and the put),
+        # nothing will ever complete the item — detect the dead worker
+        # instead of blocking the handler thread forever
+        while not item.event.wait(timeout=1.0):
+            if not self._thread.is_alive():
+                raise RuntimeError("MicroBatcher closed")
         if item.err is not None:
             raise item.err
         assert item.out is not None
@@ -138,6 +144,8 @@ class MicroBatcher:
         self._closed = True
         self._q.put(None)
         self._thread.join(timeout=5.0)
+        if not self._thread.is_alive():
+            self._drain_failed()  # items that landed after the worker left
 
     # ---------------------------------------------------------------- worker
     def _collect(self, first: _Item) -> Tuple[List[_Item], bool]:
@@ -207,12 +215,15 @@ class MicroBatcher:
                 self._dispatch_group(items)
             if stopping:
                 break
-        # fail anything still queued (close() raced with submitters)
+        self._drain_failed()
+
+    def _drain_failed(self) -> None:
+        """Fail anything still queued (close() raced with submitters)."""
         while True:
             try:
                 it = self._q.get_nowait()
             except queue.Empty:
-                break
+                return
             if it is not None:
                 it.err = RuntimeError("MicroBatcher closed")
                 it.event.set()

@@ -435,7 +435,9 @@ def _apply_backend(args: argparse.Namespace) -> None:
     cannot switch backends, and once a backend has initialized the setting
     is frozen — entrypoint() applies this before its device banner."""
     if getattr(args, "backend", "") and not getattr(args, "_backend_applied", False):
-        jax.config.update("jax_platforms", args.backend)
+        from simple_vae_rs_tpu.utils.backend import apply_backend
+
+        apply_backend(args.backend)
         args._backend_applied = True
 
 

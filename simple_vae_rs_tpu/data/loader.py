@@ -70,6 +70,22 @@ class DeviceLoader:
             self._pool = ThreadPoolExecutor(max_workers=workers)
         self._epoch = 0
 
+    def close(self) -> None:
+        """Shut the decode pool down (idempotent). Loaders are often
+        built repeatedly in one process (sweeps, parity harnesses, test
+        suites); without this every ``workers>1`` loader would leak its
+        threads for the process lifetime."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+            self.workers = 1
+
+    def __del__(self) -> None:  # best-effort backstop for dropped loaders
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def __len__(self) -> int:
         n = len(self.dataset)
         if self.drop_last:

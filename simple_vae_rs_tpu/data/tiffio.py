@@ -265,6 +265,14 @@ class TiffReader:
             self._fh.close()
             raise ValueError(f"{path}: unsupported TIFF magic {magic} (bigtiff?)")
         (ifd_off,) = struct.unpack_from(bo + "I", head, 4)
+        if ifd_off == 0:
+            # TiffStripWriter leaves the pointer zeroed until a clean
+            # close — this is an interrupted/unfinalized product
+            self._fh.close()
+            raise ValueError(
+                f"{path}: no IFD — the file was written but never "
+                f"finalized (interrupted sweep? resume or re-run it)"
+            )
         tags = _read_ifd_file(self._fh, ifd_off, bo)
 
         self._bo = bo
@@ -310,6 +318,7 @@ class TiffReader:
                 )
             self._rps = -(-self.height // self._strips_per_plane)
         self._cache: OrderedDict = OrderedDict()
+        self._mono = None  # decoded (C, H, W) for monolithic-planar files
 
     # -- context management
     def close(self) -> None:
@@ -355,15 +364,41 @@ class TiffReader:
         if hit is not None:
             self._cache.move_to_end(key)
             return hit
+        if self._monolithic:
+            # One physical strip holds every plane, plane-major: a single
+            # compressed stream can only be decoded front-to-back, so
+            # bounded-memory access is impossible for this legacy layout.
+            # Decode and convert it ONCE and hand out plane views — the
+            # old per-plane path re-decompressed the whole payload for
+            # every plane and pinned duplicate copies in the strip cache.
+            if self._mono is None:
+                c = self.samples_per_pixel
+                need = self.height * self.width * c
+                self._fh.seek(self._offsets[0])
+                raw = self._fh.read(self._counts[0])
+                data = _decompress_strip(
+                    raw, self._comp, self.path,
+                    need * self._file_dtype.itemsize,
+                )
+                arr = np.frombuffer(data, dtype=self._file_dtype)
+                if arr.size < need:
+                    raise ValueError(
+                        f"{self.path}: strip 0 truncated "
+                        f"({arr.size} of {need} samples)"
+                    )
+                arr = arr[:need]
+                if self._pred == 2:
+                    arr = _undo_predictor(
+                        arr, self.height * c, self.width, 1
+                    )
+                self._mono = arr.astype(self.dtype).reshape(
+                    c, self.height, self.width
+                )
+            return self._mono[plane]
         chans = self.samples_per_pixel if self.planar == 1 else 1
         strip_rows = min(self._rps, self.height - sidx * self._rps)
-        if self._monolithic:
-            # one physical strip holds every plane, plane-major
-            need = self.height * self.width * self.samples_per_pixel
-            idx = 0
-        else:
-            need = strip_rows * self.width * chans
-            idx = plane * self._strips_per_plane + sidx
+        need = strip_rows * self.width * chans
+        idx = plane * self._strips_per_plane + sidx
         self._fh.seek(self._offsets[idx])
         raw = self._fh.read(self._counts[idx])
         data = _decompress_strip(
@@ -377,12 +412,7 @@ class TiffReader:
             )
         arr = arr[:need]
         if self._pred == 2:
-            rows = self.height * self.samples_per_pixel if self._monolithic \
-                else strip_rows
-            arr = _undo_predictor(arr, rows, self.width, chans)
-        if self._monolithic:
-            plane_n = self.height * self.width
-            arr = arr[plane * plane_n : (plane + 1) * plane_n]
+            arr = _undo_predictor(arr, strip_rows, self.width, chans)
         out = arr.astype(self.dtype).reshape(strip_rows, self.width * chans)
         self._cache[key] = out
         if len(self._cache) > self._CACHE_STRIPS:

@@ -28,10 +28,9 @@ def run_checks(budget_s: float = 120.0, backend: str = "") -> bool:
     """Print the report; True iff the accelerator probe succeeded."""
     import jax
 
-    if backend:
-        # mirrors cli._apply_backend: deployments whose sitecustomize
-        # force-sets jax_platforms need the config call, not the env var
-        jax.config.update("jax_platforms", backend)
+    from simple_vae_rs_tpu.utils.backend import apply_backend
+
+    apply_backend(backend)
 
     print("simple-vae-rs-tpu doctor")
 

@@ -306,10 +306,9 @@ def main(argv: Optional[list] = None) -> int:
                    help="JAX platform override (e.g. 'cpu'); same "
                    "semantics as train.py --backend")
     args = p.parse_args(argv)
-    if args.backend:
-        import jax
+    from simple_vae_rs_tpu.utils.backend import apply_backend
 
-        jax.config.update("jax_platforms", args.backend)
+    apply_backend(args.backend)
 
     if args.stream:
         out = evaluate_product_streamed(

@@ -117,9 +117,12 @@ def _pack_variables(variables: Dict[str, Any], weights: str):
         if weights == "f32" or not big_float:
             packed.append(("raw", arr))
         elif weights == "bf16":
-            packed.append(
-                ("bf16", np.asarray(jnp.asarray(arr).astype(jnp.bfloat16)))
-            )
+            # host-only cast (ml_dtypes, same rounding as the device op):
+            # a jnp round trip here would couple export to accelerator
+            # health, exactly what _rtn_numpy exists to avoid
+            import ml_dtypes
+
+            packed.append(("bf16", arr.astype(ml_dtypes.bfloat16)))
         else:
             q, scale = _rtn_numpy(arr)
             packed.append(("int8", q, scale))
@@ -551,8 +554,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                    "train.py --backend")
     args = p.parse_args(argv)
 
-    if args.backend:
-        jax.config.update("jax_platforms", args.backend)
+    from simple_vae_rs_tpu.utils.backend import apply_backend
+
+    apply_backend(args.backend)
 
     from simple_vae_rs_tpu.serve import SuperResolver
     from simple_vae_rs_tpu.utils.cache import enable_compilation_cache

@@ -337,41 +337,56 @@ def run_stream(args) -> None:
         samples=samples, moments=args.uncertainty,
         seed=args.request_seed, start_band=start_band,
     )  # a journal written after the final band leaves nothing to compute
-    for i, (_base, block) in enumerate(bands):
-        k = start_band + i
-        _beat[0] = _time.monotonic()  # a band arrived: feed the watchdog
-        if (k + 1) % every == 0 or k + 1 == n_bands:
-            print(f"  band {k + 1}/{n_bands}", end="\r" if tty else "\n",
-                  file=sys.stderr)
-        sr = block["mean"] if args.uncertainty else block
-        if args.scale == "input":
-            out = _cast_like(sr * denom + mn, in_dtype)
-        else:
-            out = sr.astype(np.float32)
-        writer.write_rows(_from_hwc(out, layout))
-        if std_writer is not None:
-            std = block["std"]
+    try:
+        for i, (_base, block) in enumerate(bands):
+            k = start_band + i
+            _beat[0] = _time.monotonic()  # a band arrived: feed the watchdog
+            if (k + 1) % every == 0 or k + 1 == n_bands:
+                print(f"  band {k + 1}/{n_bands}", end="\r" if tty else "\n",
+                      file=sys.stderr)
+            sr = block["mean"] if args.uncertainty else block
             if args.scale == "input":
-                std = std * denom  # std is scale-equivariant; no offset
-            std_writer.write_rows(_from_hwc(std.astype(np.float32), layout))
-        if args.resume:
-            state = {
-                "format": "svrs-stream-resume/2",
-                "fingerprint": fingerprint,
-                "next_band": k + 1,
-                "norm": norm_record,
-                "writer": writer.checkpoint(),
-                "std_writer": (std_writer.checkpoint()
-                               if std_writer else None),
-            }
-            tmp = journal_path + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump(state, fh)
-            os.replace(tmp, journal_path)  # atomic: old journal or new
+                out = _cast_like(sr * denom + mn, in_dtype)
+            else:
+                out = sr.astype(np.float32)
+            writer.write_rows(_from_hwc(out, layout))
+            if std_writer is not None:
+                std = block["std"]
+                if args.scale == "input":
+                    std = std * denom  # std is scale-equivariant; no offset
+                std_writer.write_rows(
+                    _from_hwc(std.astype(np.float32), layout))
+            if args.resume:
+                state = {
+                    "format": "svrs-stream-resume/2",
+                    "fingerprint": fingerprint,
+                    "next_band": k + 1,
+                    "norm": norm_record,
+                    "writer": writer.checkpoint(),
+                    "std_writer": (std_writer.checkpoint()
+                                   if std_writer else None),
+                }
+                tmp = journal_path + ".tmp"
+                with open(tmp, "w") as fh:
+                    json.dump(state, fh)
+                os.replace(tmp, journal_path)  # atomic: old journal or new
+    except BaseException as e:
+        # a mid-sweep failure (ServerError, Ctrl-C, wedge abort) must not
+        # leak the fds or emit a bogus IFD on the partial output — use the
+        # writers' __exit__-on-error semantics (fd closed, IFD pointer
+        # left zeroed; the journal makes the partial product resumable)
+        _done.set()
+        writer.__exit__(type(e), e, None)
+        if std_writer is not None:
+            std_writer.__exit__(type(e), e, None)
+        reader.close()
+        raise
     _done.set()
     if tty:
         print(file=sys.stderr)  # leave the \r progress line intact
     writer.close()
+    if std_writer is not None:
+        std_writer.close()  # before the journal removal: both IFDs or none
     reader.close()
     if args.resume and os.path.exists(journal_path):
         os.remove(journal_path)  # complete: the product stands alone
@@ -379,7 +394,6 @@ def run_stream(args) -> None:
           f"{np.dtype(out_dtype)} "
           f"({'input-scale' if args.scale == 'input' else '[0,1] float'})")
     if std_writer is not None:
-        std_writer.close()
         print(f"wrote {std_out}: posterior std, float32")
 
 
@@ -530,12 +544,10 @@ def main(argv: Optional[list] = None) -> None:
         p.error("--resume only applies to --stream runs")
     if args.stall_timeout and not args.stream:
         p.error("--stall_timeout only applies to --stream runs")
-    if args.backend and not args.url:
-        # the baked sitecustomize force-sets jax_platforms, so an env var
-        # alone cannot switch backends (see cli._apply_backend)
-        import jax
+    if not args.url:
+        from simple_vae_rs_tpu.utils.backend import apply_backend
 
-        jax.config.update("jax_platforms", args.backend)
+        apply_backend(args.backend)
     # client endpoints reject batch=None-substitutes themselves; local
     # endpoints want concrete defaults
     if not args.url:

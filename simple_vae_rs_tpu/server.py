@@ -649,12 +649,9 @@ def main(argv: Optional[list] = None) -> None:
                    "accelerator is unreachable); same semantics as "
                    "train.py --backend")
     args = p.parse_args(argv)
-    if args.backend:
-        # the baked sitecustomize force-sets jax_platforms, so an env var
-        # alone cannot switch backends (see cli._apply_backend)
-        import jax
+    from simple_vae_rs_tpu.utils.backend import apply_backend
 
-        jax.config.update("jax_platforms", args.backend)
+    apply_backend(args.backend)
 
     if args.artifact:
         baked = [name for name, val in [

@@ -41,6 +41,7 @@ def probe_backend(
     out = out or sys.stderr
     done = threading.Event()
     latency: list = []
+    error: list = []
 
     def run() -> None:
         try:
@@ -48,15 +49,19 @@ def probe_backend(
             x = jax.jit(lambda a: a + 1)(jnp.zeros((8, 128)))
             float(jax.device_get(x.sum()))
             latency.append(time.monotonic() - t0)
-            done.set()
-        except Exception:  # surfaced as a timeout below
-            pass
+        except Exception as e:  # fail FAST with the real cause, don't
+            error.append(e)     # burn the budget on a probe that errored
+        done.set()
 
     threading.Thread(target=run, daemon=True).start()
     deadline = time.monotonic() + budget_s
     while True:
         left = deadline - time.monotonic()
         if done.wait(min(30.0, max(0.0, left))):
+            if error:
+                print(f"backend probe failed: {type(error[0]).__name__}: "
+                      f"{error[0]}", file=out)
+                return None
             return latency[0]
         if time.monotonic() >= deadline:
             return None

@@ -164,6 +164,22 @@ def test_submit_shape_validation_and_close():
     mb.close()  # idempotent
 
 
+def test_submit_racing_close_does_not_hang():
+    """A submit that passed the _closed check just as close() ran lands
+    its item on a dead queue — the bounded wait must detect the dead
+    worker and raise instead of blocking the handler thread forever."""
+    model = _CountingModel()
+    mb = MicroBatcher(model, max_delay_ms=1.0)
+    mb.close()
+    # simulate the racing submitter: it already passed the check, so
+    # force the pre-close view of the flag and submit onto the dead queue
+    mb._closed = False
+    t0 = time.monotonic()
+    with pytest.raises(RuntimeError, match="closed"):
+        mb.submit(np.ones((1, 4, 4, 2), np.float32))
+    assert time.monotonic() - t0 < 5.0  # detected, not deadlocked
+
+
 @pytest.fixture(scope="module")
 def batched_server():
     """A real server over a tiny CondSRVAE with dynamic batching on."""

@@ -229,6 +229,35 @@ def test_tiff_reads_legacy_monolithic_planar(tmp_path, compression, predictor):
         assert np.array_equal(r.read_rows(3, 11), chw[:, 3:11])
 
 
+def test_monolithic_planar_decodes_payload_once(tmp_path, monkeypatch):
+    """A single-strip band-sequential file can only be decoded
+    front-to-back, so the reader decodes it ONCE and serves plane views
+    — the old path re-decompressed the entire payload per plane per
+    window (4x the full-file LZW decode on a 4-band scene sweep) and
+    pinned duplicate plane copies in the strip cache."""
+    from simple_vae_rs_tpu.data import tiffio
+
+    rng = np.random.default_rng(14)
+    chw = (rng.random((4, 14, 9)) * 60000).astype(np.uint16)
+    path = str(tmp_path / "legacy.tif")
+    _write_monolithic_planar(path, chw, compression=5)
+
+    calls = {"n": 0}
+    real = tiffio._decompress_strip
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(tiffio, "_decompress_strip", counting)
+    with tiffio.TiffReader(path) as r:
+        # several windows over all four planes: still one decode
+        assert np.array_equal(r.read_rows(0, 5), chw[:, 0:5])
+        assert np.array_equal(r.read_rows(3, 11), chw[:, 3:11])
+        assert np.array_equal(r.read_rows(10, 14), chw[:, 10:14])
+    assert calls["n"] == 1
+
+
 def test_native_lzw_encoder_matches_python():
     """The C encoder's output is byte-identical to the Python reference
     (same greedy table, width-bump schedule, 4094 reset, final-code bump),
@@ -488,6 +517,36 @@ def test_loader_workers_produce_identical_batches():
         np.testing.assert_array_equal(np.asarray(hr1), np.asarray(hr2))
     with pytest.raises(ValueError, match="workers"):
         DeviceLoader(ds, 4, 32, workers=0)
+
+
+def test_loader_close_shuts_down_decode_pool():
+    """Loaders are built repeatedly in one process (sweeps, parity
+    harnesses): close() must release the decode threads — and a closed
+    loader still iterates through the serial path."""
+    import threading
+
+    from simple_vae_rs_tpu.data import SyntheticSRDataset
+    from simple_vae_rs_tpu.data.loader import DeviceLoader
+
+    ds = SyntheticSRDataset(seed=0)
+    loader = DeviceLoader(ds, 4, 32, crop="random", workers=4)
+    first = next(iter(loader))  # spin the pool up
+    assert first[0].shape[0] == 4
+    before = threading.active_count()
+    loader.close()
+    loader.close()  # idempotent
+    assert loader._pool is None
+    # pool threads exit promptly once released (shutdown(wait=False) —
+    # they are idle, so give them a beat)
+    deadline = 50
+    while threading.active_count() >= before and deadline:
+        import time
+
+        time.sleep(0.05)
+        deadline -= 1
+    assert threading.active_count() < before
+    nxt = next(iter(loader))  # serial fallback still works
+    assert nxt[0].shape == first[0].shape
 
 
 def test_loader_workers_propagate_item_errors():

@@ -71,6 +71,29 @@ def test_bench_tpu_probe_paths():
         threading.Event = orig
 
 
+def test_probe_backend_fails_fast_with_the_real_cause(monkeypatch):
+    """A backend that errors IMMEDIATELY (typo'd platform, RPC raise)
+    must not be reported as 'unresponsive' after burning the whole
+    budget: the probe returns None right away and surfaces the
+    exception text."""
+    import io
+    import time
+
+    import jax
+
+    from simple_vae_rs_tpu.utils import health
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic backend failure")
+
+    monkeypatch.setattr(jax, "jit", boom)
+    buf = io.StringIO()
+    t0 = time.monotonic()
+    assert health.probe_backend(60.0, out=buf) is None
+    assert time.monotonic() - t0 < 30.0  # seconds, not the 60 s budget
+    assert "synthetic backend failure" in buf.getvalue()
+
+
 def test_doctor_reports_and_gates(capsys, monkeypatch):
     """python -m simple_vae_rs_tpu.doctor: ok on a live backend (exit-0
     gate), FAIL + False when the accelerator probe times out — the

@@ -242,6 +242,37 @@ def test_stream_resume_rejects_changed_invocation(ckpt, tmp_path,
         raster.main([src, dst, *flags, "--resume", "--int8"])
 
 
+def test_stream_failure_closes_files_without_bogus_ifd(ckpt, tmp_path,
+                                                       monkeypatch):
+    """A mid-sweep failure (server error, Ctrl-C) must close the fds via
+    the writers' error path: the partial output keeps its zeroed IFD
+    pointer, so readers refuse it cleanly instead of seeing a 'complete'
+    TIFF with missing rows."""
+    lr = (np.random.default_rng(31).random((40, 24, 4)) * 900).astype(
+        np.uint16)
+    src, dst = str(tmp_path / "lr.tif"), str(tmp_path / "out.tif")
+    write_tiff(src, lr)
+
+    from simple_vae_rs_tpu.data import tiffio
+
+    real = tiffio.TiffStripWriter.write_rows
+    calls = {"n": 0}
+
+    def bomb(self, block):
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise RuntimeError("simulated failure")
+        return real(self, block)
+
+    monkeypatch.setattr(tiffio.TiffStripWriter, "write_rows", bomb)
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        raster.main([src, dst, *_model_flags(ckpt), "--stream"])
+    monkeypatch.setattr(tiffio.TiffStripWriter, "write_rows", real)
+    assert os.path.exists(dst)
+    with pytest.raises(ValueError, match="never finalized"):
+        read_tiff(dst)  # zero IFD pointer -> clean refusal
+
+
 def test_stall_watchdog_aborts_and_resume_completes(ckpt, tmp_path):
     """A wedged dispatch mid-sweep: the --stall_timeout watchdog
     hard-exits (code 3) since a blocked call cannot be interrupted; the
