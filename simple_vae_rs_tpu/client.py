@@ -208,15 +208,58 @@ class Client:
             samples=samples, overlap=overlap, batch=batch, seed=seed,
         )
 
-    def resolver(self, normalize: bool = True) -> "RemoteResolver":
-        """Client-side tile driver bound to this server (see below)."""
+    def resolver(self, normalize: bool = True,
+                 pipeline: Optional[int] = None) -> "RemoteResolver":
+        """Client-side tile driver bound to this server (see below).
+
+        ``pipeline`` bounds the number of in-flight posts the tile/stream
+        sweeps keep (default: the sweeps' own dispatch depth); ``0`` makes
+        every post synchronous."""
         info = self.health()
         return RemoteResolver(
             self, window=int(info["patch_size"]) // 2,
             channels=info.get("channels"), normalize=normalize,
             moments=bool(info.get("moments")),
             seed_support=bool(info.get("seed")),
+            pipeline=pipeline,
         )
+
+
+class _Deferred:
+    """An in-flight POST's result: materializes (blocks) on first use.
+
+    ``RemoteResolver``'s async dispatch hooks return these so the
+    ``TileEndpoints`` sweep loops can keep several posts in flight before
+    touching the oldest result — the same overlap those loops already get
+    from JAX's async dispatch on a local resolver. Implements exactly the
+    accesses the loops perform on a pending result: ``shape``, slicing,
+    and ``np.asarray``. A failed POST (after the client's retries)
+    surfaces its ``ServerError`` at the fetch site, same as a synchronous
+    call — just later.
+    """
+
+    __slots__ = ("_future", "_pick")
+
+    def __init__(self, future, pick: Optional[int] = None) -> None:
+        self._future = future
+        self._pick = pick  # selects one element of a tuple-valued POST
+
+    def _value(self) -> np.ndarray:
+        out = self._future.result()
+        return out if self._pick is None else out[self._pick]
+
+    @property
+    def shape(self):
+        return self._value().shape
+
+    def __getitem__(self, key):
+        return self._value()[key]
+
+    def __array__(self, dtype=None, copy=None):
+        arr = self._value()
+        if dtype is not None and arr.dtype != np.dtype(dtype):
+            arr = arr.astype(dtype)
+        return arr
 
 
 class RemoteResolver(TileEndpoints):
@@ -231,11 +274,25 @@ class RemoteResolver(TileEndpoints):
     ``iter_tile_rows`` streams an arbitrarily large scene against a
     remote accelerator with bounded memory on BOTH sides. Construct via
     ``Client(url).resolver()`` (window size from ``/healthz``).
+
+    Window-batch posts are PIPELINED by default: the tile/stream sweeps
+    dispatch through ``super_resolve_async`` / ``super_resolve_moments_
+    async``, which post on a bounded thread pool and return lazy results,
+    so serializing + uploading batch k+1 overlaps the server's compute on
+    batch k (the server reads request bodies concurrently and serializes
+    only the device dispatch). On a high-latency link a sweep's wall time
+    drops toward max(transfer, compute) instead of their sum. Results
+    stitch by window index, so pipelining never reorders the product;
+    seeded sweeps stay bitwise-reproducible because every dispatch's seed
+    is a pure function of its position (``tiling.subseed``). ``pipeline=0``
+    restores strictly serial posts; direct ``super_resolve(...)`` calls
+    are synchronous either way.
     """
 
     def __init__(self, client: Client, window: int,
                  channels: Optional[int] = None, normalize: bool = True,
-                 moments: bool = False, seed_support: bool = True) -> None:
+                 moments: bool = False, seed_support: bool = True,
+                 pipeline: Optional[int] = None) -> None:
         self._client = client
         self._window_px = int(window)
         self.channels = channels
@@ -244,11 +301,27 @@ class RemoteResolver(TileEndpoints):
         # silently break the reproducibility contract — refuse instead
         # (/healthz advertises support via its `seed` field)
         self._seed_support = bool(seed_support)
+        depth = TileEndpoints._TILE_PIPELINE if pipeline is None \
+            else max(0, int(pipeline))
+        self._pool = None
+        if depth > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                max_workers=depth, thread_name_prefix="svrs-post")
         if not moments:
             # older server without /v1/super_resolve_moments: a None
             # instance attribute masks the method below, so the
             # TileEndpoints mixin packs (window, draw) pairs client-side
             self.super_resolve_moments = None  # type: ignore[assignment]
+
+    def close(self) -> None:
+        """Stop the post pool (in-flight posts are abandoned, not joined).
+        Harmless to skip — the pool's threads are idle between sweeps —
+        but lets long-lived processes reclaim them deterministically."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
 
     @property
     def window(self) -> int:
@@ -282,3 +355,35 @@ class RemoteResolver(TileEndpoints):
         return self._client.super_resolve_moments(
             wins, samples, normalize=normalize, **kw
         )
+
+    # -------------------------------------------- pipelined dispatch hooks
+    # The TileEndpoints sweeps prefer these (tiling._dispatch_fn /
+    # _moments_hook): each returns immediately with lazy result(s) while
+    # the POST runs on the pool, so up to _TILE_PIPELINE posts are in
+    # flight before the oldest is materialized. Inputs are snapshotted
+    # (asarray of a fresh chunk) before submission, so the sweep loop may
+    # reuse its buffers freely.
+    def super_resolve_async(self, lr, normalize: Optional[bool] = None,
+                            seed: Optional[int] = None):
+        if self._pool is None:
+            return self.super_resolve(lr, normalize=normalize, seed=seed)
+        self._check_seed(seed)
+        kw = {} if seed is None else {"seed": seed}
+        norm = self.normalize if normalize is None else normalize
+        lr = np.asarray(lr, np.float32)
+        return _Deferred(self._pool.submit(
+            self._client.super_resolve, lr, normalize=norm, **kw))
+
+    def super_resolve_moments_async(self, wins, samples: int,
+                                    normalize: bool = False,
+                                    seed: Optional[int] = None) -> tuple:
+        if self._pool is None:
+            return self.super_resolve_moments(
+                wins, samples, normalize=normalize, seed=seed)
+        self._check_seed(seed)
+        kw = {} if seed is None else {"seed": seed}
+        wins = np.asarray(wins, np.float32)
+        fut = self._pool.submit(
+            self._client.super_resolve_moments, wins, samples,
+            normalize=normalize, **kw)
+        return _Deferred(fut, pick=0), _Deferred(fut, pick=1)

@@ -148,9 +148,30 @@ class TileEndpoints:
     # and the device->host transfer of earlier batches with the dispatch of
     # later ones (a serial fetch-per-batch loop pays compute + transfer
     # end-to-end per batch). Bounded so a large raster's SR windows never
-    # pile up on HBM. (A synchronous remote super_resolve simply drains
-    # the pipeline with no benefit and no harm.)
+    # pile up on HBM. Remote resolvers opt into the same overlap by
+    # exposing ``super_resolve_async`` / ``super_resolve_moments_async``
+    # returning lazily-materialized results (``client.RemoteResolver``
+    # posts on a thread pool) — without them a synchronous remote
+    # super_resolve simply drains the pipeline with no benefit and no harm.
     _TILE_PIPELINE = 4
+
+    def _dispatch_fn(self):
+        """The batched SR dispatch for the pipelined loops: an async
+        variant when the resolver has one (result materializes at fetch
+        time), else the plain ``super_resolve``."""
+        fn = getattr(self, "super_resolve_async", None)
+        return fn if callable(fn) else self.super_resolve
+
+    def _moments_hook(self):
+        """The device-moments hook, if this resolver has one. The sync
+        attribute is the capability switch (``None`` masks it — older
+        servers, ``--no_moments`` A/B arms); only when it is live may the
+        async variant take over the actual dispatching."""
+        hook = getattr(self, "super_resolve_moments", None)
+        if not callable(hook):
+            return None
+        fn = getattr(self, "super_resolve_moments_async", None)
+        return fn if callable(fn) else hook
 
     def super_resolve_tile(
         self, y, overlap: Optional[int] = None, batch: int = 16,
@@ -420,6 +441,7 @@ class TileEndpoints:
             raise ValueError(f"batch must be >= 1 (got {batch})")
         from collections import deque
 
+        dispatch = self._dispatch_fn()
         pending: deque = deque()
         outs = []
 
@@ -438,7 +460,7 @@ class TileEndpoints:
                 )
             kw = {} if seed is None else {"seed": subseed(seed, j)}
             pending.append(
-                (self.super_resolve(chunk, normalize=False, **kw), short)
+                (dispatch(chunk, normalize=False, **kw), short)
             )
             if len(pending) >= self._TILE_PIPELINE:
                 fetch()
@@ -470,8 +492,8 @@ class TileEndpoints:
             raise ValueError(f"batch must be >= 1 (got {batch})")
         from collections import deque
 
-        hook = getattr(self, "super_resolve_moments", None)
-        if callable(hook):
+        hook = self._moments_hook()
+        if hook is not None:
             n = len(wins)
             s1 = s2 = None
             pending: deque = deque()
@@ -505,6 +527,7 @@ class TileEndpoints:
 
         n = len(wins)
         total = n * samples
+        dispatch = self._dispatch_fn()
         s1 = s2 = None
         pending: deque = deque()
 
@@ -525,7 +548,7 @@ class TileEndpoints:
             idx = np.minimum(np.arange(i, i + batch) // samples, n - 1)
             kw = {} if seed is None else {"seed": subseed(seed, j)}
             pending.append((
-                self.super_resolve(wins[idx], normalize=False, **kw),
+                dispatch(wins[idx], normalize=False, **kw),
                 idx, min(batch, total - i),
             ))
             if len(pending) >= self._TILE_PIPELINE:
