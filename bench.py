@@ -147,19 +147,19 @@ def main(
     patches_per_sec_per_chip = patches * steps / dt / n_chips
 
     # MFU: XLA's own FLOP count for the compiled train step against the
-    # chip's peak bf16 matmul rate (backs BASELINE.md's roofline claim)
+    # chip's peak bf16 matmul rate (backs BASELINE.md's roofline claim).
+    # Always normalized by the SINGLE-step graph's flops x steps: XLA's
+    # cost_analysis counts a lax.scan body once, not x trip-count, so the
+    # fused multi-step executable under-reports by exactly scan_steps
+    # (measured on the v5e: k=2/4/8 reported 0.26/0.13/0.065 for a true
+    # ~0.52 — this normalization makes all arms comparable).
     mfu = None
     try:
-        if k > 1:
-            cost = trainer._train_multi_step.lower(
-                state, fused, lr).compile().cost_analysis()
-            call_flops = float(cost.get("flops", 0.0))
-        else:
-            cost = trainer._train_step.lower(
-                state, batch, lr).compile().cost_analysis()
-            call_flops = float(cost.get("flops", 0.0))
-        if call_flops > 0:
-            mfu = call_flops * n_calls / dt / n_chips / _V5E_PEAK_BF16
+        cost = trainer._train_step.lower(
+            state, batch, lr).compile().cost_analysis()
+        step_flops = float(cost.get("flops", 0.0))
+        if step_flops > 0:
+            mfu = step_flops * steps / dt / n_chips / _V5E_PEAK_BF16
     except Exception:
         pass
 
