@@ -1,0 +1,49 @@
+#!/bin/bash
+# Warm a FRESH machine's TPU compile cache and record one healthy bench.
+#
+# A machine reset wipes ~/.cache/svrs_jax_cache, so the driver's
+# end-of-round bench.py would pay a cold multi-minute remote compile (or
+# time out entirely on a flapping tunnel). This watcher polls the doctor
+# and, on the first healthy window, runs bench.py once — the compile
+# lands in the persistent cache so every later bench starts in seconds.
+# Stage-resumable like scripts/tpu_queue.sh: a failed run is retried on
+# the next healthy poll; <stage>.done markers live in results/tpu_queue/.
+#
+# Usage (repo root):  nohup scripts/tpu_warm.sh >/dev/null 2>&1 &
+
+set -u
+cd "$(dirname "$0")/.."
+LOG=${LOG:-results/tpu_queue.log}
+DIR=results/tpu_queue
+POLLS=${POLLS:-96} # 96 x 15 min = 24 h
+mkdir -p "$DIR"
+export SVRS_BENCH_PROBE_BUDGET_S=${SVRS_BENCH_PROBE_BUDGET_S:-300}
+
+note() { echo "[$(date -u +%FT%TZ)] $*" >>"$LOG"; }
+
+run() {
+    local name=$1 tmo=$2; shift 2
+    [ -e "$DIR/$name.done" ] && return 0
+    note "start $name: $*"
+    timeout "$tmo" "$@" >"$DIR/$name.log" 2>&1
+    local rc=$?
+    note "done  $name exit=$rc"
+    [ "$rc" -eq 0 ] && touch "$DIR/$name.done"
+    return $rc
+}
+
+healthy() { timeout 300 python -m simple_vae_rs_tpu.doctor --budget 120 >>"$LOG" 2>&1; }
+
+note "warm queue armed (fresh machine, empty TPU compile cache): bench_warm"
+for i in $(seq 1 "$POLLS"); do
+    if [ -e "$DIR/bench_warm.done" ]; then note "bench_warm done — exiting"; exit 0; fi
+    if healthy; then
+        note "tunnel healthy (poll $i) — warming"
+        # Cold remote compile can take minutes; generous but bounded.
+        run bench_warm 3000 python bench.py
+    else
+        note "tunnel unhealthy (poll $i)"
+    fi
+    sleep 900
+done
+note "warm queue exhausted without success"

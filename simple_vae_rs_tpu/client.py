@@ -19,6 +19,18 @@ set (a whole-raster payload as JSON lists would be ~4x the bytes plus a
 float text round trip). No third-party dependencies — mirrors the
 server's stdlib-only contract (the reference has no serving client at all;
 its inference story is ``/root/reference/train.py:54-59``).
+
+``Client(url, wire="u16")`` switches BOTH directions to the u16 quantized
+wire (``wire.py``): request bodies post as uint16 + per-channel extrema
+and every response comes back the same way, halving the bytes on links
+where bytes are wall-clock (the measured serving bottleneck on relayed
+deployments — BASELINE.md). Quantization carries half a channel-range
+step of error (~7.6e-6 for [0,1] products), well under model error and
+UQ sampling noise; seeded requests stay byte-reproducible run-to-run
+because both sides dequantize the same transmitted integers. Requires a
+server that advertises ``wire_u16`` in ``/healthz`` — ``resolver()``
+checks; older servers 400 on the npz body (fail-loud, never silent
+corruption).
 """
 
 from __future__ import annotations
@@ -36,6 +48,7 @@ from simple_vae_rs_tpu.tiling import TileEndpoints
 
 _JSON = "application/json"
 _NPY = "application/x-npy"
+_NPZ = "application/x-npz"
 
 
 class ServerError(RuntimeError):
@@ -56,12 +69,19 @@ class Client:
 
     def __init__(self, base_url: str, timeout: float = 600.0,
                  retries: int = 2, backoff: float = 1.0,
-                 token: str = "") -> None:
+                 token: str = "", wire: str = "f32") -> None:
+        from simple_vae_rs_tpu import wire as wire_mod
+
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
         self.retries = max(0, int(retries))
         self.backoff = backoff
         self.token = token  # bearer token for servers started with --token
+        if wire not in wire_mod.WIRE_VALUES:
+            raise ValueError(
+                f"unknown wire={wire!r} (use one of {wire_mod.WIRE_VALUES[1:]})")
+        # "u16": quantized bodies both ways (see module docstring)
+        self.wire = wire_mod.WIRE_U16 if wire == wire_mod.WIRE_U16 else "f32"
 
     # ------------------------------------------------------------- plumbing
     def _request(self, path: str, body: Optional[bytes] = None,
@@ -117,27 +137,48 @@ class Client:
         np.save(buf, np.asarray(arr, np.float32))
         return buf.getvalue()
 
+    def _body(self, arr) -> tuple:
+        """(bytes, content-type) for a request array on this wire."""
+        if self.wire == "u16":
+            from simple_vae_rs_tpu import wire
+
+            buf = io.BytesIO()
+            np.savez(buf, **wire.encode_arrays_u16(
+                {"lr": np.asarray(arr, np.float32)}))
+            return buf.getvalue(), _NPZ
+        return self._npy(arr), _NPY
+
     @staticmethod
     def _decode(body: bytes, ctype: str) -> Dict[str, np.ndarray]:
         if ctype.startswith(_NPY):
             return {"sr": np.load(io.BytesIO(body), allow_pickle=False)}
-        if ctype.startswith("application/x-npz"):
+        if ctype.startswith(_NPZ):
+            from simple_vae_rs_tpu import wire
+
             with np.load(io.BytesIO(body), allow_pickle=False) as z:
-                return {k: z[k] for k in z.files}
+                # u16-wire replies carry <key>__lo/__hi companions;
+                # decode_arrays dequantizes those and passes plain-f32
+                # npz entries through, so one decoder serves both wires
+                return wire.decode_arrays({k: z[k] for k in z.files})
         return {k: np.asarray(v) for k, v in json.loads(body).items()}
 
     def _post_array(self, path: str, lr, **options) -> Dict[str, np.ndarray]:
-        """Always the binary npy body; options ride the query string.
+        """Always a binary body; options ride the query string.
 
         (An earlier revision fell back to a JSON ``tolist()`` body whenever
         an option was set — ~4x the bytes plus a float text round trip,
         exactly on the whole-raster endpoints where payloads are largest.
         The server merges query params under JSON body fields, so both
-        encodings keep working for hand-rolled callers.)"""
+        encodings keep working for hand-rolled callers.) On the u16 wire
+        the body is the quantized npz and ``wire=u16`` rides the query
+        string so the response comes back quantized too."""
         opts = {k: v for k, v in options.items() if v is not None}
+        if self.wire == "u16":
+            opts["wire"] = "u16"
         if opts:
             path = f"{path}?{urllib.parse.urlencode(opts)}"
-        out, ctype = self._request(path, self._npy(lr), _NPY)
+        body, body_type = self._body(lr)
+        out, ctype = self._request(path, body, body_type)
         return self._decode(out, ctype)
 
     # ------------------------------------------------------------ endpoints
@@ -216,6 +257,13 @@ class Client:
         sweeps keep (default: the sweeps' own dispatch depth); ``0`` makes
         every post synchronous."""
         info = self.health()
+        if self.wire == "u16" and not info.get("wire_u16"):
+            # a pre-u16 server 400s on the npz body mid-sweep; refuse at
+            # construction instead (same pattern as the seed guard)
+            raise ServerError(
+                "this server predates the u16 wire (/healthz has no "
+                "'wire_u16' capability) — use wire='f32' against it"
+            )
         return RemoteResolver(
             self, window=int(info["patch_size"]) // 2,
             channels=info.get("channels"), normalize=normalize,

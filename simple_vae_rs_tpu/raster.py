@@ -87,8 +87,15 @@ def _open_endpoints(args):
     if args.url:
         from simple_vae_rs_tpu.client import Client
 
-        c = Client(args.url, timeout=args.timeout, token=args.token)
+        wire = getattr(args, "wire", "f32")
+        c = Client(args.url, timeout=args.timeout, token=args.token,
+                   wire=wire)
         info = c.health()
+        if wire == "u16" and not info.get("wire_u16"):
+            raise SystemExit(
+                "--wire u16: this server predates the u16 wire (/healthz "
+                "has no 'wire_u16' capability) — drop the flag against it"
+            )
         if getattr(args, "request_seed", None) is not None \
                 and not info.get("seed"):
             # same guard RemoteResolver._check_seed applies on the
@@ -153,8 +160,8 @@ def run_stream(args) -> None:
     if args.url:
         from simple_vae_rs_tpu.client import Client
 
-        resolver = Client(args.url, timeout=args.timeout,
-                          token=args.token).resolver()
+        resolver = Client(args.url, timeout=args.timeout, token=args.token,
+                          wire=getattr(args, "wire", "f32")).resolver()
         expected = resolver.channels
     elif args.model_ckpt:
         from simple_vae_rs_tpu.serve import SuperResolver
@@ -533,6 +540,12 @@ def main(argv: Optional[list] = None) -> None:
                    help="JAX platform override for the local model (e.g. "
                    "'cpu' when the accelerator is unreachable); same "
                    "semantics as train.py --backend")
+    p.add_argument("--wire", choices=["f32", "u16"], default="f32",
+                   help="--url body encoding: 'u16' posts/fetches "
+                   "quantized uint16 arrays (~2x fewer bytes — the win on "
+                   "bandwidth-bound links; ~7.6e-6 quantization error on "
+                   "[0,1] products, far below model error). The server "
+                   "must advertise 'wire_u16' in /healthz")
     p.add_argument("--timeout", type=float, default=600.0,
                    help="HTTP timeout for --url mode")
     p.add_argument("--token", default=os.environ.get("SVRS_TOKEN", ""),

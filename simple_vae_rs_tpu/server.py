@@ -29,13 +29,26 @@ Endpoints (all arrays NHWC, channels last):
   raster (stitched per-window moments; ``samples``/``overlap``/``batch``
   optional).
 
-Two body encodings, negotiated by Content-Type:
+Three body encodings, negotiated by Content-Type:
 
 - ``application/json``: ``{"lr": [[...]], ...}`` nested lists; response is
   JSON with nested lists.
 - ``application/x-npy``: the raw ``.npy`` bytes of the LR array (faster —
   no float text round trip); response is ``.npy`` bytes (super_resolve) or
   a multi-array ``.npz`` (uncertainty).
+- ``application/x-npz``: an ``.npz`` whose ``lr`` entry may be u16-wire
+  quantized (uint16 + ``lr__lo``/``lr__hi`` float32 companions — see
+  ``wire.py``). Half the request bytes of the f32 npy wire; the serving
+  links this targets are bandwidth-bound (BASELINE.md tile/stream
+  sections), so wire bytes are wall-clock.
+
+Any binary request may additionally ask for a u16-wire RESPONSE with the
+``wire=u16`` option (query string or JSON field): every reply array comes
+back quantized in one ``.npz`` (again ~2x fewer bytes; quantization error
+is half a channel-range step — ``wire.py`` has the bound). ``/healthz``
+advertises ``"wire_u16": true``; older servers reject npz bodies with a
+400 and silently ignore ``wire=u16``, which ``client.Client`` guards
+against. JSON responses ignore ``wire`` (JSON is the debugging path).
 
 Endpoint options may also ride the query string on either encoding
 (``POST /v1/uncertainty?samples=64``) — that is how the typed client
@@ -271,15 +284,33 @@ class ModelService:
         if ctype.startswith(_NPY):
             arr = np.load(io.BytesIO(body), allow_pickle=False)
             return np.asarray(arr, np.float32), dict(query or {})
+        if ctype.startswith(_NPZ):
+            # npz body: `lr` entry, plain f32 or u16-wire quantized
+            # (uint16 + lr__lo/lr__hi companions; wire.decode_arrays
+            # handles both). Dequantization is float32 throughout, so the
+            # server reconstructs the exact values the client computed.
+            from simple_vae_rs_tpu import wire
+
+            with np.load(io.BytesIO(body), allow_pickle=False) as z:
+                entries = wire.decode_arrays({k: z[k] for k in z.files})
+            if "lr" not in entries:
+                raise ValueError("npz body is missing the 'lr' entry")
+            return np.asarray(entries["lr"], np.float32), dict(query or {})
         payload = json.loads(body.decode("utf-8"))
         if "lr" not in payload:
             raise ValueError("missing 'lr' field")
         return np.asarray(payload["lr"], np.float32), {**(query or {}), **payload}
 
     @staticmethod
-    def _encode(arrays: Dict[str, np.ndarray], ctype: str) -> Tuple[bytes, str]:
-        if ctype.startswith(_NPY):
+    def _encode(arrays: Dict[str, np.ndarray], ctype: str,
+                wire_opt: str = "") -> Tuple[bytes, str]:
+        if ctype.startswith(_NPY) or ctype.startswith(_NPZ):
             buf = io.BytesIO()
+            if wire_opt == "u16":
+                from simple_vae_rs_tpu import wire
+
+                np.savez(buf, **wire.encode_arrays_u16(arrays))
+                return buf.getvalue(), _NPZ
             if len(arrays) == 1:
                 np.save(buf, next(iter(arrays.values())))
                 return buf.getvalue(), _NPY
@@ -289,6 +320,17 @@ class ModelService:
             json.dumps({k: v.tolist() for k, v in arrays.items()}).encode(),
             _JSON,
         )
+
+    @staticmethod
+    def _wire_of(payload: Dict[str, Any]) -> str:
+        """Validated ``wire`` response-encoding option ("" = float32)."""
+        from simple_vae_rs_tpu import wire
+
+        opt = str(payload.get("wire") or "")
+        if opt not in wire.WIRE_VALUES:
+            raise ValueError(
+                f"unknown wire={opt!r} (use one of {wire.WIRE_VALUES[1:]})")
+        return opt if opt == wire.WIRE_U16 else ""
 
     # ------------------------------------------------------------ endpoints
     def health(self) -> Dict[str, Any]:
@@ -305,6 +347,7 @@ class ModelService:
                 "platforms": list(r.meta.get("platforms") or []),
                 "moments": moments,
                 "seed": True,
+                "wire_u16": True,
             }
         else:
             out = {
@@ -316,6 +359,7 @@ class ModelService:
                 "mesh": dict(r.mesh.shape) if r.mesh is not None else None,
                 "moments": moments,
                 "seed": True,
+                "wire_u16": True,
             }
         if self.prober is not None:
             dev = self.prober.status()
@@ -362,7 +406,7 @@ class ModelService:
                         lr, normalize=normalize, **seed_kw
                     )
                 )
-        return self._encode({"sr": out}, ctype)
+        return self._encode({"sr": out}, ctype, self._wire_of(payload))
 
     def super_resolve_tile(self, body: bytes, ctype: str, query=None) -> Tuple[bytes, str]:
         lr, payload = self._decode(body, ctype, query)
@@ -377,7 +421,7 @@ class ModelService:
                     **self._seed_of(payload),
                 )
             )
-        return self._encode({"sr": out}, ctype)
+        return self._encode({"sr": out}, ctype, self._wire_of(payload))
 
     def uncertainty_tile(self, body: bytes, ctype: str, query=None) -> Tuple[bytes, str]:
         lr, payload = self._decode(body, ctype, query)
@@ -391,7 +435,8 @@ class ModelService:
                 **self._seed_of(payload),
             )
         return self._encode(
-            {k: np.asarray(v) for k, v in maps.items()}, ctype
+            {k: np.asarray(v) for k, v in maps.items()}, ctype,
+            self._wire_of(payload),
         )
 
     def super_resolve_moments(self, body: bytes, ctype: str, query=None) -> Tuple[bytes, str]:
@@ -422,7 +467,8 @@ class ModelService:
             s1, s2 = hook(lr, samples, normalize=normalize,
                           **self._seed_of(payload))
             s1, s2 = np.asarray(s1, np.float32), np.asarray(s2, np.float32)
-        return self._encode({"s1": s1, "s2": s2}, ctype)
+        return self._encode({"s1": s1, "s2": s2}, ctype,
+                            self._wire_of(payload))
 
     def uncertainty(self, body: bytes, ctype: str, query=None) -> Tuple[bytes, str]:
         lr, payload = self._decode(body, ctype, query)
@@ -435,7 +481,8 @@ class ModelService:
                 **self._seed_of(payload),
             )
         return self._encode(
-            {k: np.asarray(v) for k, v in maps.items()}, ctype
+            {k: np.asarray(v) for k, v in maps.items()}, ctype,
+            self._wire_of(payload),
         )
 
 
