@@ -36,7 +36,6 @@ healthy() { timeout 300 python -m simple_vae_rs_tpu.doctor --budget 120 >>"$LOG"
 
 note "warm queue armed (fresh machine, empty TPU compile cache): bench_warm"
 for i in $(seq 1 "$POLLS"); do
-    if [ -e "$DIR/bench_warm.done" ]; then note "bench_warm done — exiting"; exit 0; fi
     if healthy; then
         note "tunnel healthy (poll $i) — warming"
         # Cold remote compile can take minutes; generous but bounded.
@@ -44,6 +43,9 @@ for i in $(seq 1 "$POLLS"); do
     else
         note "tunnel unhealthy (poll $i)"
     fi
+    # exit the moment the stage lands — don't sleep a full poll first
+    # (and never end a successful run with the exhausted message)
+    if [ -e "$DIR/bench_warm.done" ]; then note "bench_warm done — exiting"; exit 0; fi
     sleep 900
 done
 note "warm queue exhausted without success"

@@ -158,10 +158,17 @@ def run_stream(args) -> None:
     from simple_vae_rs_tpu.data.tiffio import TiffReader, TiffStripWriter
 
     if args.url:
-        from simple_vae_rs_tpu.client import Client
+        from simple_vae_rs_tpu.client import Client, ServerError
 
-        resolver = Client(args.url, timeout=args.timeout, token=args.token,
-                          wire=getattr(args, "wire", "f32")).resolver()
+        try:
+            resolver = Client(args.url, timeout=args.timeout,
+                              token=args.token,
+                              wire=getattr(args, "wire", "f32")).resolver()
+        except ServerError as e:
+            # capability guards (seed/wire vs an older server) and
+            # unreachable hosts deserve the CLI's clean message, not a
+            # traceback — same UX as the in-memory path's checks
+            raise SystemExit(f"--url: {e}")
         expected = resolver.channels
     elif args.model_ckpt:
         from simple_vae_rs_tpu.serve import SuperResolver

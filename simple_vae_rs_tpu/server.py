@@ -272,9 +272,8 @@ class ModelService:
         self.access_log = access_log
 
     # ------------------------------------------------------------- decoding
-    @staticmethod
     def _decode(
-        body: bytes, ctype: str, query: Optional[Dict[str, Any]] = None
+        self, body: bytes, ctype: str, query: Optional[Dict[str, Any]] = None
     ) -> Tuple[np.ndarray, Dict[str, Any]]:
         """(lr array, options). Options merge query-string params (the
         side channel that keeps the binary npy body viable when options
@@ -289,13 +288,49 @@ class ModelService:
             # (uint16 + lr__lo/lr__hi companions; wire.decode_arrays
             # handles both). Dequantization is float32 throughout, so the
             # server reconstructs the exact values the client computed.
+            # An npz is a zip whose entries may be deflated, so
+            # Content-Length alone cannot bound host memory (a ~100 KB
+            # body of zero-filled arrays inflates to hundreds of MB) —
+            # read ONLY the expected entries, each through a bounded
+            # reader that charges a shared max_body_bytes budget.
+            import zipfile
+
             from simple_vae_rs_tpu import wire
 
-            with np.load(io.BytesIO(body), allow_pickle=False) as z:
-                entries = wire.decode_arrays({k: z[k] for k in z.files})
+            entries: Dict[str, np.ndarray] = {}
+            budget = self.max_body_bytes
+            try:
+                with zipfile.ZipFile(io.BytesIO(body)) as zf:
+                    infos = [i for i in zf.infolist()
+                             if (i.filename[:-4] if i.filename.endswith(
+                                 ".npy") else i.filename)
+                             in ("lr", "lr__lo", "lr__hi")]
+                    # metadata pre-check refuses an honest bomb without
+                    # decompressing a byte...
+                    if sum(i.file_size for i in infos) > budget:
+                        raise ValueError(
+                            "npz entries exceed the body limit after "
+                            "decompression (--max_body_mb)")
+                    for info in infos:
+                        name = info.filename
+                        key = name[:-4] if name.endswith(".npy") else name
+                        # ...and the bounded read holds the line against
+                        # a lying zip header
+                        with zf.open(name) as fh:
+                            data = fh.read(budget + 1)
+                            if len(data) > budget:
+                                raise ValueError(
+                                    "npz entry exceeds the body limit "
+                                    "after decompression (--max_body_mb)")
+                            budget -= len(data)
+                        entries[key] = np.load(
+                            io.BytesIO(data), allow_pickle=False)
+            except zipfile.BadZipFile as e:
+                raise ValueError(f"bad npz body: {e}") from None
             if "lr" not in entries:
                 raise ValueError("npz body is missing the 'lr' entry")
-            return np.asarray(entries["lr"], np.float32), dict(query or {})
+            arr = wire.decode_arrays(entries)["lr"]
+            return np.asarray(arr, np.float32), dict(query or {})
         payload = json.loads(body.decode("utf-8"))
         if "lr" not in payload:
             raise ValueError("missing 'lr' field")
@@ -309,7 +344,16 @@ class ModelService:
             if wire_opt == "u16":
                 from simple_vae_rs_tpu import wire
 
-                np.savez(buf, **wire.encode_arrays_u16(arrays))
+                try:
+                    quantized = wire.encode_arrays_u16(arrays)
+                except ValueError as e:
+                    # a non-finite MODEL OUTPUT is the server's condition,
+                    # not the caller's — surface as a 500 (which clients
+                    # retry: an unseeded bad draw is transient), not the
+                    # 400 the generic ValueError handler would emit
+                    raise RuntimeError(
+                        f"cannot u16-encode the response: {e}") from None
+                np.savez(buf, **quantized)
                 return buf.getvalue(), _NPZ
             if len(arrays) == 1:
                 np.save(buf, next(iter(arrays.values())))
@@ -388,6 +432,7 @@ class ModelService:
 
     def super_resolve(self, body: bytes, ctype: str, query=None) -> Tuple[bytes, str]:
         lr, payload = self._decode(body, ctype, query)
+        wire_opt = self._wire_of(payload)  # validate BEFORE dispatch
         normalize = payload.get("normalize")  # None -> resolver default
         if normalize is not None:
             # query-string values arrive as strings ("0"/"1"); remote tile
@@ -406,10 +451,11 @@ class ModelService:
                         lr, normalize=normalize, **seed_kw
                     )
                 )
-        return self._encode({"sr": out}, ctype, self._wire_of(payload))
+        return self._encode({"sr": out}, ctype, wire_opt)
 
     def super_resolve_tile(self, body: bytes, ctype: str, query=None) -> Tuple[bytes, str]:
         lr, payload = self._decode(body, ctype, query)
+        wire_opt = self._wire_of(payload)  # validate BEFORE dispatch
         overlap = payload.get("overlap")  # None -> min(4, window//2)
         overlap = int(overlap) if overlap is not None else None
         batch = int(payload.get("batch", 16))
@@ -421,10 +467,11 @@ class ModelService:
                     **self._seed_of(payload),
                 )
             )
-        return self._encode({"sr": out}, ctype, self._wire_of(payload))
+        return self._encode({"sr": out}, ctype, wire_opt)
 
     def uncertainty_tile(self, body: bytes, ctype: str, query=None) -> Tuple[bytes, str]:
         lr, payload = self._decode(body, ctype, query)
+        wire_opt = self._wire_of(payload)  # validate BEFORE dispatch
         samples = int(payload.get("samples", 32))
         overlap = payload.get("overlap")  # None -> min(4, window//2)
         overlap = int(overlap) if overlap is not None else None
@@ -436,7 +483,7 @@ class ModelService:
             )
         return self._encode(
             {k: np.asarray(v) for k, v in maps.items()}, ctype,
-            self._wire_of(payload),
+            wire_opt,
         )
 
     def super_resolve_moments(self, body: bytes, ctype: str, query=None) -> Tuple[bytes, str]:
@@ -457,6 +504,7 @@ class ModelService:
                 "draw via /v1/super_resolve instead"
             )
         lr, payload = self._decode(body, ctype, query)
+        wire_opt = self._wire_of(payload)  # validate BEFORE dispatch
         samples = int(payload.get("samples", 32))
         normalize = payload.get("normalize")
         normalize = (
@@ -468,10 +516,11 @@ class ModelService:
                           **self._seed_of(payload))
             s1, s2 = np.asarray(s1, np.float32), np.asarray(s2, np.float32)
         return self._encode({"s1": s1, "s2": s2}, ctype,
-                            self._wire_of(payload))
+                            wire_opt)
 
     def uncertainty(self, body: bytes, ctype: str, query=None) -> Tuple[bytes, str]:
         lr, payload = self._decode(body, ctype, query)
+        wire_opt = self._wire_of(payload)  # validate BEFORE dispatch
         samples = int(payload.get("samples", 32))
         chunk = payload.get("chunk")  # None -> HBM-aware auto_chunk
         chunk = int(chunk) if chunk is not None else None
@@ -482,7 +531,7 @@ class ModelService:
             )
         return self._encode(
             {k: np.asarray(v) for k, v in maps.items()}, ctype,
-            self._wire_of(payload),
+            wire_opt,
         )
 
 

@@ -223,6 +223,71 @@ def test_json_requests_ignore_wire(server_url):
     assert np.asarray(out["sr"]).shape == (1, 16, 16, 4)
 
 
+@pytest.fixture(scope="module")
+def small_body_url():
+    """A server with a 1 MB body limit — bomb tests stay tiny."""
+    cfg = CondSRVAEConfig(cr=2.0, patch_size=16)
+    model = CondSRVAE(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 16, 16, 4)),
+        jnp.zeros((1, 8, 8, 4)),
+        jax.random.PRNGKey(1),
+        train=False,
+    )
+    srv = make_server(SuperResolver(model, variables, seed=4), port=0,
+                      max_body_mb=1)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _npz_body(**entries):
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, arr in entries.items():
+            inner = io.BytesIO()
+            np.save(inner, arr)
+            zf.writestr(f"{name}.npy", inner.getvalue())
+    return buf.getvalue()
+
+
+def test_npz_decompression_bomb_is_refused(small_body_url):
+    """Content-Length cannot bound a DEFLATED npz body — a zip of zeros
+    inflates ~1000x. The server charges DECOMPRESSED bytes against
+    --max_body_mb and refuses with a 400 before materializing them."""
+    body = _npz_body(lr=np.zeros((4, 1024, 1024), np.uint16))  # 8 MB > 1 MB
+    assert len(body) < 1 << 20  # compressed body sails past the 413 check
+    with pytest.raises(ServerError, match="400.*decompress"):
+        Client(small_body_url)._request(
+            "/v1/super_resolve", body, "application/x-npz", )
+
+
+def test_unexpected_npz_entries_never_decompress(small_body_url):
+    """Entries the protocol doesn't expect are skipped at the NAME check
+    (never decompressed, never charged) — the body still serves from its
+    'lr' entry even with an over-budget stowaway alongside."""
+    lr = np.random.default_rng(10).random((1, 8, 8, 4)).astype(np.float32)
+    body = _npz_body(lr=lr, evil=np.zeros((4, 1024, 1024), np.uint16))
+    out, ctype = Client(small_body_url)._request(
+        "/v1/super_resolve?seed=5", body, "application/x-npz")
+    assert ctype.startswith("application/x-npy")
+    assert np.load(io.BytesIO(out)).shape == (1, 16, 16, 4)
+
+
+def test_nonfinite_output_is_a_server_error():
+    """A NaN/inf MODEL OUTPUT on the u16 wire is the server's condition
+    (500, retried by clients), never a 400 blamed on the caller."""
+    from simple_vae_rs_tpu.server import ModelService
+
+    with pytest.raises(RuntimeError, match="u16-encode"):
+        ModelService._encode(
+            {"sr": np.array([[np.inf]], np.float32)},
+            "application/x-npy", "u16")
+
+
 def test_plain_f32_npz_body_accepted(server_url):
     """The npz request encoding works unquantized too (wire negotiation
     is per-direction: body encoding is self-describing)."""
