@@ -56,7 +56,7 @@ def main(
     bf16: bool = True,
     pallas_conv: bool = False,
     bf16_moments: bool = False,
-    scan_steps: int = 1,
+    scan_steps="1",
 ) -> None:
     from simple_vae_rs_tpu.config import CondSRVAEConfig, MeshConfig, TrainConfig
     from simple_vae_rs_tpu.utils.cache import enable_compilation_cache
@@ -119,7 +119,31 @@ def main(
     # call (lax.scan in trainer._train_multi_step). Amortizes per-dispatch
     # launch latency; steps rounds down to a whole number of fused calls
     # so the patches/step accounting stays exact.
-    k = max(1, int(scan_steps))
+    # --scan_steps auto: the engine's probe policy decides — time a short
+    # unfused window, probe the warm dispatch round trip, fuse k=2 only
+    # when the link is dispatch-bound (utils.health.choose_scan_steps;
+    # the same rule a default `fit` applies after epoch 1).
+    auto = str(scan_steps) in ("auto", "0")
+    auto_info = None
+    if auto:
+        from simple_vae_rs_tpu.utils import health
+
+        state, terms = trainer._train_step(state, batch, lr)  # compile+warm
+        float(jax.device_get(terms["loss"]))
+        t0 = time.perf_counter()
+        probe_steps = 3
+        for _ in range(probe_steps):
+            state, terms = trainer._train_step(state, batch, lr)
+        float(jax.device_get(terms["loss"]))
+        per_step = (time.perf_counter() - t0) / probe_steps
+        latency = health.dispatch_latency()
+        k = health.choose_scan_steps(per_step, latency)
+        auto_info = {
+            "per_step_ms": round(per_step * 1e3, 2),
+            "dispatch_ms": round(latency * 1e3, 2) if latency else None,
+        }
+    else:
+        k = max(1, int(scan_steps))
     if k > 1:
         host = tuple(np.asarray(a) for a in batch)
         fused = trainer._device_batch_stack([host] * k)
@@ -180,8 +204,10 @@ def main(
     }
     if mfu is not None:
         record["mfu"] = round(mfu, 4)
-    if k > 1:
+    if k > 1 or auto:
         record["scan_steps"] = k
+    if auto_info is not None:
+        record["scan_auto"] = auto_info
     print(json.dumps(record))
 
 
@@ -198,9 +224,9 @@ if __name__ == "__main__":
     if "--sweep" in sys.argv:
         sweep()
     else:
-        scan = 1
+        scan = "1"
         if "--scan_steps" in sys.argv:
-            scan = int(sys.argv[sys.argv.index("--scan_steps") + 1])
+            scan = sys.argv[sys.argv.index("--scan_steps") + 1]
         main(
             pallas_conv="--pallas_conv" in sys.argv,
             bf16_moments="--bf16_moments" in sys.argv,

@@ -62,7 +62,6 @@ def bench_ours(samples=1000, chunk=None, patch_size=64, cr=1.2, int8=False,
         float_out = sample_chunked(
             model, variables, y, jax.random.PRNGKey(9), samples=8, chunk=8
         )
-        qz.enable_int8(True)
         variables = dict(variables)
         variables["quant"] = qz.quantize_params_tree(
             variables["params"], jax.random.PRNGKey(4)

@@ -142,12 +142,13 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
         "average grads, one optimizer update. batch_size must divide evenly.",
     )
     parser.add_argument(
-        "--scan_steps", type=int, default=1,
+        "--scan_steps", type=int, default=0,
         help="Dispatch fusion: scan this many full optimizer steps (each "
         "its own batch + update) inside one jit dispatch — amortizes the "
         "per-dispatch launch latency (biggest on relayed/tunneled links). "
         "Composes with --accum_steps; leftover epoch-tail batches run as "
-        "single steps.",
+        "single steps. Default 0 = auto: probe the dispatch latency after "
+        "epoch 1 and fuse k=2 only when the link is dispatch-bound.",
     )
     parser.add_argument(
         "--bf16_moments", action="store_true",
@@ -400,7 +401,6 @@ def main(args: argparse.Namespace) -> None:
         # through the fused W8A8 kernels (training above was untouched)
         from simple_vae_rs_tpu.ops import quantize as qz
 
-        qz.enable_int8(True)
         variables["quant"] = qz.quantize_params_tree(
             variables["params"], jax.random.PRNGKey(args.seed)
         )

@@ -233,4 +233,10 @@ class TrainConfig:
     # tail cost even locally. Orthogonal to accum_steps (which scans
     # microbatches WITHIN one update); the two compose. Epoch-tail batches
     # that don't fill a chunk run as single steps.
-    scan_steps: int = 1
+    # 0 = AUTO: after the first epoch the engine probes the warm
+    # per-dispatch round trip (utils/health.dispatch_latency) and engages
+    # k=2 fusion when it rivals the measured per-step time — the case
+    # where unfused throughput collapses (7,592 vs 10,540 p/s in one
+    # degraded session, BASELINE.md) — at a measured ~0.994x cost when
+    # the link is healthy. Any explicit k >= 1 overrides the probe.
+    scan_steps: int = 0

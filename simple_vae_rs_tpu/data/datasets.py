@@ -154,3 +154,160 @@ class SyntheticSRDataset:
             (lr * scale).astype(np.float32),
             (hr * scale).astype(np.float32),
         )
+
+
+class SyntheticHFDataset:
+    """High-frequency synthetic LR/HR pairs — the arm where SR must BEAT
+    bicubic (the comparison the reference exists to win: its headline
+    quality story is SR-vs-bicubic-2x SSIM/LPIPS,
+    ``/root/reference/models/cond_vae.py:464-474``; on the smooth
+    :class:`SyntheticSRDataset` fields bicubic wins, BASELINE.md).
+
+    Scenes are what bicubic is worst at and a learned scene prior is
+    best at — band-correlated piecewise-constant structure with sharp
+    sub-pixel geometry:
+
+    - **Voronoi fields**: K cells at continuous (sub-pixel) site
+      coordinates, each painted with one of M "material" spectra (the
+      same geometry in every band, scaled per band — the band
+      correlation real multispectral data has). Cell interiors are flat
+      (bicubic reproduces them), but every boundary is a step edge whose
+      position the 2x2 box-mean LR encodes in its fractional edge-pixel
+      values. Bicubic turns that step into a 4-px ramp; a scene-prior
+      model can re-sharpen it.
+    - **Lines**: thin (~1 px) antialiased streaks (roads/ridges) that
+      box-downsampling dims and bicubic cannot re-thin.
+    - **Point sources**: sub-pixel Gaussian peaks (sigma ~0.6 HR px)
+      whose LR footprint is a single bright pixel with neighbors
+      encoding the sub-pixel position.
+    - **Illumination**: a smooth multiplicative low-frequency field so
+      the scene is not globally flat.
+    - A 2x supersample + box-down renders the HR, so edge pixels carry
+      proper area-weighted fractional values instead of aliased steps.
+
+    No i.i.d. pixel noise is added: every bit of high-frequency content
+    is a deterministic function of scene geometry, hence learnable —
+    the property the smooth dataset lacked.
+
+    LR is the 2x2 box-downsample of HR, matching the Sen2Venus 10 m/5 m
+    relation the reference trains on (``/root/reference/dataset.py``).
+    """
+
+    def __init__(
+        self,
+        length: int = 64,
+        hr_size: int = 256,
+        channels: int = 4,
+        seed: int = 0,
+    ) -> None:
+        self.length = length
+        self.hr_size = hr_size
+        self.channels = channels
+        self.seed = seed
+        # tiles are pure functions of (seed, idx) but cost real work to
+        # render (Voronoi + supersample); memoize per instance so epoch
+        # re-iteration doesn't re-render (64 x 256px tiles ~= 84 MB)
+        self._cache: dict = {}
+
+    def __len__(self) -> int:
+        return self.length
+
+    def _render(self, rng: np.random.Generator, gs: int) -> np.ndarray:
+        """Scene radiance on a ``gs``-pixel grid (the 2x supersample)."""
+        C = self.channels
+        hs = self.hr_size
+        # material spectra: per-material brightness x per-band modulation
+        # (strongly band-correlated, like real surface types)
+        M = 6
+        bright = 0.15 + 0.75 * rng.random((M, 1))
+        spectra = np.clip(bright * (0.6 + 0.8 * rng.random((M, C))), 0.05, 1.2)
+        # Voronoi cells at continuous coordinates, dense enough that step
+        # edges dominate the error budget (the structure bicubic is worst
+        # at: ~one cell per 20x20 HR px)
+        K = max(10, (hs * hs) // 400)
+        sites = rng.random((K, 2)) * gs
+        mat = rng.integers(0, M, K)
+        gain = 0.8 + 0.4 * rng.random(K)
+        yy, xx = np.mgrid[0:gs, 0:gs]
+        label = self._nearest_site(yy, xx, sites)
+        img = (spectra[mat] * gain[:, None])[label]  # (gs, gs, C)
+        # thin antialiased lines
+        L = max(3, hs // 24)
+        for _ in range(L):
+            p0 = rng.random(2) * gs
+            ang = rng.random() * np.pi
+            n = np.array([np.sin(ang), -np.cos(ang)])  # unit normal
+            d = np.abs((yy - p0[0]) * n[0] + (xx - p0[1]) * n[1])
+            w = (0.6 + 0.8 * rng.random()) * (gs / hs)
+            prof = np.exp(-((d / w) ** 2))
+            spec = spectra[rng.integers(0, M)] * (0.8 + 0.4 * rng.random())
+            a = prof[..., None]
+            img = img * (1 - a) + spec * a
+        # sub-pixel point sources
+        P = max(10, (hs * hs) // 450)
+        py, px = rng.random(P) * gs, rng.random(P) * gs
+        sig = (0.5 + 0.3 * rng.random(P)) * (gs / hs)
+        amp = 0.4 + 0.8 * rng.random(P)
+        pm = rng.integers(0, M, P)
+        for i in range(P):
+            r = 3.0 * sig[i]
+            y0, y1 = max(0, int(py[i] - r)), min(gs, int(py[i] + r) + 2)
+            x0, x1 = max(0, int(px[i] - r)), min(gs, int(px[i] + r) + 2)
+            if y0 >= y1 or x0 >= x1:
+                continue
+            dy = yy[y0:y1, x0:x1] - py[i]
+            dx = xx[y0:y1, x0:x1] - px[i]
+            g = amp[i] * np.exp(-(dy * dy + dx * dx) / (2 * sig[i] ** 2))
+            img[y0:y1, x0:x1] += g[..., None] * spectra[pm[i]]
+        # smooth multiplicative illumination (bilinear from a 4x4 grid)
+        grid = 0.8 + 0.4 * rng.random((4, 4))
+        t = np.linspace(0, 3, gs)
+        i0 = np.clip(t.astype(int), 0, 2)
+        f = t - i0
+        rows = (grid[i0] * (1 - f[:, None]) + grid[i0 + 1] * f[:, None])
+        illum = (rows[:, i0] * (1 - f[None, :]) + rows[:, i0 + 1] * f[None, :])
+        return img * illum[..., None]
+
+    @staticmethod
+    def _nearest_site(yy, xx, sites) -> np.ndarray:
+        """Per-pixel nearest-site label; KD-tree when scipy is present
+        (O(N log K) — the difference between ~5 s and ~0.1 s per 256px
+        tile), brute-force chunked argmin otherwise."""
+        try:
+            from scipy.spatial import cKDTree
+
+            pts = np.stack([yy.ravel(), xx.ravel()], axis=1)
+            _, idx = cKDTree(sites).query(pts)
+            return idx.reshape(yy.shape)
+        except ImportError:
+            gs = yy.shape[0]
+            label = np.empty(yy.shape, np.int32)
+            for r0 in range(0, gs, 64):
+                r1 = min(gs, r0 + 64)
+                d2 = (
+                    (yy[r0:r1, :, None] - sites[:, 0]) ** 2
+                    + (xx[r0:r1, :, None] - sites[:, 1]) ** 2
+                )
+                label[r0:r1] = np.argmin(d2, axis=-1)
+            return label
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        if not 0 <= idx < self.length:
+            raise IndexError(idx)
+        if idx in self._cache:
+            return self._cache[idx]
+        rng = np.random.default_rng(
+            (self.seed * 1_000_003 + idx) ^ 0x5F5F5F
+        )
+        hs = self.hr_size
+        gs = hs * 2  # 2x supersample -> area-weighted HR edge pixels
+        img = self._render(rng, gs)
+        hr = img.reshape(hs, 2, hs, 2, self.channels).mean(axis=(1, 3))
+        lr = hr.reshape(hs // 2, 2, hs // 2, 2, self.channels).mean(axis=(1, 3))
+        scale = 1000.0  # raw-ish DNs; normalization happens on device
+        pair = (
+            (lr * scale).astype(np.float32),
+            (hr * scale).astype(np.float32),
+        )
+        self._cache[idx] = pair
+        return pair

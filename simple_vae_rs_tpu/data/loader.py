@@ -197,11 +197,14 @@ def init_dataloader(
     """Build (train_loader, val_loader): reference flag surface + grid mode.
 
     Dataset names as in reference ``dataset.py:23-29``: Sen2Venus aliases
-    ("Sen2Venus"/"sen2venus"/"s2v"), "Floods"/"floods", plus "synthetic".
+    ("Sen2Venus"/"sen2venus"/"s2v"), "Floods"/"floods", plus "synthetic"
+    (smooth fields) and "synthetic_hf" (band-correlated high-frequency
+    scenes — the arm where SR beats the bicubic baseline).
     """
     from simple_vae_rs_tpu.data.datasets import (
         FloodDataset,
         Sen2VenusDataset,
+        SyntheticHFDataset,
         SyntheticSRDataset,
     )
 
@@ -212,6 +215,8 @@ def init_dataloader(
         ds = FloodDataset(root=data_root or "floods", patch_size=256)
     elif name == "synthetic":
         ds = SyntheticSRDataset(seed=seed)
+    elif name == "synthetic_hf":
+        ds = SyntheticHFDataset(seed=seed)
     else:
         raise ValueError(f"Unknown dataset: {dataset}")
 

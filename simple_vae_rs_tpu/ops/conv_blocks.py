@@ -80,7 +80,6 @@ class PallasCapableConv3x3(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         from simple_vae_rs_tpu.ops import pallas_conv as pc
-        from simple_vae_rs_tpu.ops import quantize as qz
 
         fan_in = self.in_features * 9
         kernel = self.param(
@@ -91,11 +90,12 @@ class PallasCapableConv3x3(nn.Module):
         )
         dt = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
         # W8A8 serving path: quantized weights present in the ``quant``
-        # collection (serve.SuperResolver(int8=True)) + process switch on.
+        # collection (serve.SuperResolver(int8=True)) — the collection in
+        # scope IS the switch; no process-global state, so int8 and f32
+        # models of the same class coexist in one process.
         # Eval-only — training never routes here (batch_stats mutable).
         if (
-            qz.is_int8_enabled()
-            and x.ndim == 4
+            x.ndim == 4
             and not self.is_mutable_collection("batch_stats")
             and self.has_variable("quant", "kernel_q")
         ):
@@ -394,15 +394,13 @@ class DownBlock(nn.Module, _FusedTailMixin):
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
         from simple_vae_rs_tpu.ops import pallas_conv as pc
-        from simple_vae_rs_tpu.ops import quantize as qz
 
         x = torch_conv(
             self.in_features, self.in_features, 3, 1, 1, dtype=self.dtype, name="conv"
         )(x)
         dt = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
         if (
-            qz.is_int8_enabled()
-            and not train
+            not train
             and not self.is_initializing()
             and self._has_quant_tail()
         ):
@@ -455,15 +453,13 @@ class UpBlock(nn.Module, _FusedTailMixin):
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
         from simple_vae_rs_tpu.ops import pallas_conv as pc
-        from simple_vae_rs_tpu.ops import quantize as qz
 
         x = torch_conv(
             self.in_features, self.in_features, 3, 1, 1, dtype=self.dtype, name="conv"
         )(x)
         dt = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
         if (
-            qz.is_int8_enabled()
-            and not train
+            not train
             and not self.is_initializing()
             and self._has_quant_tail()
             # measured per-shape routing (B250 serving chunk, BASELINE.md):
@@ -526,11 +522,10 @@ def tail_chain(mdl: nn.Module, h: Array, names, train: bool) -> Optional[Array]:
     opted in — it is measured-off by default, ``SVRS_CHAIN=1`` to enable;
     see the negative result in ``pallas_conv`` / BASELINE.md)."""
     from simple_vae_rs_tpu.ops import pallas_conv as pc
-    from simple_vae_rs_tpu.ops import quantize as qz
 
     if train or mdl.is_initializing() or not pc.chain_wanted():
         return None
-    if qz.is_int8_enabled() and mdl.variables.get("quant"):
+    if mdl.variables.get("quant"):
         # int8 serving quantizes these tail convs per-layer; the float
         # chain would silently de-quantize them — defer to the per-module
         # path so the W8A8 kernels keep running under SVRS_CHAIN=1

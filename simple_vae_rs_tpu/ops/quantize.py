@@ -176,8 +176,9 @@ def quantize_params_tree(
     ``prefixes`` becomes ``{kernel_q: int8, kernel_s: (O,) f32}`` at the
     same path; everything else is omitted. The result plugs into
     ``model.apply({"params": ..., "quant": ...})`` — the conv blocks route
-    through the W8A8 kernels when their scope has quant variables and the
-    process-wide switch is on (``enable_int8``).
+    through the W8A8 kernels exactly where their scope carries quant
+    variables (presence of the collection IS the switch; there is no
+    process-wide state, so int8 and f32 models coexist in one process).
 
     Per-leaf RNG streams are derived by folding a stable path hash into
     ``key``, so quantization is reproducible for a given (params, key).
@@ -210,20 +211,3 @@ def quantize_params_tree(
         return out
 
     return walk(params, ())
-
-
-# ------------------------------------------------------------- global switch
-# Process-wide opt-in mirroring ops/pallas_conv: read at TRACE time, set it
-# before the first jit of a serving graph.
-import os as _os
-
-_INT8 = _os.environ.get("SVRS_INT8", "0") == "1"
-
-
-def enable_int8(value: bool = True) -> None:
-    global _INT8
-    _INT8 = bool(value)
-
-
-def is_int8_enabled() -> bool:
-    return _INT8

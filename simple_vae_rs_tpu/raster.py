@@ -562,6 +562,11 @@ def main(argv: Optional[list] = None) -> None:
         p.error("--request_seed must be a non-negative integer")
     if args.resume and not args.stream:
         p.error("--resume only applies to --stream runs")
+    if args.wire == "u16" and not args.url:
+        # the flag is a --url body encoding; local mode would silently
+        # serve f32 products while the user believes they benchmarked u16
+        p.error("--wire u16 only applies to --url mode (local products "
+                "are always float32)")
     if args.stall_timeout and not args.stream:
         p.error("--stall_timeout only applies to --stream runs")
     if not args.url:

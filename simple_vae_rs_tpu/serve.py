@@ -207,12 +207,11 @@ class SuperResolver(TileEndpoints):
             # W8A8 decoder serving (beyond-parity; the v5e MXU runs int8 at
             # 2x bf16). Decoder conv weights are stochastic-round quantized
             # ONCE here; the conv blocks route through the fused int8
-            # kernels wherever their scope carries quant variables. Models
-            # without a ``quant`` collection are untouched even with the
-            # process switch on.
+            # kernels wherever their scope carries quant variables — the
+            # collection's presence is the only switch, so f32 resolvers
+            # in the same process are untouched.
             from simple_vae_rs_tpu.ops import quantize as qz
 
-            qz.enable_int8(True)
             if "quant" not in self.variables:
                 self.variables = dict(self.variables)
                 self.variables["quant"] = qz.quantize_params_tree(

@@ -314,9 +314,15 @@ class ModelService:
                     for info in infos:
                         name = info.filename
                         key = name[:-4] if name.endswith(".npy") else name
+                        # duplicate entries would decode bytes other than
+                        # the ones the metadata pre-check vetted
+                        if key in entries:
+                            raise ValueError(
+                                f"duplicate npz entry {name!r}")
                         # ...and the bounded read holds the line against
-                        # a lying zip header
-                        with zf.open(name) as fh:
+                        # a lying zip header; open by ZipInfo so the bytes
+                        # read are the entry that was vetted
+                        with zf.open(info) as fh:
                             data = fh.read(budget + 1)
                             if len(data) > budget:
                                 raise ValueError(
@@ -330,6 +336,13 @@ class ModelService:
             if "lr" not in entries:
                 raise ValueError("npz body is missing the 'lr' entry")
             arr = wire.decode_arrays(entries)["lr"]
+            if not np.issubdtype(arr.dtype, np.floating):
+                # a u16-wire body that lost its __lo/__hi companions would
+                # otherwise feed 0..65535-valued integers to the model as
+                # a plausible-looking float batch
+                raise ValueError(
+                    "non-float 'lr' entry (a quantized body must carry "
+                    "both lr__lo and lr__hi companions)")
             return np.asarray(arr, np.float32), dict(query or {})
         payload = json.loads(body.decode("utf-8"))
         if "lr" not in payload:

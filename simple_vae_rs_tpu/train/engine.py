@@ -88,6 +88,10 @@ class Trainer:
         self.state: Optional[TrainState] = None
         self.current_epoch = 0
         self.baseline_metrics: Optional[Dict[str, float]] = None
+        # scan_steps=0 (auto): resolved once, after the first trained
+        # epoch, by probing dispatch latency against the measured
+        # per-step time (see _maybe_autotune_scan)
+        self._auto_scan_k: Optional[int] = None
         self._build_steps()
 
     def _model_meta(self) -> Dict[str, Any]:
@@ -605,6 +609,47 @@ class Trainer:
             finally:
                 self.logger.finish()
 
+    def _resolve_scan_steps(self) -> int:
+        """Fused steps per dispatch for this epoch: an explicit
+        ``cfg.scan_steps >= 1`` wins; 0 (auto) rides the probe's decision
+        once made, unfused until then."""
+        cfg_k = int(getattr(self.cfg, "scan_steps", 1) or 0)
+        if cfg_k >= 1:
+            return cfg_k
+        return self._auto_scan_k or 1
+
+    def _maybe_autotune_scan(self, train_time: float, n_steps: int) -> None:
+        """Auto-engage dispatch fusion on dispatch-bound links.
+
+        With ``cfg.scan_steps=0``, after the FIRST trained epoch (its
+        per-step wall time is the real thing, compile noise and all the
+        loop's overheads included), probe the warm per-dispatch round
+        trip and fuse k=2 steps per dispatch for the remaining epochs
+        when the latency rivals the step time
+        (``utils.health.choose_scan_steps``). The measured case: a
+        degraded tunnel collapsed unfused throughput to 7,592 p/s while
+        k=2 held 10,540 in the same session; healthy, fusion costs
+        0.994x (BASELINE.md scan-steps revision). Decided once per fit.
+        """
+        if (
+            int(getattr(self.cfg, "scan_steps", 1) or 0) >= 1
+            or self._auto_scan_k is not None
+            or n_steps <= 0
+        ):
+            return
+        from simple_vae_rs_tpu.utils import health
+
+        latency = health.dispatch_latency()
+        per_step = train_time / n_steps
+        self._auto_scan_k = health.choose_scan_steps(per_step, latency)
+        if self._auto_scan_k > 1:
+            print(
+                f"dispatch-bound link detected ({latency * 1e3:.1f} ms "
+                f"round trip vs {per_step * 1e3:.1f} ms/step) — fusing "
+                f"scan_steps={self._auto_scan_k} optimizer steps per "
+                "dispatch for the remaining epochs"
+            )
+
     def _fit_epochs(
         self, train_loader, val_loader, epochs, start_epoch,
         val_metrics_every, prefix,
@@ -633,7 +678,7 @@ class Trainer:
             sums: Dict[str, Array] = {}
             n_train = 0
             lr = jnp.float32(self.scheduler.lr)
-            k = max(1, int(getattr(self.cfg, "scan_steps", 1)))
+            k = self._resolve_scan_steps()
             pending: list = []
 
             def _accumulate(terms, steps):
@@ -682,6 +727,7 @@ class Trainer:
             train_time = time.perf_counter() - t0
             if profiling:
                 jax.profiler.stop_trace()
+            self._maybe_autotune_scan(train_time, n_train)
             self.logger.log(
                 {**train_terms, "Perf/train_epoch_seconds": train_time}, step=epoch
             )

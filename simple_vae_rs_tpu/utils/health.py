@@ -71,3 +71,54 @@ def probe_backend(
                 f"({deadline - time.monotonic():.0f}s of budget left)",
                 file=out,
             )
+
+
+def dispatch_latency(reps: int = 3) -> Optional[float]:
+    """Warm per-dispatch round-trip latency (seconds): best of ``reps``
+    timed trivial-jit round trips AFTER a warmup call (so compile time is
+    excluded). This is the per-step overhead a host loop pays on every
+    dispatch — milliseconds on a local backend, 16 ms+ on this box's
+    healthy tunnel and up to ~1 s degraded (BASELINE.md scan-steps
+    revision). Called from contexts where the backend just did real work
+    (e.g. end of a trained epoch), so no deadline thread is needed; a
+    wedged backend would have hung the caller already.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        f = jax.jit(lambda a: a + 1)
+        x = jnp.zeros((8, 128))
+        float(jax.device_get(f(x).sum()))  # compile + warm
+        best = None
+        for _ in range(max(1, reps)):
+            t0 = time.monotonic()
+            float(jax.device_get(f(x).sum()))
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+    except Exception:
+        return None
+
+
+#: fused steps per dispatch that auto-tuning engages (k=2 recovered the
+#: full compute ceiling under degraded dispatch: 10,540 vs 7,592 p/s in
+#: one session, and costs nothing healthy — 0.994x; BASELINE.md)
+AUTO_SCAN_K = 2
+#: dispatch-latency share of a step at which fusion starts to pay
+AUTO_SCAN_THRESHOLD = 0.25
+
+
+def choose_scan_steps(
+    per_step_s: float, latency_s: Optional[float]
+) -> int:
+    """Dispatch-fusion policy shared by the training engine and bench:
+    fuse ``AUTO_SCAN_K`` full optimizer steps per jit dispatch when the
+    measured per-dispatch latency rivals the per-step wall time
+    (``latency > AUTO_SCAN_THRESHOLD * per_step``), else stay unfused.
+    On a dispatch-bound link per-step wall time IS the latency (ratio ~1);
+    on a compute-bound backend the probe is a tiny fraction of the step.
+    """
+    if latency_s is None or per_step_s <= 0:
+        return 1
+    return AUTO_SCAN_K if latency_s > AUTO_SCAN_THRESHOLD * per_step_s else 1

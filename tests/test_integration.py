@@ -102,13 +102,9 @@ def test_compressed_tiffs_to_training_to_int8_task(tmp_path):
     variables = {"params": state.params, "batch_stats": state.batch_stats,
                  "quant": qz.quantize_params_tree(state.params,
                                                   jax.random.PRNGKey(0))}
-    qz.enable_int8(True)
-    try:
-        out = run_task(model, variables, val_loader, "int8-task", 2.0,
-                       samples=4, chunk=4,
-                       results_root=str(tmp_path / "results"))
-    finally:
-        qz.enable_int8(False)
+    out = run_task(model, variables, val_loader, "int8-task", 2.0,
+                   samples=4, chunk=4,
+                   results_root=str(tmp_path / "results"))
     assert np.isfinite(out["mmse"])
     assert os.path.exists(os.path.join(out["results_dir"],
                                        "error_mean_std_maps.png"))

@@ -521,15 +521,11 @@ def test_tail_chain_defers_to_int8_quant(monkeypatch):
     model.apply(variables, x, y, key, train=False)
     assert calls
 
-    # int8 serving: quant collection present + switch on -> chain defers
+    # int8 serving: quant collection present -> chain defers
     calls.clear()
     qvars = dict(variables)
     qvars["quant"] = qz.quantize_params_tree(
         variables["params"], jax.random.PRNGKey(2)
     )
-    qz.enable_int8(True)
-    try:
-        model.apply(qvars, x, y, key, train=False)
-    finally:
-        qz.enable_int8(False)
+    model.apply(qvars, x, y, key, train=False)
     assert not calls

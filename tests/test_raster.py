@@ -328,3 +328,13 @@ raster.main([{src!r}, {part!r}, "--model_ckpt", {ckpt!r},
     raster.main([src, part, "--model_ckpt", ckpt, *flags, "--resume"])
     assert not os.path.exists(part + ".resume.json")
     np.testing.assert_array_equal(read_tiff(part), read_tiff(full))
+
+
+def test_wire_u16_requires_url(ckpt, tmp_path):
+    """--wire u16 is a --url body encoding; local mode must refuse it
+    instead of silently serving f32 products."""
+    src = str(tmp_path / "in.tif")
+    write_tiff(src, np.zeros((8, 8, 4), np.float32))
+    with pytest.raises(SystemExit):
+        raster.main([src, str(tmp_path / "out.tif"),
+                     *_model_flags(ckpt), "--wire", "u16"])

@@ -302,22 +302,18 @@ def test_mesh_serving_int8_keeps_fused_routing_and_matches_single():
     shard_map (the fused kernels are NOT force-disabled by the topology)
     and produces identical results to the single-device int8 resolver."""
     from simple_vae_rs_tpu.config import MeshConfig
-    from simple_vae_rs_tpu.ops import quantize as qz
     from simple_vae_rs_tpu.parallel.mesh import make_mesh
 
     model, variables = _small_cond()
     mesh = make_mesh(MeshConfig(data=8, model=1))
     y = np.random.default_rng(2).random((8, 8, 8, 4)).astype(np.float32)
-    try:
-        single = SuperResolver(model, variables, seed=5, int8=True)
-        a = single.super_resolve(y)
-        meshed = SuperResolver(model, variables, seed=5, int8=True, mesh=mesh)
-        b = meshed.super_resolve(y)
-        # int8 actually routed: differs from the f32 resolver's output
-        f32 = SuperResolver(model, variables, seed=5)
-        c = f32.super_resolve(y)
-    finally:
-        qz.enable_int8(False)
+    single = SuperResolver(model, variables, seed=5, int8=True)
+    a = single.super_resolve(y)
+    meshed = SuperResolver(model, variables, seed=5, int8=True, mesh=mesh)
+    b = meshed.super_resolve(y)
+    # int8 actually routed: differs from the f32 resolver's output
+    f32 = SuperResolver(model, variables, seed=5)
+    c = f32.super_resolve(y)
     # W8A8 activation scales are DYNAMIC (amax over the executing tile:
     # full batch on the XLA path, per program tile in the TPU kernel, per
     # shard under shard_map), so per-shard execution legitimately shifts
@@ -335,16 +331,11 @@ def test_int8_moments_route_quantized_decode():
     """``super_resolve_moments`` on an int8 resolver draws through the
     quantized decode (sums differ from the f32 resolver's at the same
     seed) and still yields valid statistics."""
-    from simple_vae_rs_tpu.ops import quantize as qz
-
     model, variables = _small_cond()
     y = np.random.default_rng(12).random((2, 8, 8, 4)).astype(np.float32)
-    try:
-        q1, q2 = SuperResolver(
-            model, variables, seed=5, int8=True
-        ).super_resolve_moments(y, 4)
-    finally:
-        qz.enable_int8(False)
+    q1, q2 = SuperResolver(
+        model, variables, seed=5, int8=True
+    ).super_resolve_moments(y, 4)
     f1, _ = SuperResolver(model, variables, seed=5).super_resolve_moments(
         y, 4
     )

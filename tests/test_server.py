@@ -580,3 +580,41 @@ def test_device_prober_stale_heartbeat_degrades():
     finally:
         release.set()
         p.close()
+
+
+def test_npz_missing_companions_is_400(server_url):
+    """A u16-wire body that lost its __lo/__hi companions must 400, not
+    feed 0..65535-valued integers to the model as a plausible batch."""
+    lr = np.random.default_rng(3).random((2, 8, 8, 4)).astype(np.float32)
+    from simple_vae_rs_tpu import wire as w
+
+    enc = w.encode_arrays_u16({"lr": lr})
+    for drop in (("lr__lo",), ("lr__lo", "lr__hi")):
+        partial = {k: v for k, v in enc.items() if k not in drop}
+        buf = io.BytesIO()
+        np.savez(buf, **partial)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server_url + "/v1/super_resolve", buf.getvalue(),
+                  "application/x-npz")
+        assert e.value.code == 400
+        assert "companion" in e.value.read().decode()
+
+
+def test_npz_duplicate_entries_are_rejected(server_url):
+    """Duplicate 'lr.npy' zip entries would decode bytes other than the
+    metadata the pre-check vetted — clean 400."""
+    import zipfile
+
+    lr = np.random.default_rng(4).random((2, 8, 8, 4)).astype(np.float32)
+    one = io.BytesIO()
+    np.save(one, lr)
+    raw = one.getvalue()
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("lr.npy", raw)
+        zf.writestr("lr.npy", raw)  # duplicate name
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server_url + "/v1/super_resolve", buf.getvalue(),
+              "application/x-npz")
+    assert e.value.code == 400
+    assert "duplicate" in e.value.read().decode()

@@ -641,3 +641,68 @@ def test_scan_steps_composes_with_accum():
                                          scan_steps=2, accum_steps=2))
     state = trainer.fit(loader, loader, epochs=1, val_metrics_every=10)
     assert int(state.step) == len(batches)
+
+
+def test_auto_scan_engages_on_dispatch_bound_link(monkeypatch):
+    """scan_steps=0 (the default): after epoch 1 the engine probes the
+    per-dispatch round trip and — on a dispatch-bound link — fuses k=2
+    steps per dispatch for the remaining epochs, no flag needed (the
+    round-3 degraded-tunnel case: 7,592 p/s unfused vs 10,540 fused)."""
+    from simple_vae_rs_tpu.utils import health
+
+    monkeypatch.setattr(health, "dispatch_latency", lambda reps=3: 1e6)
+    batches = _sr_batches(n=4, bs=2, ps=16, seed=21)
+    loader = ArrayLoader(batches)
+    model = CondSRVAE(CondSRVAEConfig(cr=2.0, patch_size=16))
+    trainer = Trainer(model, TrainConfig(epochs=2, learning_rate=1e-3))
+    assert trainer.cfg.scan_steps == 0  # auto is the default
+    fused_calls = []
+    orig = trainer._train_multi_step
+    trainer._train_multi_step = (
+        lambda *a, **k: (fused_calls.append(1), orig(*a, **k))[1]
+    )
+    state = trainer.fit(loader, loader, epochs=2, val_metrics_every=10)
+    assert trainer._auto_scan_k == health.AUTO_SCAN_K
+    assert fused_calls, "epoch 2 should have used the fused dispatch"
+    assert int(state.step) == 2 * len(batches)
+    import jax
+
+    assert all(np.isfinite(np.asarray(v)).all()
+               for v in jax.tree.leaves(state.params))
+
+
+def test_auto_scan_stays_unfused_on_fast_link(monkeypatch):
+    """On a compute-bound backend (probe latency << per-step time) the
+    auto policy keeps k=1 — no fused compile, no behavior change."""
+    from simple_vae_rs_tpu.utils import health
+
+    monkeypatch.setattr(health, "dispatch_latency", lambda reps=3: 0.0)
+    batches = _sr_batches(n=2, bs=2, ps=16, seed=22)
+    loader = ArrayLoader(batches)
+    model = CondSRVAE(CondSRVAEConfig(cr=2.0, patch_size=16))
+    trainer = Trainer(model, TrainConfig(epochs=2, learning_rate=1e-3))
+    fused_calls = []
+    orig = trainer._train_multi_step
+    trainer._train_multi_step = (
+        lambda *a, **k: (fused_calls.append(1), orig(*a, **k))[1]
+    )
+    trainer.fit(loader, loader, epochs=2, val_metrics_every=10)
+    assert trainer._auto_scan_k == 1
+    assert not fused_calls
+
+
+def test_explicit_scan_steps_overrides_auto(monkeypatch):
+    """An explicit --scan_steps k skips the probe entirely."""
+    from simple_vae_rs_tpu.utils import health
+
+    def boom(reps=3):
+        raise AssertionError("probe must not run with explicit scan_steps")
+
+    monkeypatch.setattr(health, "dispatch_latency", boom)
+    batches = _sr_batches(n=2, bs=2, ps=16, seed=23)
+    loader = ArrayLoader(batches)
+    model = CondSRVAE(CondSRVAEConfig(cr=2.0, patch_size=16))
+    trainer = Trainer(model, TrainConfig(epochs=2, learning_rate=1e-3,
+                                         scan_steps=2))
+    trainer.fit(loader, loader, epochs=2, val_metrics_every=10)
+    assert trainer._auto_scan_k is None

@@ -59,6 +59,24 @@ def test_codec_flat_channel_and_errors():
         wire.encode_arrays_u16({"sr__lo": x})
 
 
+def test_sub_tiny_span_quantizes_like_flat():
+    """A nonzero channel span below ~2e-34 would overflow 65535/span to
+    inf in float32 (then 0*inf=NaN at the channel-min element, whose
+    uint16 cast is platform-defined). Such spans are treated like flat
+    channels: q=0 everywhere, bit-deterministic, error <= span."""
+    tiny = np.float32(1e-36)
+    x = np.zeros((4, 4, 2), np.float32)
+    x[0, 0, 0] = tiny          # channel 0 span = 1e-36 (subnormal-tiny)
+    x[:, :, 1] = np.linspace(0, 1, 16, np.float32).reshape(4, 4)
+    q, lo, hi = wire.quantize_u16(x)
+    assert (q[:, :, 0] == 0).all()          # no NaN-cast garbage
+    back = wire.dequantize_u16(q, lo, hi)
+    assert np.isfinite(back).all()
+    assert np.abs(back[:, :, 0] - x[:, :, 0]).max() <= float(tiny)
+    # the healthy channel still quantizes normally
+    assert np.abs(back[:, :, 1] - x[:, :, 1]).max() <= 1.0 / wire.U16_MAX
+
+
 def test_decode_arrays_mixed_passthrough():
     """One decoder serves both wires: quantized keys dequantize, plain
     entries pass through untouched."""
