@@ -7,8 +7,12 @@ chain with no activations between — run layer-by-layer it round-trips
 every feature map through HBM. ``pallas_conv.fused_conv3x3_chain`` runs
 the whole chain on VMEM-resident row strips (one read + one write).
 
-Times both at the serving chunk size with the shared chained-dispatch
-methodology (``utils/benchtime.timeit``). One JSON line per measurement.
+Times three arms at the serving chunk size with the shared
+chained-dispatch methodology (``utils/benchtime.timeit``): the XLA
+sequential chain, the channels-in-lanes fused chain (the round-3
+negative), and the width-in-lanes redesign
+(``fused_conv3x3_chain_wl`` — spatial lanes, so O=16/4 layers stop
+starving the MXU). One JSON line per measurement.
 """
 
 from __future__ import annotations
@@ -61,6 +65,7 @@ def main() -> None:
 
         seq_fn = lambda x, ks=ks, bs=bs: pc._chain_reference(x, ks, bs)
         fused_fn = lambda x, ks=ks, bs=bs: pc.fused_conv3x3_chain(x, ks, bs)
+        wl_fn = lambda x, ks=ks, bs=bs: pc.fused_conv3x3_chain_wl(x, ks, bs)
 
         itemsize = jnp.dtype(dt).itemsize
         th = pc._chain_strip_rows(hw, hw, list(chans), itemsize)
@@ -70,11 +75,13 @@ def main() -> None:
         )
         row = {"dtype": dt_name, "shape": f"B{B} {hw}px {'->'.join(map(str, chans))}",
                "strip_rows": th}
-        for impl, fn in (("xla_seq", seq_fn), ("fused_chain", fused_fn)):
+        for impl, fn in (("xla_seq", seq_fn), ("fused_chain", fused_fn),
+                         ("wl_chain", wl_fn)):
             sec = timeit(fn, x, args.iters)
             row[impl + "_ms"] = round(sec * 1e3, 4)
             row[impl + "_tflops"] = round(flops / sec / 1e12, 2)
         row["speedup"] = round(row["xla_seq_ms"] / row["fused_chain_ms"], 2)
+        row["wl_speedup"] = round(row["xla_seq_ms"] / row["wl_chain_ms"], 2)
         print(json.dumps(row), flush=True)
 
 

@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Fused Pallas ELBO kernels vs the XLA loss path, end to end, one session.
+
+Round-3 verdict weak-spot 1: ``docs/KERNELS.md`` calls the fused ELBO row
+reductions "the training win" but no A/B of actual training throughput
+was ever recorded (the loss terms sit inside the step's ~14.7%
+loop-fusion tail, so the win may be ~1% — it should be a measurement
+either way). This script runs the bench config's donated train step with
+
+- arm ``pallas``: ``ops/pallas_elbo`` row kernels (the default on TPU);
+- arm ``xla``:    ``pallas_elbo._use_pallas`` forced False at trace time,
+  so every row reduction lowers through the ``ops/losses.py`` jnp math
+  (numerically identical by test — only the kernels differ);
+
+in the SAME process/session (same tunnel health), warmup + fetch-synced
+timing like bench.py. Prints one JSON line per arm plus a summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _arm(name: str, force_xla: bool, tiles: int, patch_size: int, cr: float,
+         warmup: int, steps: int):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from simple_vae_rs_tpu.config import CondSRVAEConfig, MeshConfig, TrainConfig
+    from simple_vae_rs_tpu.models import CondSRVAE
+    from simple_vae_rs_tpu.ops import pallas_elbo as L
+    from simple_vae_rs_tpu.ops.patchify import grid_sr_batch
+    from simple_vae_rs_tpu.parallel.mesh import make_mesh
+    from simple_vae_rs_tpu.train.engine import Trainer
+
+    orig = L._use_pallas
+    if force_xla:
+        L._use_pallas = lambda: False
+    try:
+        n_chips = len(jax.devices())
+        mesh = make_mesh(MeshConfig(data=n_chips, model=1))
+        model = CondSRVAE(
+            CondSRVAEConfig(cr=cr, patch_size=patch_size), dtype=jnp.bfloat16
+        )
+        # a fresh Trainer per arm: its jitted closures trace under the
+        # current _use_pallas, so each arm compiles its own executable
+        trainer = Trainer(model, TrainConfig(use_bfloat16=True), mesh=mesh)
+        rng = np.random.default_rng(0)
+        lr_t = rng.random((tiles, 128, 128, 4), dtype=np.float32) * 1000
+        hr_t = rng.random((tiles, 256, 256, 4), dtype=np.float32) * 1000
+        patch_fn = jax.jit(lambda a, b: grid_sr_batch(a, b, patch_size))
+        batch = patch_fn(jnp.asarray(lr_t), jnp.asarray(hr_t))
+        batch = jax.block_until_ready(trainer._device_batch(batch))
+        patches = batch[1].shape[0]
+        state = trainer.init_state(batch)
+        lr = jnp.float32(1e-4)
+        for _ in range(warmup):
+            state, terms = trainer._train_step(state, batch, lr)
+        float(jax.device_get(terms["loss"]))
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, terms = trainer._train_step(state, batch, lr)
+        loss = float(jax.device_get(terms["loss"]))
+        dt = time.perf_counter() - t0
+        pps = patches * steps / dt / n_chips
+        row = {"arm": name, "patches_per_sec_per_chip": round(pps, 2),
+               "steps": steps, "loss": round(loss, 3)}
+        print(json.dumps(row), flush=True)
+        return pps
+    finally:
+        L._use_pallas = orig
+
+
+def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiles", type=int, default=32)
+    ap.add_argument("--patch_size", type=int, default=64)
+    ap.add_argument("--cr", type=float, default=1.2)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--steps", type=int, default=20)
+    args = ap.parse_args()
+
+    from simple_vae_rs_tpu.utils.cache import enable_compilation_cache
+    from simple_vae_rs_tpu.utils.health import probe_backend
+
+    enable_compilation_cache()
+    budget = float(os.environ.get("SVRS_BENCH_PROBE_BUDGET_S", "900"))
+    if probe_backend(budget) is None:
+        print("elbo_ab: backend unresponsive; aborting", file=sys.stderr)
+        os._exit(2)
+
+    # interleave A/B/A/B so a mid-session tunnel-health drift shows up as
+    # disagreement between the two passes of the same arm
+    p1 = _arm("pallas", False, args.tiles, args.patch_size, args.cr,
+              args.warmup, args.steps)
+    x1 = _arm("xla", True, args.tiles, args.patch_size, args.cr,
+              args.warmup, args.steps)
+    p2 = _arm("pallas2", False, args.tiles, args.patch_size, args.cr,
+              args.warmup, args.steps)
+    x2 = _arm("xla2", True, args.tiles, args.patch_size, args.cr,
+              args.warmup, args.steps)
+    pallas = (p1 + p2) / 2
+    xla = (x1 + x2) / 2
+    print(json.dumps({
+        "summary": "fused_elbo_vs_xla_loss",
+        "pallas_pps": round(pallas, 2),
+        "xla_pps": round(xla, 2),
+        "speedup": round(pallas / xla, 4),
+        "drift_pallas": round(abs(p1 - p2) / max(p1, p2), 4),
+        "drift_xla": round(abs(x1 - x2) / max(x1, x2), 4),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

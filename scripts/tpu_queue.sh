@@ -1,23 +1,23 @@
 #!/bin/bash
-# Drain the queued TPU work across a FLAPPING tunnel.
+# Drain the queued TPU work across a FLAPPING tunnel (round 4).
 #
-# The tunnel comes back in short healthy windows (2026-08-19 evening: one
-# ~8-minute window at 23:33-23:41 ran two stages before it wedged again),
-# so the queue is stage-resumable: every poll that finds the tunnel
-# healthy runs the next INCOMPLETE stage; a stage that fails (probe
-# timeout, wedge mid-run) is retried on a later window instead of
-# aborting the whole queue. Completion markers live in results/tpu_queue/
-# (<stage>.done), per-stage stdout in <stage>.log.
+# Stage-resumable: every poll that finds the tunnel healthy runs the
+# next INCOMPLETE stage; a stage that fails (probe timeout, mid-run
+# wedge) is retried on a later healthy window. Completion markers live
+# in results/tpu_queue/ (<stage>.done), per-stage stdout in <stage>.log.
 #
-# Remaining queue (stream_moments already landed 2026-08-19 23:43:
-# 1024x1024x4 ps=64 batch=32 samples=32 uncertainty, device moments:
-# 16.66 s/scene, ~2489 window-draws/s):
-#   tile_moments / tile_no_moments   — whole-raster UQ A/B (moments hook)
-#   stream_no_moments                — streamed-scene UQ A/B partner
-#   bench_sanity                     — bench.py at HEAD (expect ~10.6k p/s)
-#   scan2 -> scan4 -> scan8          — dispatch-fusion ladder, LAST
-#     (new-graph remote compiles have wedged the tunnel; each rung is
-#     deadline-bounded and the ladder stops at the first failure)
+# Round-4 queue, in value order:
+#   hf_tpu_e40     — canonical Cond arm on the high-frequency (PSF)
+#                    synthetic set: the bicubic-beat experiment's jax
+#                    side (verdict item 1); ~14 s/epoch on the v5e
+#   hf_tpu_e120    — extend the same arm (archives at e120)
+#   elbo_ab        — fused-ELBO vs XLA-loss training A/B (item 2);
+#                    compiles ONE new step graph (the XLA-loss arm)
+#   wl_chain       — width-in-lanes chain kernel vs XLA vs old chain
+#                    (item 3); small fresh kernels, low compile risk
+#   artifact_int8  — artifact vs live-int8 paired serving window (item 5)
+#   bench_auto     — bench.py --scan_steps auto (item 6's probe policy
+#                    on the real link) — doubles as the headline sanity
 #
 # Usage (repo root):  nohup scripts/tpu_queue.sh >/dev/null 2>&1 &
 
@@ -45,30 +45,25 @@ run() {
 
 healthy() { timeout 300 python -m simple_vae_rs_tpu.doctor --budget 120 >>"$LOG" 2>&1; }
 
+STAGES="hf_tpu_e40 hf_tpu_e120 elbo_ab wl_chain artifact_int8 bench_auto"
 all_done() {
-    for s in tile_moments tile_no_moments stream_no_moments bench_sanity scan2; do
+    for s in $STAGES; do
         [ -e "$DIR/$s.done" ] || return 1
     done
     return 0
 }
 
-note "queue re-armed (stage-resumable): tile A/B + stream_no_moments + bench + scan ladder (max $POLLS polls)"
+note "round-4 queue armed: $STAGES (max $POLLS polls)"
 for i in $(seq 1 "$POLLS"); do
     if all_done; then note "all stages done — exiting"; exit 0; fi
     if healthy; then
         note "tunnel healthy (poll $i) — running incomplete stages"
-        run tile_moments      2400 python scripts/bench_tile.py --uncertainty --samples 32 \
-          && run tile_no_moments   2400 python scripts/bench_tile.py --uncertainty --samples 32 --no_moments \
-          && run stream_no_moments 3600 python scripts/bench_stream.py --hw 1024 --uncertainty --samples 32 --no_moments \
-          && run bench_sanity      3600 python bench.py \
-          && { # scan ladder only reached with everything else banked
-               if run scan2 1800 python bench.py --scan_steps 2; then
-                   run scan4 1800 python bench.py --scan_steps 4 \
-                     && run scan8 2400 python bench.py --scan_steps 8
-               else
-                   note "scan_steps 2 failed — not retrying the ladder (compile risk)"
-                   touch "$DIR/scan2.done"  # do not re-risk a wedge-y compile
-               fi; }
+        run hf_tpu_e40    3600 python scripts/quality_parity.py --side tpu --dataset hf --epochs 40 \
+          && run hf_tpu_e120   5400 python scripts/quality_parity.py --side tpu --dataset hf --epochs 120 \
+          && run elbo_ab       3600 python scripts/bench_elbo_ab.py \
+          && run wl_chain      2400 python scripts/bench_chain.py \
+          && run artifact_int8 3600 python scripts/bench_artifact_int8.py \
+          && run bench_auto    3600 python bench.py --scan_steps auto
         all_done && { note "queue drained — record numbers in BASELINE.md"; exit 0; }
         note "a stage failed (tunnel flapped?) — back to polling"
     else

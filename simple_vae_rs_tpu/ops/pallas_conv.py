@@ -390,6 +390,170 @@ def _chain_reference(x, kernels, biases):
     return h
 
 
+# --------------------------------------------------- width-in-lanes chain
+# The round-3 chain postmortem's prescribed redesign (BASELINE.md fused-
+# chain entry): the failed kernel put OUTPUT CHANNELS in MXU lanes, which
+# fills 12.5%/3% of the 128 lanes at O=16/4 — a 5x compute-geometry
+# deficit no HBM saving recovers. This formulation transposes the problem:
+# activations live as (C, rows, W) — channels in sublanes, SPATIAL WIDTH
+# in lanes — and each conv tap is one matmul
+#
+#     (O, C) x (C, rows*W)     [einsum 'oc,crw->orw']
+#
+# whose lane dimension is rows*W (always full), independent of how few
+# output channels the layer has. dx taps become lane rolls; the two
+# wrapped columns per roll are exactly the image x-edges, where SAME
+# zero-padding wants zeros anyway, so a lane mask reproduces the conv's
+# padding semantics precisely. dy taps are sublane-window slices over the
+# strip (halo rows as in the channels-in-lanes chain; out-of-image halo
+# rows re-zeroed between layers).
+
+
+def _wl_tile_bytes(th, w, chans, itemsize):
+    """Per-program VMEM bytes for one width-in-lanes chain strip.
+
+    (C, R, W) arrays tile the LAST TWO dims (8, 128): rows pad to 8,
+    lanes to 128 (a 64px image wastes half the lane tile in storage —
+    the matmul N dim is rows*W though, so compute doesn't care)."""
+    n = len(chans) - 1
+    rows = th + 2 * n
+    wl = _rnd(w, 128)
+    total = 2 * chans[0] * _rnd(rows, 8) * wl * itemsize  # input block x2
+    peak = 0
+    for i in range(n):
+        ci, co = chans[i], chans[i + 1]
+        out_rows = rows - 2
+        cur = ci * _rnd(rows, 8) * wl * itemsize
+        acc = co * _rnd(out_rows, 8) * wl * 4
+        rolled = ci * _rnd(out_rows, 8) * wl * itemsize
+        nxt = co * _rnd(out_rows, 8) * wl * itemsize
+        peak = max(peak, cur + 3 * rolled + 2 * acc + nxt)
+        rows = out_rows
+    out = 2 * chans[-1] * _rnd(th, 8) * wl * itemsize
+    wgt = sum(9 * chans[i] * _rnd(chans[i + 1], 128) * 4 for i in range(n))
+    return total + peak + out + wgt
+
+
+def _kernel3_chain_wl(th, w, n_layers, dt, h_img):
+    def body(xs_ref, *refs):
+        ks = refs[:n_layers]
+        bs = refs[n_layers : 2 * n_layers]
+        out_ref = refs[-1]
+        j = pl.program_id(1)
+        base = j * th
+        h_cur = xs_ref[0, 0]  # (C, rows, W)
+        rows = th + 2 * n_layers
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)
+        at_left = lane == 0
+        at_right = lane == w - 1
+        for i in range(n_layers):
+            k = ks[i][...]  # (3, 3, Ci, Co)
+            o = k.shape[-1]
+            out_rows = rows - 2
+            acc = jnp.zeros((o, out_rows, w), jnp.float32)
+            for dy in range(3):
+                win = h_cur[:, dy : dy + out_rows, :]  # (Ci, out_rows, W)
+                for dx in range(3):
+                    s = dx - 1
+                    if s == 0:
+                        xs = win
+                    else:
+                        # lane roll; the wrapped column is the image
+                        # x-edge, i.e. exactly where SAME padding is zero
+                        xs = jnp.roll(win, -s, axis=-1)
+                        edge = at_right if s == 1 else at_left
+                        xs = jnp.where(edge, 0, xs).astype(win.dtype)
+                    kt = k[dy, dx].T.astype(dt)  # (Co, Ci)
+                    acc += jax.lax.dot_general(
+                        kt, xs, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+            h_cur = (acc + bs[i][...][:, None, None]).astype(dt)
+            if i < n_layers - 1:
+                off = n_layers - i - 1
+                abs_r = (
+                    jax.lax.broadcasted_iota(jnp.int32, (1, out_rows, 1), 1)
+                    + base - off
+                )
+                in_img = (abs_r >= 0) & (abs_r < h_img)
+                h_cur = jnp.where(in_img, h_cur, 0).astype(dt)
+            rows = out_rows
+        out_ref[...] = h_cur[None, None].astype(out_ref.dtype)
+
+    return body
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def fused_conv3x3_chain_wl(x, kernels, biases, interpret=False):
+    """Width-in-lanes whole-chain kernel (SAME 3x3/s1 + bias per layer).
+
+    Same contract as :func:`fused_conv3x3_chain` — ``x`` (B, H, W, C0)
+    NHWC in, (B, H, W, C_last) out, numerically the sequential chain —
+    but computed in a (C, rows, W) layout whose matmul lane dim is
+    spatial, so small-output-channel layers (the decode tail's 16/4)
+    stop starving the MXU. Entry/exit transposes (NHWC <-> NCHW) are
+    XLA's; they are part of what the bench measures.
+    """
+    b, h, w, c0 = x.shape
+    chans = [c0] + [int(k.shape[-1]) for k in kernels]
+    n = len(kernels)
+    itemsize = jnp.dtype(x.dtype).itemsize
+    if not _HAVE_PLTPU or (not interpret and jax.default_backend() != "tpu"):
+        return _chain_reference(x, kernels, biases)
+    th = 0
+    for kdiv in (1, 2, 4, 8, 16):
+        if h % kdiv:
+            continue
+        cand = h // kdiv
+        if cand < 8:
+            break
+        if _wl_tile_bytes(cand, w, chans, itemsize) < _VMEM_BUDGET:
+            th = cand
+            break
+    if not th:
+        return _chain_reference(x, kernels, biases)
+
+    ns = h // th
+    xc = jnp.transpose(x, (0, 3, 1, 2))  # (B, C, H, W)
+    xh = jnp.pad(xc, ((0, 0), (0, 0), (n, n), (0, 0)))
+    xs = jnp.stack(
+        [xh[:, :, j * th : j * th + th + 2 * n] for j in range(ns)], axis=1
+    )  # (b, ns, c0, th+2n, w)
+    dt = x.dtype
+
+    k_specs = [
+        pl.BlockSpec(tuple(k.shape), lambda i, j: (0, 0, 0, 0),
+                     memory_space=_VMEM)
+        for k in kernels
+    ]
+    b_specs = [
+        pl.BlockSpec(tuple(bb.shape), lambda i, j: (0,), memory_space=_VMEM)
+        for bb in biases
+    ]
+    out5 = pl.pallas_call(
+        _kernel3_chain_wl(th, w, n, dt, h),
+        grid=(b, ns),
+        in_specs=[
+            pl.BlockSpec((1, 1, c0, th + 2 * n, w),
+                         lambda i, j: (i, j, 0, 0, 0), memory_space=_VMEM),
+            *k_specs,
+            *b_specs,
+        ],
+        out_specs=pl.BlockSpec((1, 1, chans[-1], th, w),
+                               lambda i, j: (i, j, 0, 0, 0),
+                               memory_space=_VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, ns, chans[-1], th, w), dt),
+        interpret=interpret,
+    )(
+        xs,
+        *[k.astype(dt) for k in kernels],
+        *[bb.astype(dt) for bb in biases],
+    )
+    # (b, ns, o, th, w) -> (b, o, h, w) -> NHWC
+    out = out5.transpose(0, 2, 1, 3, 4).reshape(b, chans[-1], h, w)
+    return jnp.transpose(out, (0, 2, 3, 1))
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def fused_conv3x3_chain(x, kernels, biases, interpret=False):
     """Whole linear conv chain (SAME 3x3/s1 + bias each) in one kernel.

@@ -664,3 +664,48 @@ def test_strip_writer_checkpoint_resume_roundtrip(tmp_path):
     with pytest.raises(ValueError, match="resume state"):
         TiffStripWriter(str(tmp_path / "x.tif"), 50, 21, 3, np.uint16,
                         resume_state=state, **kw)
+
+
+def test_synthetic_hf_dataset_properties():
+    """The high-frequency arm: deterministic pairs, LR = PSF + box-down
+    of the sharp HR (so LR is blurrier than an ideal decimation — the
+    cross-sensor degradation bicubic cannot undo), band correlation
+    present, instance cache returns the identical objects."""
+    from simple_vae_rs_tpu.data.datasets import SyntheticHFDataset
+
+    ds = SyntheticHFDataset(length=4, hr_size=64, seed=5)
+    lr, hr = ds[1]
+    assert lr.shape == (32, 32, 4) and hr.shape == (64, 64, 4)
+    assert lr.dtype == np.float32 and hr.dtype == np.float32
+    # determinism across instances
+    lr2, hr2 = SyntheticHFDataset(length=4, hr_size=64, seed=5)[1]
+    np.testing.assert_array_equal(lr, lr2)
+    np.testing.assert_array_equal(hr, hr2)
+    # cache: same object back
+    assert ds[1][0] is lr
+    # the HR target keeps more high-frequency energy than the PSF'd LR
+    # stream: compare total variation per pixel of HR vs its own ideal
+    # 2x2 decimation upsampled — and LR must be SMOOTHER than that ideal
+    # decimation (the PSF really applied)
+    ideal = hr.reshape(32, 2, 32, 2, 4).mean((1, 3))
+
+    def tv(a):
+        return float(
+            np.abs(np.diff(a, axis=0)).mean() + np.abs(np.diff(a, axis=1)).mean()
+        )
+
+    assert tv(lr) < tv(ideal), "LR should be blurrier than ideal decimation"
+    # band correlation: flatten spatially, average |corr| over band pairs
+    flat = hr.reshape(-1, 4)
+    c = np.corrcoef(flat.T)
+    off = c[np.triu_indices(4, 1)]
+    assert np.abs(off).mean() > 0.5, f"bands should correlate, got {off}"
+
+
+def test_synthetic_hf_in_loader_registry():
+    from simple_vae_rs_tpu.data.loader import init_dataloader
+
+    tr, va = init_dataloader("synthetic_hf", batch_size=2, patch_size=32)
+    batch = next(iter(tr))
+    assert batch[0].shape[1:] == (16, 16, 4)
+    assert batch[1].shape[1:] == (32, 32, 4)

@@ -529,3 +529,31 @@ def test_tail_chain_defers_to_int8_quant(monkeypatch):
     )
     model.apply(qvars, x, y, key, train=False)
     assert not calls
+
+
+def test_wl_chain_interpret_matches_reference():
+    """Width-in-lanes chain (spatial lanes, channels in sublanes — the
+    redesign the round-3 chain postmortem prescribed) matches the
+    sequential SAME-conv chain exactly: lane rolls + edge masks must
+    reproduce zero padding, halo rows the strip seams."""
+    from simple_vae_rs_tpu.ops import pallas_conv as pc
+
+    x, ks, bs = _chain_case()
+    got = pc.fused_conv3x3_chain_wl(x, ks, bs, interpret=True)
+    want = pc._chain_reference(x, ks, bs)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_wl_chain_multi_strip_and_small_outputs():
+    """Multi-strip grids and the canonical tail's tiny output channels
+    (16/4) both stay exact — the shapes the old chain starved on."""
+    from simple_vae_rs_tpu.ops import pallas_conv as pc
+
+    x, ks, bs = _chain_case(seed=15, b=2, h=32, w=32, chans=(16, 16, 4))
+    got = pc.fused_conv3x3_chain_wl(x, ks, bs, interpret=True)
+    want = pc._chain_reference(x, ks, bs)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+    )
