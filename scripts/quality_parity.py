@@ -56,6 +56,13 @@ CFG = dict(cr=1.2, patch_size=64, batch_size=8, lr=1e-4, clip=1.0,
 VAE_CFG = dict(cr=1.28, patch_size=64, batch_size=32, lr=1e-4, clip=1.0,
                n_tiles=256, data_seed=0)
 
+# Draws for the MMSE product columns: the reference's uncertainty task
+# ships the MEAN over posterior draws as its SR estimate (error maps,
+# MMSE — reference cond_vae.py sample()/task), and so does this repo's
+# serving moments endpoint. ssim_mmse/psnr_mmse score that estimator;
+# ssim_sr/psnr_sr keep the single-draw reference eval semantics.
+MMSE_DRAWS = 16
+
 
 # ------------------------------------------------------------------ data
 def build_dataset(cfg=CFG):
@@ -188,6 +195,7 @@ def run_reference(epochs: int, seed: int) -> dict:
         model.eval()
         va_sum, n_va = 0.0, 0
         ssim_sum, psnr_sum, n_img = 0.0, 0.0, 0
+        ssim_mm_sum, psnr_mm_sum = 0.0, 0.0
         for idx in epoch_batches(len(lr_va), bs, 0, False):
             batch = (to_torch(lr_va[idx]), to_torch(hr_va[idx]))
             loss, _ = model.val_step(batch, "cpu")
@@ -195,10 +203,22 @@ def run_reference(epochs: int, seed: int) -> dict:
             n_va += 1
             with torch.no_grad():
                 sr = model.conditional_generation(batch[0].to("cpu"))
+                # the MMSE product (the reference's own uncertainty-task
+                # estimator): mean of MMSE_DRAWS independent draws —
+                # averages away the posterior draw noise that caps
+                # single-draw SSIM
+                acc = sr.clone()
+                for _ in range(MMSE_DRAWS - 1):
+                    acc += model.conditional_generation(batch[0].to("cpu"))
+                mmse = acc / MMSE_DRAWS
             sr_np = np.transpose(sr.numpy(), (0, 2, 3, 1))
             s, p = metric_sums(hr_va[idx], sr_np)
             ssim_sum += s
             psnr_sum += p
+            mm_np = np.transpose(mmse.numpy(), (0, 2, 3, 1))
+            s2, p2 = metric_sums(hr_va[idx], mm_np)
+            ssim_mm_sum += s2
+            psnr_mm_sum += p2
             n_img += len(idx)
         rec = {
             "epoch": epoch,
@@ -206,12 +226,16 @@ def run_reference(epochs: int, seed: int) -> dict:
             "val_loss": va_sum / n_va,
             "ssim_sr": ssim_sum / n_img,
             "psnr_sr": psnr_sum / n_img,
+            "ssim_mmse": ssim_mm_sum / n_img,
+            "psnr_mmse": psnr_mm_sum / n_img,
             "gammax": float(model.gammax.item()),
             "gammay": float(model.gammay.item()),
             "seconds": time.perf_counter() - t0,
         }
         records.append(rec)
         print(json.dumps(rec), flush=True)
+    torch.save(model.state_dict(),
+               os.path.join(OUT_DIR, f"qp_reference_s{seed}.pth"))
     return {"side": "reference", "n_params": n_params, "seed": seed,
             "ssim_baseline": ssim_base, "psnr_baseline": psnr_base,
             "config": CFG, "epochs": records}
@@ -432,9 +456,15 @@ def run_tpu(epochs: int, seed: int, backend: str = "",
             n_tr += 1
         va_sum, n_va = 0.0, 0
         ssim_sum, psnr_sum, n_img = 0.0, 0.0, 0
+        ssim_mm_sum, psnr_mm_sum = 0.0, 0.0
+        vterm_sums = {}
         for batch in val_loader:
             terms = trainer._val_step(trainer.state, trainer._device_batch(batch))
-            va_sum += float(jax.device_get(terms["loss"]))
+            host_terms = {k: float(v) for k, v in
+                          jax.device_get(terms).items()}
+            va_sum += host_terms["loss"]
+            for k, v in host_terms.items():
+                vterm_sums[k] = vterm_sums.get(k, 0.0) + v
             n_va += 1
             y = jnp.asarray(batch[0], jnp.float32)
             variables = trainer._variables(trainer.state)
@@ -444,6 +474,17 @@ def run_tpu(epochs: int, seed: int, backend: str = "",
             s, p = metric_sums(batch[1], np.asarray(jax.device_get(sr)))
             ssim_sum += s
             psnr_sum += p
+            # MMSE product: mean of MMSE_DRAWS draws (first = sr above)
+            acc = sr
+            for d in range(1, MMSE_DRAWS):
+                acc = acc + model.apply(
+                    variables, y, jax.random.fold_in(rng, d),
+                    method=CondSRVAE.conditional_generation,
+                )
+            mm = acc / MMSE_DRAWS
+            s2, p2 = metric_sums(batch[1], np.asarray(jax.device_get(mm)))
+            ssim_mm_sum += s2
+            psnr_mm_sum += p2
             n_img += batch[1].shape[0]
         params = trainer.state.params
         rec = {
@@ -452,6 +493,9 @@ def run_tpu(epochs: int, seed: int, backend: str = "",
             "val_loss": va_sum / n_va,
             "ssim_sr": ssim_sum / n_img,
             "psnr_sr": psnr_sum / n_img,
+            "ssim_mmse": ssim_mm_sum / n_img,
+            "psnr_mmse": psnr_mm_sum / n_img,
+            "val_terms": {k: v / n_va for k, v in vterm_sums.items()},
             "gammax": float(jax.device_get(params["gammax"])),
             "gammay": float(jax.device_get(params["gammay"])),
             "seconds": time.perf_counter() - t0,
@@ -459,6 +503,12 @@ def run_tpu(epochs: int, seed: int, backend: str = "",
         records.append(rec)
         print(json.dumps(rec), flush=True)
     side = "tpu_torchwire" if torch_regroup else "tpu"
+    # keep the trained weights next to the curves so the archived runs
+    # can be re-analyzed (panels, extra metrics) without retraining
+    from simple_vae_rs_tpu.train.checkpoint import save_checkpoint
+
+    save_checkpoint(os.path.join(OUT_DIR, f"qp_{side}_s{seed}"),
+                    trainer.state, epoch=epochs)
     return {"side": side, "n_params": n_params_no_gamma, "seed": seed,
             "backend": jax.default_backend(),
             "ssim_baseline": ssim_base, "psnr_baseline": psnr_base,
@@ -579,8 +629,8 @@ def report(epochs: int | None = None) -> None:
     if not rows:
         raise FileNotFoundError(f"no quality_parity archives in {OUT_DIR}")
     print(f"{'side':<18} {'params':>12} {'epochs':>6} {'val_loss':>12} "
-          f"{'ssim':>8} {'psnr':>8} {'ssim_bi':>8} {'psnr_bi':>8} "
-          f"{'s/epoch':>8}")
+          f"{'ssim':>8} {'psnr':>8} {'ssim_mm':>8} {'psnr_mm':>8} "
+          f"{'ssim_bi':>8} {'psnr_bi':>8} {'s/epoch':>8}")
     for side, data in rows.items():
         last = data["epochs"][-1]
         secs = np.mean([e["seconds"] for e in data["epochs"]])
@@ -590,9 +640,12 @@ def report(epochs: int | None = None) -> None:
         pb = data.get("psnr_baseline")
         base = (f"{sb:>8.4f} {pb:>8.2f}" if sb is not None
                 else f"{'-':>8} {'-':>8}")
+        sm, pm = last.get("ssim_mmse"), last.get("psnr_mmse")
+        mm = (f"{sm:>8.4f} {pm:>8.2f}" if sm is not None
+              else f"{'-':>8} {'-':>8}")
         print(f"{side:<18} {data['n_params']:>12,} {last['epoch']:>6} "
               f"{last['val_loss']:>12.2f} {ssim:>8.4f} "
-              f"{psnr:>8.2f} {base} {secs:>8.1f}")
+              f"{psnr:>8.2f} {mm} {base} {secs:>8.1f}")
 
 
 def main() -> None:

@@ -318,24 +318,35 @@ def main(args: argparse.Namespace) -> None:
         )
 
     callbacks = [
+        # multi-process safe: save_checkpoint gathers collectively and
+        # only process 0 touches the filesystem, so every process keeps
+        # the callback (they must all reach the gather). EarlyStopping
+        # decides from replicated epoch metrics — identical everywhere.
         ModelCheckpoint(job_id, "ckpt", monitor="Loss/val_loss", mode="min",
                         async_save=args.async_ckpt),
         EarlyStopping(patience=25, delta=0.01),
     ]
-    logger = make_logger(
-        project,
-        f"Latent-{cfg.latent_size}-Patch-{cfg.patch_size}-SLURM-{job_id}",
-        config={
-            "latent_size": cfg.latent_size,
-            "patch_size": cfg.patch_size,
-            "epochs": args.epochs,
-            "batch_size": args.batch_size,
-            "val_metrics_every": args.val_metrics_every,
-            "slurm_job_id": job_id,
-            "cr": cr,
-        },
-        tensorboard=args.tensorboard,
-    )
+    if getattr(args, "multihost", False) and jax.process_index() != 0:
+        # one metrics/images stream per job: non-zero processes train and
+        # evaluate identically but log nowhere
+        from simple_vae_rs_tpu.utils.logging import NullLogger
+
+        logger = NullLogger()
+    else:
+        logger = make_logger(
+            project,
+            f"Latent-{cfg.latent_size}-Patch-{cfg.patch_size}-SLURM-{job_id}",
+            config={
+                "latent_size": cfg.latent_size,
+                "patch_size": cfg.patch_size,
+                "epochs": args.epochs,
+                "batch_size": args.batch_size,
+                "val_metrics_every": args.val_metrics_every,
+                "slurm_job_id": job_id,
+                "cr": cr,
+            },
+            tensorboard=args.tensorboard,
+        )
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     if args.pallas_conv:

@@ -45,13 +45,23 @@ def _meta_path(path: str) -> str:
 
 def _write_tree(path: str, tree: Dict[str, Any], meta: Dict[str, Any]) -> None:
     """Serialize a host-side state tree + sidecar meta to disk."""
-    try:
-        import orbax.checkpoint as ocp
+    # orbax's StandardCheckpointer coordinates across processes with its
+    # own sync collectives when jax.process_count() > 1 — but this writer
+    # runs on process 0 ONLY (save_checkpoint gathers first), so those
+    # collectives would deadlock/mismatch against whatever the other
+    # processes run next. Multi-process saves take the collective-free
+    # msgpack path; the tree is already plain host arrays either way.
+    if jax.process_count() == 1:
+        try:
+            import orbax.checkpoint as ocp
 
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path + ".orbax", tree, force=True)
-        ckptr.wait_until_finished()
-    except Exception:
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(path + ".orbax", tree, force=True)
+            ckptr.wait_until_finished()
+            tree = None
+        except Exception:
+            pass
+    if tree is not None:
         from flax import serialization
 
         with open(path + ".msgpack", "wb") as fh:
@@ -86,7 +96,30 @@ def save_checkpoint(
     extra: Optional[Dict] = None,
     block: bool = True,
 ) -> None:
+    """Write ``state`` (+ sidecar meta) to ``path``.
+
+    Multi-process safe: under ``jax.process_count() > 1`` EVERY process
+    must call (the cross-process gather of any data-sharded leaves —
+    e.g. ZeRO-1 moments — is a collective); process 0 alone touches the
+    filesystem, so co-hosted processes never race on the same path.
+    """
     path = os.path.abspath(path)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        def gather(x):
+            # replicated leaves are locally readable; data-sharded ones
+            # (e.g. ZeRO-1 moments) need the cross-process gather. Every
+            # process walks the same tree, so the collectives line up.
+            if isinstance(x, jax.Array) and not (
+                x.is_fully_addressable or x.is_fully_replicated
+            ):
+                return multihost_utils.process_allgather(x, tiled=True)
+            return x
+
+        state = jax.tree.map(gather, state)
+        if jax.process_index() != 0:
+            return
     os.makedirs(os.path.dirname(path), exist_ok=True)
     state = jax.device_get(state)
     tree = {

@@ -423,8 +423,8 @@ class Trainer:
             sums = part if not sums else _tree_add(sums, part)
             if want_lpips:
                 vals = lpips_batch(
-                    np.asarray(jax.device_get(x[:4])),
-                    np.asarray(jax.device_get(up4)),
+                    np.asarray(self._host_fetch(x[:4])),
+                    np.asarray(self._host_fetch(up4)),
                 )
                 if vals is not None:
                     lp_sum += float(np.sum(vals))
@@ -442,6 +442,26 @@ class Trainer:
         return base
 
     # ------------------------------------------------------------- data feed
+    @staticmethod
+    def _host_fetch(tree):
+        """``jax.device_get`` that also works on multi-process global
+        arrays: batch-sharded eval outputs span non-addressable devices
+        under ``--multihost``, so they gather across processes first
+        (a collective — every process must reach it; they all walk the
+        same eval loop). Single-process: a plain device_get."""
+        if jax.process_count() == 1:
+            return jax.device_get(tree)
+        from jax.experimental import multihost_utils
+
+        def fetch(x):
+            if isinstance(x, jax.Array) and not (
+                x.is_fully_addressable or x.is_fully_replicated
+            ):
+                return multihost_utils.process_allgather(x, tiled=True)
+            return x
+
+        return jax.device_get(jax.tree.map(fetch, tree))
+
     def _device_batch(self, batch: Batch):
         arrays = tuple(jnp.asarray(b, dtype=jnp.float32) for b in batch)
         if self.mesh is not None:
@@ -834,7 +854,7 @@ class Trainer:
                 images = self._eval_images_step(
                     self.state, self._device_batch(first)
                 )
-                self.logger.log_images(jax.device_get(images), step=epoch)
+                self.logger.log_images(self._host_fetch(images), step=epoch)
             return
 
         from simple_vae_rs_tpu.utils.lpips_optional import lpips_available
@@ -853,7 +873,8 @@ class Trainer:
                 if first_images is None:
                     first_images = images
                 if want_lpips:
-                    self._acc_lpips(lp_sums, lp_counts, jax.device_get(images))
+                    self._acc_lpips(lp_sums, lp_counts,
+                                    self._host_fetch(images))
         if not sums:  # empty loader: no metrics to log
             return
         out = jax.device_get(sums)
@@ -887,7 +908,7 @@ class Trainer:
         )
         self.logger.log(metrics, step=epoch)
         if want_images and first_images is not None:
-            self.logger.log_images(jax.device_get(first_images), step=epoch)
+            self.logger.log_images(self._host_fetch(first_images), step=epoch)
 
     def _acc_lpips(
         self, sums: Dict[str, float], counts: Dict[str, int], imgs: Dict[str, Any]
