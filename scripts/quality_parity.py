@@ -434,6 +434,29 @@ def run_tpu(epochs: int, seed: int, backend: str = "",
 
     train_loader = Loader(lr_tr, hr_tr, True)
     val_loader = Loader(lr_va, hr_va, False)
+
+    # single-dispatch eval fns (an eager model.apply is hundreds of tiny
+    # dispatches per batch on a tunneled device; the MMSE product would
+    # be 16x that): one jitted call per val batch for each.
+    @jax.jit
+    def sr_fn(variables, y, rng):
+        return model.apply(variables, y, rng,
+                           method=CondSRVAE.conditional_generation)
+
+    @jax.jit
+    def mmse_fn(variables, y, rng):
+        init = jnp.zeros(
+            (y.shape[0], y.shape[1] * 2, y.shape[2] * 2, y.shape[3]),
+            jnp.float32,
+        )
+
+        def body(i, acc):
+            return acc + model.apply(
+                variables, y, jax.random.fold_in(rng, i),
+                method=CondSRVAE.conditional_generation,
+            ).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, MMSE_DRAWS, body, init) / MMSE_DRAWS
     state = trainer.init_state(next(iter(train_loader)), seed=seed)
     n_params = sum(
         int(np.prod(p.shape)) for p in jax.tree.leaves(state.params)
@@ -469,19 +492,12 @@ def run_tpu(epochs: int, seed: int, backend: str = "",
             y = jnp.asarray(batch[0], jnp.float32)
             variables = trainer._variables(trainer.state)
             rng = jax.random.fold_in(trainer.state.rng, 0xE0A1 + n_va)
-            sr = model.apply(variables, y, rng,
-                             method=CondSRVAE.conditional_generation)
+            sr = sr_fn(variables, y, rng)
             s, p = metric_sums(batch[1], np.asarray(jax.device_get(sr)))
             ssim_sum += s
             psnr_sum += p
-            # MMSE product: mean of MMSE_DRAWS draws (first = sr above)
-            acc = sr
-            for d in range(1, MMSE_DRAWS):
-                acc = acc + model.apply(
-                    variables, y, jax.random.fold_in(rng, d),
-                    method=CondSRVAE.conditional_generation,
-                )
-            mm = acc / MMSE_DRAWS
+            # MMSE product: mean of MMSE_DRAWS draws, one fused dispatch
+            mm = mmse_fn(variables, y, rng)
             s2, p2 = metric_sums(batch[1], np.asarray(jax.device_get(mm)))
             ssim_mm_sum += s2
             psnr_mm_sum += p2

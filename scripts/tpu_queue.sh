@@ -7,12 +7,14 @@
 # in results/tpu_queue/ (<stage>.done), per-stage stdout in <stage>.log.
 #
 # Round-4 queue, in value order:
-#   hf_ps32_e400   — small-preset Cond arm on the high-frequency (PSF)
-#                    synthetic set to e400 (the reference's own regime
-#                    is 500 epochs; gammas/posteriors need the length):
-#                    the bicubic-beat experiment's jax side, paired with
-#                    the torch ps32 e400 CPU run (verdict item 1)
-#   hf_tpu_e120    — canonical Cond arm on the same set (flagship row)
+#   hf_tpu_e40     — canonical Cond arm on the (fixed-normalization)
+#                    high-frequency PSF set: early read on the
+#                    bicubic-beat experiment's jax side (verdict item 1)
+#   hf_tpu_e120    — the flagship row (paired with the torch canonical
+#                    e120 CPU run)
+#   hf_ps32_e400   — LAST: small-preset long-convergence curve + saved
+#                    weights for diagnostics (its bicubic bar is
+#                    anchor-inflated at 32px tiles — not the win arm)
 #   elbo_ab        — fused-ELBO vs XLA-loss training A/B (item 2);
 #                    compiles ONE new step graph (the XLA-loss arm)
 #   wl_chain       — width-in-lanes chain kernel vs XLA vs old chain
@@ -47,7 +49,7 @@ run() {
 
 healthy() { timeout 300 python -m simple_vae_rs_tpu.doctor --budget 120 >>"$LOG" 2>&1; }
 
-STAGES="hf_ps32_e400 hf_tpu_e120 elbo_ab wl_chain artifact_int8 bench_auto"
+STAGES="hf_tpu_e40 hf_tpu_e120 elbo_ab wl_chain artifact_int8 bench_auto hf_ps32_e400"
 all_done() {
     for s in $STAGES; do
         [ -e "$DIR/$s.done" ] || return 1
@@ -60,12 +62,13 @@ for i in $(seq 1 "$POLLS"); do
     if all_done; then note "all stages done — exiting"; exit 0; fi
     if healthy; then
         note "tunnel healthy (poll $i) — running incomplete stages"
-        run hf_ps32_e400  7200 python scripts/quality_parity.py --side tpu --preset small --dataset hf --epochs 400 \
+        run hf_tpu_e40    2400 python scripts/quality_parity.py --side tpu --dataset hf --epochs 40 \
           && run hf_tpu_e120   5400 python scripts/quality_parity.py --side tpu --dataset hf --epochs 120 \
           && run elbo_ab       3600 python scripts/bench_elbo_ab.py \
           && run wl_chain      2400 python scripts/bench_chain.py \
           && run artifact_int8 3600 python scripts/bench_artifact_int8.py \
-          && run bench_auto    3600 python bench.py --scan_steps auto
+          && run bench_auto    3600 python bench.py --scan_steps auto \
+          && run hf_ps32_e400  7200 python scripts/quality_parity.py --side tpu --preset small --dataset hf --epochs 400
         all_done && { note "queue drained — record numbers in BASELINE.md"; exit 0; }
         note "a stage failed (tunnel flapped?) — back to polling"
     else

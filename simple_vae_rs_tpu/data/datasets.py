@@ -347,6 +347,32 @@ class SyntheticHFDataset:
                 np.float32
             )
             hr = hr + self.mid_amp * mid * w
+            # radiance floor: texture tails must not undercut the dark
+            # anchor (sensors don't see negative radiance either)
+            hr = np.clip(hr, 0.05, None)
+        # extrema anchors: one broad dark and one broad bright flat-top
+        # disc per tile (extended surfaces — water/shadow, bright
+        # sand/roofs — ARE where real scenes' extremes live). They pin
+        # each channel's min/max to features large enough to survive the
+        # PSF, which makes the per-image min-max normalization both
+        # sides apply (the reference's semantics) PSF-STABLE: without
+        # them the blurred LR's extrema drift ~30% of the range from the
+        # HR's, scrambling the LR->HR affine per tile — a bias no model
+        # can learn around (measured: the generation SSIM caps at ~0.35
+        # however long training runs).
+        ay, ax = np.mgrid[0:hs, 0:hs]
+        hi = hr.max(axis=(0, 1), keepdims=True)
+        for bright in (False, True):
+            cy = (0.1 + 0.8 * rng.random()) * hs
+            # opposite halves so one disc can never swallow the other
+            cx = (0.05 + 0.4 * rng.random() + (0.5 if bright else 0.0)) * hs
+            rad = max(8.0, hs / 6.0) * (1.0 + 0.3 * rng.random())
+            d2 = ((ay - cy) ** 2 + (ax - cx) ** 2) / (rad * rad)
+            # wide flat core (cubed-Gaussian falloff): the PSF must see
+            # a plateau, not a peak, or the LR extremum drifts
+            a = np.exp(-((d2 / 2.0) ** 3))[..., None]
+            tgt = 1.12 * hi if bright else 0.0
+            hr = hr * (1 - a) + a * tgt
         blurred = self._psf(hr, self.lr_psf_sigma)
         lr = blurred.reshape(
             hs // 2, 2, hs // 2, 2, self.channels
