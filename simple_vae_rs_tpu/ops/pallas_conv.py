@@ -435,46 +435,52 @@ def _wl_tile_bytes(th, w, chans, itemsize):
 
 
 def _kernel3_chain_wl(th, w, n_layers, dt, h_img):
+    # Fully-2D formulation for Mosaic friendliness: activations live
+    # FLATTENED as (C, rows*W) — channels in sublanes, row-major spatial
+    # in lanes. A tap (dy, dx) needs input flat index j + dy*W + (dx-1)
+    # for output lane j, i.e. ONE lane roll by that shift plus an
+    # aligned [:out_n] slice; lanes whose in_x wrapped a row boundary
+    # are exactly the image x-edges, where SAME padding is zero — the
+    # mod-W edge masks restore them. No 3-D dots, no in-kernel
+    # reshapes, no misaligned slices (the remote Mosaic pipeline
+    # rejected the 3-D dot_general: "unsupported shape cast").
     def body(xs_ref, *refs):
         ks = refs[:n_layers]
         bs = refs[n_layers : 2 * n_layers]
         out_ref = refs[-1]
         j = pl.program_id(1)
         base = j * th
-        h_cur = xs_ref[0, 0]  # (C, rows, W)
+        h_cur = xs_ref[0, 0]  # (C, rows*W)
         rows = th + 2 * n_layers
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)
-        at_left = lane == 0
-        at_right = lane == w - 1
         for i in range(n_layers):
             k = ks[i][...]  # (3, 3, Ci, Co)
             o = k.shape[-1]
             out_rows = rows - 2
-            acc = jnp.zeros((o, out_rows, w), jnp.float32)
+            out_n = out_rows * w
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, out_n), 1)
+            xmod = lane % w
+            at_left = xmod == 0
+            at_right = xmod == w - 1
+            acc = jnp.zeros((o, out_n), jnp.float32)
             for dy in range(3):
-                win = h_cur[:, dy : dy + out_rows, :]  # (Ci, out_rows, W)
                 for dx in range(3):
-                    s = dx - 1
-                    if s == 0:
-                        xs = win
-                    else:
-                        # lane roll; the wrapped column is the image
-                        # x-edge, i.e. exactly where SAME padding is zero
-                        xs = jnp.roll(win, -s, axis=-1)
-                        edge = at_right if s == 1 else at_left
-                        xs = jnp.where(edge, 0, xs).astype(win.dtype)
+                    shift = dy * w + dx - 1
+                    rolled = (h_cur if shift == 0
+                              else jnp.roll(h_cur, -shift, axis=-1))
+                    xs = rolled[:, :out_n]
+                    if dx == 0:
+                        xs = jnp.where(at_left, 0, xs).astype(h_cur.dtype)
+                    elif dx == 2:
+                        xs = jnp.where(at_right, 0, xs).astype(h_cur.dtype)
                     kt = k[dy, dx].T.astype(dt)  # (Co, Ci)
                     acc += jax.lax.dot_general(
                         kt, xs, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
-            h_cur = (acc + bs[i][...][:, None, None]).astype(dt)
+            h_cur = (acc + bs[i][...][:, None]).astype(dt)
             if i < n_layers - 1:
                 off = n_layers - i - 1
-                abs_r = (
-                    jax.lax.broadcasted_iota(jnp.int32, (1, out_rows, 1), 1)
-                    + base - off
-                )
+                abs_r = lane // w + base - off
                 in_img = (abs_r >= 0) & (abs_r < h_img)
                 h_cur = jnp.where(in_img, h_cur, 0).astype(dt)
             rows = out_rows
@@ -516,9 +522,10 @@ def fused_conv3x3_chain_wl(x, kernels, biases, interpret=False):
     ns = h // th
     xc = jnp.transpose(x, (0, 3, 1, 2))  # (B, C, H, W)
     xh = jnp.pad(xc, ((0, 0), (0, 0), (n, n), (0, 0)))
+    rows = th + 2 * n
     xs = jnp.stack(
         [xh[:, :, j * th : j * th + th + 2 * n] for j in range(ns)], axis=1
-    )  # (b, ns, c0, th+2n, w)
+    ).reshape(b, ns, c0, rows * w)  # flat row-major spatial in lanes
     dt = x.dtype
 
     k_specs = [
@@ -534,23 +541,24 @@ def fused_conv3x3_chain_wl(x, kernels, biases, interpret=False):
         _kernel3_chain_wl(th, w, n, dt, h),
         grid=(b, ns),
         in_specs=[
-            pl.BlockSpec((1, 1, c0, th + 2 * n, w),
-                         lambda i, j: (i, j, 0, 0, 0), memory_space=_VMEM),
+            pl.BlockSpec((1, 1, c0, rows * w),
+                         lambda i, j: (i, j, 0, 0), memory_space=_VMEM),
             *k_specs,
             *b_specs,
         ],
-        out_specs=pl.BlockSpec((1, 1, chans[-1], th, w),
-                               lambda i, j: (i, j, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, chans[-1], th * w),
+                               lambda i, j: (i, j, 0, 0),
                                memory_space=_VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, ns, chans[-1], th, w), dt),
+        out_shape=jax.ShapeDtypeStruct((b, ns, chans[-1], th * w), dt),
         interpret=interpret,
     )(
         xs,
         *[k.astype(dt) for k in kernels],
         *[bb.astype(dt) for bb in biases],
     )
-    # (b, ns, o, th, w) -> (b, o, h, w) -> NHWC
-    out = out5.transpose(0, 2, 1, 3, 4).reshape(b, chans[-1], h, w)
+    # (b, ns, o, th*w) -> (b, o, h, w) -> NHWC
+    out = out5.reshape(b, ns, chans[-1], th, w)
+    out = out.transpose(0, 2, 1, 3, 4).reshape(b, chans[-1], h, w)
     return jnp.transpose(out, (0, 2, 3, 1))
 
 
