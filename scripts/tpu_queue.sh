@@ -49,7 +49,7 @@ run() {
 
 healthy() { timeout 300 python -m simple_vae_rs_tpu.doctor --budget 120 >>"$LOG" 2>&1; }
 
-STAGES="hf_tpu_e40 hf_tpu_e120 elbo_ab wl_chain artifact_int8 bench_auto hf_ps32_e400"
+STAGES="hf_tpu_e40 hf_tpu_e120 elbo_ab hf_continue wl_chain artifact_int8 bench_auto hf_ps32_e400"
 all_done() {
     for s in $STAGES; do
         [ -e "$DIR/$s.done" ] || return 1
@@ -65,6 +65,7 @@ for i in $(seq 1 "$POLLS"); do
         run hf_tpu_e40    2400 python scripts/quality_parity.py --side tpu --dataset hf --epochs 40 \
           && run hf_tpu_e120   5400 python scripts/quality_parity.py --side tpu --dataset hf --epochs 120 \
           && run elbo_ab       3600 python scripts/bench_elbo_ab.py \
+          && run hf_continue   5400 python scripts/hf_continue.py --to_epoch 400 \
           && run wl_chain      2400 python scripts/bench_chain.py \
           && run artifact_int8 3600 python scripts/bench_artifact_int8.py \
           && run bench_auto    3600 python bench.py --scan_steps auto \

@@ -202,7 +202,7 @@ class SyntheticHFDataset:
         lr_psf_sigma: float = 2.0,
         lr_noise: float = 0.003,
         hr_soft_sigma: float = 1.2,
-        mid_amp: float = 0.35,
+        mid_amp: float = 0.15,
     ) -> None:
         self.length = length
         self.hr_size = hr_size

@@ -453,8 +453,8 @@ def _kernel3_chain_wl(th, w, n_layers, dt, h_img):
         h_cur = xs_ref[0, 0]  # (C, rows*W)
         rows = th + 2 * n_layers
         for i in range(n_layers):
-            k = ks[i][...]  # (3, 3, Ci, Co)
-            o = k.shape[-1]
+            k = ks[i][...]  # (3, 3, Co, Ci) — pre-transposed outside
+            o = k.shape[-2]
             out_rows = rows - 2
             out_n = out_rows * w
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, out_n), 1)
@@ -472,7 +472,7 @@ def _kernel3_chain_wl(th, w, n_layers, dt, h_img):
                         xs = jnp.where(at_left, 0, xs).astype(h_cur.dtype)
                     elif dx == 2:
                         xs = jnp.where(at_right, 0, xs).astype(h_cur.dtype)
-                    kt = k[dy, dx].T.astype(dt)  # (Co, Ci)
+                    kt = k[dy, dx].astype(dt)  # (Co, Ci)
                     acc += jax.lax.dot_general(
                         kt, xs, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
@@ -528,10 +528,14 @@ def fused_conv3x3_chain_wl(x, kernels, biases, interpret=False):
     ).reshape(b, ns, c0, rows * w)  # flat row-major spatial in lanes
     dt = x.dtype
 
+    # pre-transpose each tap to (Co, Ci) host-side: an in-kernel bf16
+    # 2-D transpose needs a minor-dim relayout Mosaic only supports for
+    # 32-bit types
+    kt_list = [k.transpose(0, 1, 3, 2) for k in kernels]
     k_specs = [
         pl.BlockSpec(tuple(k.shape), lambda i, j: (0, 0, 0, 0),
                      memory_space=_VMEM)
-        for k in kernels
+        for k in kt_list
     ]
     b_specs = [
         pl.BlockSpec(tuple(bb.shape), lambda i, j: (0,), memory_space=_VMEM)
@@ -553,8 +557,10 @@ def fused_conv3x3_chain_wl(x, kernels, biases, interpret=False):
         interpret=interpret,
     )(
         xs,
-        *[k.astype(dt) for k in kernels],
-        *[bb.astype(dt) for bb in biases],
+        *[k.astype(dt) for k in kt_list],
+        # biases stay f32: the kernel adds them to the f32 accumulator,
+        # and a bf16 minor-dim insert ([:, None]) is unsupported anyway
+        *[bb.astype(jnp.float32) for bb in biases],
     )
     # (b, ns, o, th*w) -> (b, o, h, w) -> NHWC
     out = out5.reshape(b, ns, chans[-1], th, w)
