@@ -158,3 +158,45 @@ def test_cli_rejects_small_preset_for_vae(qp, monkeypatch):
     )
     with pytest.raises(SystemExit):
         qp.main()
+
+
+def test_bicubic_baseline_and_hf_dataset_arm(qp):
+    """The shared bicubic baseline helper scores the same arrays both
+    sides see; the hf dataset arm flows through build_dataset and keeps
+    LR/HR extrema consistent (the PSF-stable anchor property the round-4
+    study established — per-image min-max must not scramble the pair)."""
+    import numpy as np
+
+    qp.CFG.update(dataset="hf", n_tiles=8, patch_size=32)
+    (lr_tr, hr_tr), (lr_va, hr_va) = qp.build_dataset()
+    assert lr_va.shape[1:] == (16, 16, 4) and hr_va.shape[1:] == (32, 32, 4)
+    # normalized to [0,1] per image
+    assert float(lr_va.min()) >= 0.0 and float(lr_va.max()) <= 1.0
+    metric_sums = qp.make_metric_fns(force_cpu=True)
+    s, p = qp.bicubic_baseline(lr_va, hr_va, metric_sums)
+    assert 0.4 < s < 1.0 and 10.0 < p < 40.0
+    # determinism: same numbers on a second call
+    s2, p2 = qp.bicubic_baseline(lr_va, hr_va, metric_sums)
+    assert s == s2 and p == p2
+
+
+def test_report_prints_mmse_and_baseline_columns(qp, tmp_path, monkeypatch,
+                                                 capsys):
+    """--report renders the MMSE product and bicubic-bar columns when an
+    archive carries them (and dashes when it doesn't)."""
+    import json as _json
+
+    data = {
+        "side": "tpu_hf", "n_params": 1, "seed": 0,
+        "ssim_baseline": 0.71, "psnr_baseline": 20.96,
+        "epochs": [{"epoch": 1, "train_loss": 0.0, "val_loss": -1.0,
+                    "ssim_sr": 0.62, "psnr_sr": 18.1,
+                    "ssim_mmse": 0.63, "psnr_mmse": 18.2,
+                    "seconds": 1.0}],
+    }
+    with open(tmp_path / "quality_parity_tpu_hf_e1.json", "w") as fh:
+        _json.dump(data, fh)
+    monkeypatch.setattr(qp, "OUT_DIR", str(tmp_path))
+    qp.report(None)
+    out = capsys.readouterr().out
+    assert "0.6300" in out and "0.7100" in out and "20.96" in out
