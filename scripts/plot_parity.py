@@ -99,6 +99,18 @@ def main() -> None:
     if ref_v and tpu_v:
         arms.append(("VAE (cr=1.28, ps=32, bs=32)", ref_v, tpu_v,
                      "ssim_recon", "val SSIM (reconstruction)"))
+    # round-4 high-frequency study: both frameworks against the shared
+    # bicubic bar (drawn as a dashed line on the SSIM panel)
+    for hf_side_r, hf_side_t, hf_title in (
+        ("reference_hf_mid35", "tpu_hf_mid35",
+         "synthetic_hf mid_amp 0.35 — SR vs the bicubic bar (cr=1.2, ps=64)"),
+        ("reference_hf", "tpu_hf",
+         "synthetic_hf — SR vs the bicubic bar (cr=1.2, ps=64)"),
+    ):
+        ref_h, tpu_h = _latest(hf_side_r), _latest(hf_side_t)
+        if ref_h and tpu_h:
+            arms.append((hf_title, ref_h, tpu_h, "ssim_sr",
+                         "val SSIM (SR output)"))
     if not arms:
         raise SystemExit("no quality_parity archives in results/")
     seed_rows = []  # (row title, groups, ssim key, ssim label)
@@ -134,6 +146,13 @@ def main() -> None:
                 x, y = _series(data, key)
                 x, y = x[:n], y[:n]
                 ax.plot(x, y, color=color, linewidth=2, label=label)
+                bar = data.get("ssim_baseline") if "ssim" in key else None
+                if bar is not None and k == 1:
+                    ax.axhline(bar, color="#888888", linestyle="--",
+                               linewidth=1.2)
+                    ax.annotate(f"bicubic {bar:.3f}", xy=(x[0], bar),
+                                xytext=(2, 3), textcoords="offset points",
+                                fontsize=8, color="#666666")
                 # selective direct label at the line end (staggered so two
                 # converged series don't collide)
                 ax.annotate(
