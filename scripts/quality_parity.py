@@ -235,7 +235,9 @@ def run_reference(epochs: int, seed: int) -> dict:
         records.append(rec)
         print(json.dumps(rec), flush=True)
     torch.save(model.state_dict(),
-               os.path.join(OUT_DIR, f"qp_reference_s{seed}.pth"))
+               os.path.join(OUT_DIR,
+                            f"qp_reference_ps{CFG['patch_size']}_"
+                            f"{CFG.get('dataset', 'synthetic')}_s{seed}.pth"))
     return {"side": "reference", "n_params": n_params, "seed": seed,
             "ssim_baseline": ssim_base, "psnr_baseline": psnr_base,
             "config": CFG, "epochs": records}
@@ -520,11 +522,13 @@ def run_tpu(epochs: int, seed: int, backend: str = "",
         print(json.dumps(rec), flush=True)
     side = "tpu_torchwire" if torch_regroup else "tpu"
     # keep the trained weights next to the curves so the archived runs
-    # can be re-analyzed (panels, extra metrics) without retraining
+    # can be re-analyzed (panels, extra metrics) without retraining;
+    # the name carries preset/dataset so arms don't overwrite each other
     from simple_vae_rs_tpu.train.checkpoint import save_checkpoint
 
-    save_checkpoint(os.path.join(OUT_DIR, f"qp_{side}_s{seed}"),
-                    trainer.state, epoch=epochs)
+    ck = (f"qp_{side}_ps{CFG['patch_size']}_"
+          f"{CFG.get('dataset', 'synthetic')}_s{seed}")
+    save_checkpoint(os.path.join(OUT_DIR, ck), trainer.state, epoch=epochs)
     return {"side": side, "n_params": n_params_no_gamma, "seed": seed,
             "backend": jax.default_backend(),
             "ssim_baseline": ssim_base, "psnr_baseline": psnr_base,
