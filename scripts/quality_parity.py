@@ -629,6 +629,7 @@ def report(epochs: int | None = None) -> None:
     for side in ("reference", "tpu", "tpu_torchwire",
                  "reference_vae", "tpu_vae",
                  "reference_hf", "tpu_hf",
+                 "reference_hf_mid35", "tpu_hf_mid35",
                  "reference_hf_ps32", "tpu_hf_ps32"):
         if epochs is not None:
             path = os.path.join(OUT_DIR, f"quality_parity_{side}_e{epochs}.json")
