@@ -7,10 +7,11 @@ was ever recorded (the loss terms sit inside the step's ~14.7%
 loop-fusion tail, so the win may be ~1% — it should be a measurement
 either way). This script runs the bench config's donated train step with
 
-- arm ``pallas``: ``ops/pallas_elbo`` row kernels (the default on TPU);
-- arm ``xla``:    ``pallas_elbo._use_pallas`` forced False at trace time,
-  so every row reduction lowers through the ``ops/losses.py`` jnp math
-  (numerically identical by test — only the kernels differ);
+- arm ``pallas``: ``ops/pallas_elbo`` row kernels
+  (``TrainConfig(train_elbo="pallas")``);
+- arm ``xla``:    the plain XLA lowering (``train_elbo="xla"`` — the
+  default since round 5 adopted this A/B's own result: 0.9896x for the
+  fused rows; numerically identical by test — only the kernels differ);
 
 in the SAME process/session (same tunnel health), warmup + fetch-synced
 timing like bench.py. Prints one JSON line per arm plus a summary line.
@@ -34,47 +35,47 @@ def _arm(name: str, force_xla: bool, tiles: int, patch_size: int, cr: float,
 
     from simple_vae_rs_tpu.config import CondSRVAEConfig, MeshConfig, TrainConfig
     from simple_vae_rs_tpu.models import CondSRVAE
-    from simple_vae_rs_tpu.ops import pallas_elbo as L
     from simple_vae_rs_tpu.ops.patchify import grid_sr_batch
     from simple_vae_rs_tpu.parallel.mesh import make_mesh
     from simple_vae_rs_tpu.train.engine import Trainer
 
-    orig = L._use_pallas
-    if force_xla:
-        L._use_pallas = lambda: False
-    try:
-        n_chips = len(jax.devices())
-        mesh = make_mesh(MeshConfig(data=n_chips, model=1))
-        model = CondSRVAE(
-            CondSRVAEConfig(cr=cr, patch_size=patch_size), dtype=jnp.bfloat16
-        )
-        # a fresh Trainer per arm: its jitted closures trace under the
-        # current _use_pallas, so each arm compiles its own executable
-        trainer = Trainer(model, TrainConfig(use_bfloat16=True), mesh=mesh)
-        rng = np.random.default_rng(0)
-        lr_t = rng.random((tiles, 128, 128, 4), dtype=np.float32) * 1000
-        hr_t = rng.random((tiles, 256, 256, 4), dtype=np.float32) * 1000
-        patch_fn = jax.jit(lambda a, b: grid_sr_batch(a, b, patch_size))
-        batch = patch_fn(jnp.asarray(lr_t), jnp.asarray(hr_t))
-        batch = jax.block_until_ready(trainer._device_batch(batch))
-        patches = batch[1].shape[0]
-        state = trainer.init_state(batch)
-        lr = jnp.float32(1e-4)
-        for _ in range(warmup):
-            state, terms = trainer._train_step(state, batch, lr)
-        float(jax.device_get(terms["loss"]))
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            state, terms = trainer._train_step(state, batch, lr)
-        loss = float(jax.device_get(terms["loss"]))
-        dt = time.perf_counter() - t0
-        pps = patches * steps / dt / n_chips
-        row = {"arm": name, "patches_per_sec_per_chip": round(pps, 2),
-               "steps": steps, "loss": round(loss, 3)}
-        print(json.dumps(row), flush=True)
-        return pps
-    finally:
-        L._use_pallas = orig
+    n_chips = len(jax.devices())
+    mesh = make_mesh(MeshConfig(data=n_chips, model=1))
+    model = CondSRVAE(
+        CondSRVAEConfig(cr=cr, patch_size=patch_size), dtype=jnp.bfloat16
+    )
+    # a fresh Trainer per arm: cfg.train_elbo scopes the kernel choice
+    # at trace time, so each arm compiles its own executable
+    trainer = Trainer(
+        model,
+        TrainConfig(
+            use_bfloat16=True,
+            train_elbo="xla" if force_xla else "pallas",
+        ),
+        mesh=mesh,
+    )
+    rng = np.random.default_rng(0)
+    lr_t = rng.random((tiles, 128, 128, 4), dtype=np.float32) * 1000
+    hr_t = rng.random((tiles, 256, 256, 4), dtype=np.float32) * 1000
+    patch_fn = jax.jit(lambda a, b: grid_sr_batch(a, b, patch_size))
+    batch = patch_fn(jnp.asarray(lr_t), jnp.asarray(hr_t))
+    batch = jax.block_until_ready(trainer._device_batch(batch))
+    patches = batch[1].shape[0]
+    state = trainer.init_state(batch)
+    lr = jnp.float32(1e-4)
+    for _ in range(warmup):
+        state, terms = trainer._train_step(state, batch, lr)
+    float(jax.device_get(terms["loss"]))
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, terms = trainer._train_step(state, batch, lr)
+    loss = float(jax.device_get(terms["loss"]))
+    dt = time.perf_counter() - t0
+    pps = patches * steps / dt / n_chips
+    row = {"arm": name, "patches_per_sec_per_chip": round(pps, 2),
+           "steps": steps, "loss": round(loss, 3)}
+    print(json.dumps(row), flush=True)
+    return pps
 
 
 def main() -> None:

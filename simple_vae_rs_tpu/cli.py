@@ -151,6 +151,13 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
         "epoch 1 and fuse k=2 only when the link is dispatch-bound.",
     )
     parser.add_argument(
+        "--train_elbo", default="xla", choices=("xla", "pallas"),
+        help="Kernels for the training ELBO reductions: xla (default — the "
+        "fused Pallas rows measured 0.9896x end-to-end inside the train "
+        "step, BASELINE.md A/B) or pallas (the fused row kernels; eval "
+        "keeps them either way).",
+    )
+    parser.add_argument(
         "--bf16_moments", action="store_true",
         help="Keep Adam's first moment in bf16 (halves that state's HBM "
         "traffic; optimizer numerics change slightly).",
@@ -365,6 +372,7 @@ def main(args: argparse.Namespace) -> None:
         zero1=args.zero1,
         accum_steps=args.accum_steps,
         scan_steps=args.scan_steps,
+        train_elbo=args.train_elbo,
     )
     trainer = Trainer(
         model, train_cfg, callbacks=callbacks, logger=logger, mesh=mesh, job_id=job_id

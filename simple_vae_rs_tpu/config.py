@@ -240,3 +240,10 @@ class TrainConfig:
     # degraded session, BASELINE.md) — at a measured ~0.994x cost when
     # the link is healthy. Any explicit k >= 1 overrides the probe.
     scan_steps: int = 0
+    # Training ELBO reduction kernels: "xla" (default) traces the training
+    # loss under ops/pallas_elbo.force_xla — the round-4 end-to-end A/B
+    # measured the fused Pallas rows at 0.9896x inside the train step
+    # (BASELINE.md; the reductions live in the step's loop-fusion tail
+    # where XLA fuses them for free). "pallas" keeps the fused row kernels
+    # in training too (the A/B's other arm; eval keeps them either way).
+    train_elbo: str = "xla"

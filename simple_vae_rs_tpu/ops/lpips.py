@@ -114,8 +114,13 @@ def _lpips_from_params(a: Array, b: Array, params) -> Array:
     fb = _features(_prep(b), params)
     total = jnp.zeros((a.shape[0],), jnp.float32)
     for i, (xa, xb) in enumerate(zip(fa, fb)):
-        na = xa / jnp.sqrt(jnp.sum(xa**2, axis=-1, keepdims=True) + 1e-10)
-        nb = xb / jnp.sqrt(jnp.sum(xb**2, axis=-1, keepdims=True) + 1e-10)
+        # lpips.normalize_tensor puts eps OUTSIDE the sqrt:
+        # x / (||x||_2 + 1e-10) — not x / sqrt(sum + eps). The difference
+        # only matters near zero-norm pixels but parity is the point
+        # (cross-derived against a hand-built torch LPIPS in
+        # tests/test_lpips.py).
+        na = xa / (jnp.sqrt(jnp.sum(xa**2, axis=-1, keepdims=True)) + 1e-10)
+        nb = xb / (jnp.sqrt(jnp.sum(xb**2, axis=-1, keepdims=True)) + 1e-10)
         d = (na - nb) ** 2
         w = params[f"lin{i}"]  # (C,), non-negative calibration
         total = total + jnp.mean(jnp.sum(d * w, axis=-1), axis=(1, 2))

@@ -412,25 +412,34 @@ def _chain_reference(x, kernels, biases):
 def _wl_tile_bytes(th, w, chans, itemsize):
     """Per-program VMEM bytes for one width-in-lanes chain strip.
 
-    (C, R, W) arrays tile the LAST TWO dims (8, 128): rows pad to 8,
-    lanes to 128 (a 64px image wastes half the lane tile in storage —
-    the matmul N dim is rows*W though, so compute doesn't care)."""
+    Estimated in the layout the kernel actually stores: activations are
+    FLATTENED ``(C, rows*W)`` — CHANNELS in sublanes (tile 8 for 4-byte,
+    16 for 2-byte dtypes; a C=4 tail layer stores as a full 8/16-sublane
+    tile, 2-4x its nominal bytes) and the row-major spatial index in
+    lanes, rounded to 128 ONCE over ``rows*W`` (not per row). Weight
+    blocks are ``(3, 3, Co, Ci)`` in the activation dtype: Co in
+    sublanes, Ci in lanes."""
+
+    def arr(c, n_spatial, isz):
+        return _rnd(c, 8 if isz >= 4 else 16) * _rnd(n_spatial, 128) * isz
+
     n = len(chans) - 1
     rows = th + 2 * n
-    wl = _rnd(w, 128)
-    total = 2 * chans[0] * _rnd(rows, 8) * wl * itemsize  # input block x2
+    total = 2 * arr(chans[0], rows * w, itemsize)  # input block x2
     peak = 0
     for i in range(n):
         ci, co = chans[i], chans[i + 1]
         out_rows = rows - 2
-        cur = ci * _rnd(rows, 8) * wl * itemsize
-        acc = co * _rnd(out_rows, 8) * wl * 4
-        rolled = ci * _rnd(out_rows, 8) * wl * itemsize
-        nxt = co * _rnd(out_rows, 8) * wl * itemsize
+        cur = arr(ci, rows * w, itemsize)
+        acc = arr(co, out_rows * w, 4)  # f32 accumulator
+        rolled = arr(ci, rows * w, itemsize)
+        nxt = arr(co, out_rows * w, itemsize)
         peak = max(peak, cur + 3 * rolled + 2 * acc + nxt)
         rows = out_rows
-    out = 2 * chans[-1] * _rnd(th, 8) * wl * itemsize
-    wgt = sum(9 * chans[i] * _rnd(chans[i + 1], 128) * 4 for i in range(n))
+    out = 2 * arr(chans[-1], th * w, itemsize)
+    wgt = sum(
+        9 * arr(chans[i + 1], chans[i], itemsize) for i in range(n)
+    ) + sum(arr(1, chans[i + 1], 4) for i in range(n))  # + f32 biases
     return total + peak + out + wgt
 
 

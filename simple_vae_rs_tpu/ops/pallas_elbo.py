@@ -16,10 +16,22 @@ hand-written Pallas bwd would add nothing.
 On non-TPU backends the same kernels run in Pallas interpret mode inside
 tests; production CPU falls back to the reference jnp implementation in
 ``ops/losses.py`` (bit-identical semantics, see tests/test_pallas_elbo.py).
+
+Routing (round-4 measurement, BASELINE.md fused-ELBO A/B): inside a
+*training* step the fused rows are an end-to-end **0.9896x** against the
+plain XLA lowering — the reductions sit inside the step's loop-fusion tail
+where XLA already fuses them for free, and the custom call only adds
+launch overhead. The training engine therefore traces its loss under
+:func:`force_xla` by default (``TrainConfig.train_elbo``), while eval and
+any latency-bound single-pass caller keep the fused kernels. The scope is
+trace-time and per-context — no process-global kernel mode (that
+machinery was deleted in round 3 for a reason).
 """
 
 from __future__ import annotations
 
+import contextlib
+from contextvars import ContextVar
 from typing import Tuple
 
 import jax
@@ -39,8 +51,26 @@ except ImportError:  # pragma: no cover
 Array = jnp.ndarray
 
 
+_FORCE_XLA: ContextVar[bool] = ContextVar("svrs_elbo_force_xla", default=False)
+
+
+@contextlib.contextmanager
+def force_xla():
+    """Trace-time scope: row reductions entered under it lower through the
+    plain jnp math (identical semantics to ``ops/losses.py``; same analytic
+    custom-VJP backward) instead of the Pallas kernels. The training engine
+    wraps its loss construction in this — the fused rows measured 0.9896x
+    end-to-end inside the jitted train step (see module docstring) — while
+    eval/serving callers outside the scope keep the kernels."""
+    tok = _FORCE_XLA.set(True)
+    try:
+        yield
+    finally:
+        _FORCE_XLA.reset(tok)
+
+
 def _use_pallas() -> bool:
-    return _HAVE_PLTPU and jax.default_backend() == "tpu"
+    return _HAVE_PLTPU and not _FORCE_XLA.get() and jax.default_backend() == "tpu"
 
 
 # ------------------------------------------------- multi-chip row dispatch

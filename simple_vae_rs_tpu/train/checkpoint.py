@@ -66,6 +66,14 @@ def _write_tree(path: str, tree: Dict[str, Any], meta: Dict[str, Any]) -> None:
 
         with open(path + ".msgpack", "wb") as fh:
             fh.write(serialization.to_bytes(tree))
+        # a job that previously saved orbax to this path (e.g. a
+        # single-process run resumed under --multihost) must not leave the
+        # stale .orbax tree behind: load_checkpoint prefers it and would
+        # silently resume from the OLDER state.
+        if os.path.isdir(path + ".orbax"):
+            import shutil
+
+            shutil.rmtree(path + ".orbax", ignore_errors=True)
     with open(_meta_path(path), "w") as fh:
         json.dump(meta, fh)
 

@@ -150,7 +150,25 @@ class Trainer:
             v["batch_stats"] = state.batch_stats
         return v
 
+    def _elbo_scope(self, train: bool):
+        """Trace-time kernel routing for the ELBO reductions: training
+        defaults to the plain XLA lowering (the fused Pallas rows measured
+        0.9896x end-to-end inside the train step — BASELINE.md fused-ELBO
+        A/B; ``cfg.train_elbo="pallas"`` restores them), eval keeps the
+        fused kernels (single-pass, latency-bound)."""
+        import contextlib
+
+        if train and getattr(self.cfg, "train_elbo", "xla") != "pallas":
+            return L.force_xla()
+        return contextlib.nullcontext()
+
     def _loss_and_terms(
+        self, params, batch_stats, batch, rng, train: bool
+    ) -> Tuple[Array, Tuple[Dict[str, Array], Any]]:
+        with self._elbo_scope(train):
+            return self._loss_and_terms_inner(params, batch_stats, batch, rng, train)
+
+    def _loss_and_terms_inner(
         self, params, batch_stats, batch, rng, train: bool
     ) -> Tuple[Array, Tuple[Dict[str, Array], Any]]:
         variables = {"params": params}
@@ -412,9 +430,9 @@ class Trainer:
         subset ``_lpips_metrics`` uses for the SR rows, so the SR-vs-bicubic
         LPIPS comparison reads off matching samples.
         """
-        from simple_vae_rs_tpu.utils.lpips_optional import lpips_available, lpips_batch
+        from simple_vae_rs_tpu.utils.lpips_optional import lpips_batch
 
-        want_lpips = lpips_available()
+        want_lpips = self._want_lpips()
         sums: Dict[str, Array] = {}
         lp_sum, lp_n = 0.0, 0
         for batch in val_loader:
@@ -440,6 +458,23 @@ class Trainer:
         if lp_n:
             base["lpips_base"] = lp_sum / lp_n
         return base
+
+    def _want_lpips(self) -> bool:
+        """LPIPS availability resolved GLOBALLY: the flag gates
+        ``_host_fetch`` calls that are cross-process collectives under
+        ``--multihost``, so a per-process answer (weights file present on
+        some hosts only) would deadlock the eval loop. All processes agree
+        on the all-reduced minimum — LPIPS runs only when every host can."""
+        from simple_vae_rs_tpu.utils.lpips_optional import lpips_available
+
+        want = lpips_available()
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            want = bool(
+                np.min(multihost_utils.process_allgather(np.int32(want)))
+            )
+        return want
 
     # ------------------------------------------------------------- data feed
     @staticmethod
@@ -526,9 +561,10 @@ class Trainer:
                 (y_hat, mu_u, lv_u), aux = out if mutable else (out, {})
                 gkey = "core" if srvae else None
                 gammay = params[gkey]["gammay"] if gkey else params["gammay"]
-                mse_y, kld_u = L.fused_base_loss(
-                    y_hat, y_in, mu_u, lv_u, gammay, mesh=self.mesh
-                )
+                with self._elbo_scope(True):
+                    mse_y, kld_u = L.fused_base_loss(
+                        y_hat, y_in, mu_u, lv_u, gammay, mesh=self.mesh
+                    )
                 return mse_y + kld_u, aux.get("batch_stats", state.batch_stats)
 
             (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -661,7 +697,16 @@ class Trainer:
 
         latency = health.dispatch_latency()
         per_step = train_time / n_steps
-        self._auto_scan_k = health.choose_scan_steps(per_step, latency)
+        k = health.choose_scan_steps(per_step, latency)
+        if jax.process_count() > 1:
+            # every process must run the SAME jitted program (fused k=2 vs
+            # unfused have different collective sequences): processes near
+            # the threshold can measure different times, so process 0's
+            # decision is broadcast and wins everywhere.
+            from jax.experimental import multihost_utils
+
+            k = int(multihost_utils.broadcast_one_to_all(np.int32(k)))
+        self._auto_scan_k = k
         if self._auto_scan_k > 1:
             print(
                 f"dispatch-bound link detected ({latency * 1e3:.1f} ms "
@@ -857,9 +902,7 @@ class Trainer:
                 self.logger.log_images(self._host_fetch(images), step=epoch)
             return
 
-        from simple_vae_rs_tpu.utils.lpips_optional import lpips_available
-
-        want_lpips = lpips_available()
+        want_lpips = self._want_lpips()
         sums: Dict[str, Array] = {}
         lp_sums: Dict[str, float] = {}
         lp_counts: Dict[str, int] = {}

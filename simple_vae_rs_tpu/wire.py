@@ -77,7 +77,15 @@ def quantize_u16(arr) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     # uint16 cast is platform-defined — treat them like flat channels
     # (q=0 everywhere, dequantizes to lo; error <= span, i.e. negligible)
     # so the wire stays bit-deterministic for pathological inputs too.
-    np.divide(np.float32(U16_MAX), span, out=scale, where=span > 0)
+    # a masked np.divide still evaluates the full array (RuntimeWarning on
+    # the masked 0-denominators), and sub-tiny spans overflow to inf before
+    # the isfinite sweep zeroes them — silence both, the results are
+    # identical by the lines below
+    pos = span > 0
+    with np.errstate(divide="ignore", over="ignore", invalid="ignore"):
+        scale = np.where(
+            pos, np.float32(U16_MAX) / np.where(pos, span, np.float32(1)), scale
+        ).astype(np.float32)
     scale[~np.isfinite(scale)] = 0
     q = np.rint((a - lo) * scale.astype(np.float32))
     return np.clip(q, 0, U16_MAX).astype(np.uint16), lo, hi

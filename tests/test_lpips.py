@@ -58,6 +58,109 @@ def test_jax_backend_computes_on_device(lpips_weights):
     np.testing.assert_allclose(lo.lpips_batch(a, a), 0.0, atol=1e-7)
 
 
+def _torch_lpips_handbuilt(a_nhwc, b_nhwc, npz_path):
+    """The lpips(net="alex") computation, re-derived by hand in torch from
+    the SAME weights npz the JAX backend loads — richzhang's package
+    verbatim (scaling layer -> torchvision-AlexNet feature slices tapped
+    post-ReLU pre-pool -> ``normalize_tensor`` with eps OUTSIDE the sqrt
+    -> non-negative 1x1 calibration -> spatial mean -> sum over taps),
+    driven with the reference's convention (``models/vae.py:170-172``):
+    [0,1] inputs fed directly, channels BGR-reordered."""
+    import torch
+    import torch.nn.functional as F
+
+    z = np.load(npz_path)
+    specs = [(4, 2), (1, 2), (1, 1), (1, 1), (1, 1)]  # (stride, pad)
+
+    def features(x):
+        h = (x - torch.from_numpy(z["shift"].reshape(1, 3, 1, 1))) / (
+            torch.from_numpy(z["scale"].reshape(1, 3, 1, 1))
+        )
+        taps = []
+        for i, (s, p) in enumerate(specs):
+            h = F.conv2d(
+                h,
+                torch.from_numpy(z[f"conv{i}_w"]),
+                torch.from_numpy(z[f"conv{i}_b"]),
+                stride=s,
+                padding=p,
+            )
+            h = F.relu(h)
+            taps.append(h)
+            if i in (0, 1):
+                h = F.max_pool2d(h, kernel_size=3, stride=2)
+        return taps
+
+    def prep(x):  # NHWC [0,1] -> NCHW BGR
+        t = torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+        return t[:, [2, 1, 0]]
+
+    fa, fb = features(prep(a_nhwc)), features(prep(b_nhwc))
+    total = torch.zeros(a_nhwc.shape[0])
+    for i, (xa, xb) in enumerate(zip(fa, fb)):
+        na = xa / (torch.sqrt(torch.sum(xa**2, dim=1, keepdim=True)) + 1e-10)
+        nb = xb / (torch.sqrt(torch.sum(xb**2, dim=1, keepdim=True)) + 1e-10)
+        d = (na - nb) ** 2
+        w = torch.from_numpy(z[f"lin{i}"]).reshape(1, -1, 1, 1)
+        total = total + torch.sum(d * w, dim=1).mean(dim=(1, 2))
+    return total.numpy()
+
+
+def test_jax_lpips_matches_torch_cross_derivation(lpips_weights):
+    """VERDICT r4 #3: the JAX LPIPS math value-checked against an
+    independent torch re-derivation of the lpips package (no pretrained
+    weights needed — both sides read the same random npz). Guards the
+    BGR reorder, the [0,1]-input convention, conv geometry, the pool
+    placement and the normalize_tensor eps placement."""
+    pytest.importorskip("torch")
+    from simple_vae_rs_tpu.ops import lpips as jl
+
+    params = jl.load_weights(lpips_weights)
+    assert params is not None
+    rng = np.random.default_rng(7)
+    for hw, bands in ((35, 4), (64, 3)):
+        a = rng.random((3, hw, hw, bands)).astype(np.float32)
+        b = rng.random((3, hw, hw, bands)).astype(np.float32)
+        got = np.asarray(jl.lpips(a, b, params))
+        want = _torch_lpips_handbuilt(a, b, lpips_weights)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
+    # gray replication branch (<3 bands) stays defined and finite
+    a1 = rng.random((2, 35, 35, 1)).astype(np.float32)
+    d1 = np.asarray(jl.lpips(a1, a1 * 0.5, params))
+    assert d1.shape == (2,) and np.all(np.isfinite(d1))
+
+
+def test_jax_lpips_eps_placement_matches_torch(tmp_path, monkeypatch):
+    """normalize_tensor's eps sits OUTSIDE the sqrt (x/(||x||+eps), the
+    lpips package's formula). With ~1e-9-magnitude features the two
+    placements differ by orders of magnitude (sqrt(s+1e-10) ~= 1e-5 vs
+    ||x||+1e-10 ~= 1e-9), so this case fails loudly if the eps ever moves
+    back inside."""
+    pytest.importorskip("torch")
+    from simple_vae_rs_tpu.ops import lpips as jl
+
+    rng = np.random.default_rng(11)
+    shapes = [(64, 3, 11, 11), (192, 64, 5, 5), (384, 192, 3, 3),
+              (256, 384, 3, 3), (256, 256, 3, 3)]
+    arrays = {"shift": np.array([-0.030, -0.088, -0.188], np.float32),
+              "scale": np.array([0.458, 0.448, 0.450], np.float32)}
+    for i, s in enumerate(shapes):
+        scale = 1e-9 if i == 0 else 1.0  # push tap norms into the eps regime
+        arrays[f"conv{i}_w"] = (
+            rng.standard_normal(s) * scale
+        ).astype(np.float32)
+        arrays[f"conv{i}_b"] = np.zeros(s[0], np.float32)
+        arrays[f"lin{i}"] = rng.random(s[0]).astype(np.float32)
+    path = str(tmp_path / "tiny.npz")
+    np.savez(path, **arrays)
+    params = jl.load_weights(path)
+    a = rng.random((2, 35, 35, 4)).astype(np.float32)
+    b = rng.random((2, 35, 35, 4)).astype(np.float32)
+    got = np.asarray(jl.lpips(a, b, params))
+    want = _torch_lpips_handbuilt(a, b, path)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-12)
+
+
 def test_torch_stub_backend(tmp_path, monkeypatch):
     """The torch-package path, driven by a stub ``lpips`` module (the
     package needs downloaded weights this environment can't fetch)."""
