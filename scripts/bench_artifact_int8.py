@@ -10,6 +10,9 @@ script times, in ONE session on the same checkpoint and batch:
 
 - ``live_f32``      — SuperResolver, full-precision decode
 - ``live_int8``     — SuperResolver(int8=True), fused W8A8 kernels
+- ``live_int8w``    — SuperResolver(int8_weights=True): the artifact's
+                      winning weights-only formulation served LIVE
+                      (round-5, VERDICT r4 item 2)
 - ``artifact_f32``  — ExportedResolver from an f32-weight artifact
 - ``artifact_int8w``— ExportedResolver from an int8-WEIGHT artifact
                       (storage compression; compute is float)
@@ -63,6 +66,8 @@ def main() -> None:
     if args.ckpt:
         live_f32 = SuperResolver.from_checkpoint(args.ckpt, seed=3)
         live_i8 = SuperResolver.from_checkpoint(args.ckpt, seed=3, int8=True)
+        live_i8w = SuperResolver.from_checkpoint(args.ckpt, seed=3,
+                                                 int8_weights=True)
         model = live_f32.model
         variables = live_f32.variables
     else:
@@ -77,6 +82,7 @@ def main() -> None:
         )
         live_f32 = SuperResolver(model, variables, seed=3)
         live_i8 = SuperResolver(model, variables, seed=3, int8=True)
+        live_i8w = SuperResolver(model, variables, seed=3, int8_weights=True)
 
     rng = np.random.default_rng(7)
     y = rng.random((B, ps // 2, ps // 2, 4)).astype(np.float32)
@@ -93,6 +99,7 @@ def main() -> None:
     arms = {
         "live_f32": lambda b: live_f32.super_resolve(b, seed=5),
         "live_int8": lambda b: live_i8.super_resolve(b, seed=5),
+        "live_int8w": lambda b: live_i8w.super_resolve(b, seed=5),
         "artifact_f32": lambda b: arts["f32"].super_resolve(b, seed=5),
         "artifact_int8w": lambda b: arts["int8"].super_resolve(b, seed=5),
     }
@@ -114,11 +121,13 @@ def main() -> None:
     print(json.dumps({
         "summary": "artifact_vs_live_int8",
         "int8_speedup_live": round(res["live_f32"] / res["live_int8"], 3),
+        "int8w_speedup_live": round(res["live_f32"] / res["live_int8w"], 3),
         "artifact_cost_vs_live_int8":
             round(res["artifact_f32"] / res["live_int8"], 3),
         "artifact_int8w_vs_f32":
             round(res["artifact_f32"] / res["artifact_int8w"], 3),
         "psnr_live_int8_vs_f32": psnr(outs["live_int8"], outs["live_f32"]),
+        "psnr_live_int8w_vs_f32": psnr(outs["live_int8w"], outs["live_f32"]),
         "psnr_art_int8w_vs_f32": psnr(outs["artifact_int8w"],
                                       outs["artifact_f32"]),
     }), flush=True)

@@ -116,6 +116,7 @@ def _open_endpoints(args):
         patch_size=args.patch_size, channels=args.channels,
         latent_size=args.latent_size, model_type=args.model_type,
         seed=args.seed, int8=args.int8,
+        int8_weights=getattr(args, "int8_weights", False),
     )
     return r.super_resolve_tile, r.uncertainty_tile, int(r.model.config.channels)
 
@@ -178,6 +179,7 @@ def run_stream(args) -> None:
             patch_size=args.patch_size, channels=args.channels,
             latent_size=args.latent_size, model_type=args.model_type,
             seed=args.seed, int8=args.int8,
+            int8_weights=getattr(args, "int8_weights", False),
         )
         expected = int(resolver.model.config.channels)
     else:
@@ -237,7 +239,9 @@ def run_stream(args) -> None:
             "url": args.url or None,
             "ckpt": (os.path.abspath(args.model_ckpt)
                      if args.model_ckpt else None),
-            "int8": bool(args.int8), "window": p,
+            "int8": bool(args.int8),
+            "int8_weights": bool(getattr(args, "int8_weights", False)),
+            "window": p,
             "model_type": args.model_type,
             "cr": args.compression_ratio,
             "latent_size": args.latent_size,
@@ -491,7 +495,11 @@ def main(argv: Optional[list] = None) -> None:
     loc.add_argument("--model_type", default=None,
                      choices=["Cond_SRVAE", "SRVAE"])
     loc.add_argument("--int8", action="store_true",
-                     help="serve through the int8 W8A8 decoder")
+                     help="serve through the live int8 W8A8 decoder "
+                     "(prefer --int8_weights — DEPLOY.md)")
+    loc.add_argument("--int8_weights", action="store_true",
+                     help="weights-only int8: quantized at load, "
+                     "dequantized in-graph (the measured-fastest arm)")
     loc.add_argument("--seed", type=int, default=0,
                      help="local resolver RNG seed (rolling state; a fresh "
                      "local run is deterministic for a given seed)")

@@ -13,12 +13,19 @@ BASELINE.md).
     maps = sr.uncertainty(lr_image, samples=32)   # mean/std/variance maps
     big = sr.super_resolve_tile(lr_raster)        # (H, W, C) -> (2H, 2W, C)
 
-Two serving-scale options the reference has no analogue for:
+Serving-scale options the reference has no analogue for:
 
-- ``int8=True`` — W8A8 decoder: decoder conv weights are stochastic-round
+- ``int8_weights=True`` — weights-only int8 (RECOMMENDED, DEPLOY.md): the
+  big conv kernels are round-to-nearest quantized at load (per-output-
+  channel scales, ``export.py``'s artifact formulation) and dequantized by
+  plain graph ops inside each compiled request, so the weight-bound decode
+  reads quarter-size tensors from HBM. The round-4 paired v5e measurement
+  put this formulation 1.27x over live f32 at 98.3 dB (BASELINE.md).
+- ``int8=True`` — live W8A8 Pallas decoder (opt-in; measured 0.845x END
+  TO END at the B250 serving shape despite 1.2-1.7x per-kernel wins —
+  BASELINE.md int8 story): decoder conv weights are stochastic-round
   quantized once at load (``ops/quantize.py``) and the blocks dispatch the
-  fused int8 Pallas kernels (``ops/pallas_int8.py``; the v5e MXU runs int8
-  at 2x the bf16 rate).
+  fused int8 Pallas kernels (``ops/pallas_int8.py``).
 - ``mesh=make_mesh(...)`` — multi-chip serving: request batches shard over
   the mesh's batch axes and ``uncertainty``'s posterior draws decode
   data-parallel (N-draw UQ scales linearly in chips).
@@ -40,6 +47,41 @@ from simple_vae_rs_tpu.tiling import TileEndpoints
 from simple_vae_rs_tpu.utils.image import normalize_image
 
 Array = jnp.ndarray
+
+
+def _pack_int8_weights(variables):
+    """Quantize the big floating kernels to int8 + per-output-channel f32
+    scales — ``export.py``'s artifact formulation (``_pack_variables``),
+    reused verbatim — and return a jit-traversable payload plus a hashable
+    static spec. The round-4 paired measurement (BASELINE.md artifact
+    table) found this arm the FASTEST serving config on the v5e (1.27x
+    live f32): dequantization stays *inside* the compiled graph (plain
+    convert+multiply, no Pallas), so the weight-bound decode reads
+    quarter-size tensors from HBM every call."""
+    from simple_vae_rs_tpu.export import _pack_variables
+
+    packed, treedef = _pack_variables(variables, "int8")
+    tags = tuple(e[0] for e in packed)
+    payload = tuple(
+        (e[1], e[2]) if e[0] == "int8" else e[1] for e in packed
+    )
+    return payload, (tags, treedef)
+
+
+def _unpack_weights(variables, pack_spec):
+    """In-trace inverse of :func:`_pack_int8_weights`; identity when no
+    spec rides the call (the plain f32 resolver path)."""
+    if pack_spec is None:
+        return variables
+    tags, treedef = pack_spec
+    leaves = []
+    for tag, ent in zip(tags, variables):
+        if tag == "int8":
+            q, s = ent
+            leaves.append(q.astype(jnp.float32) * s)
+        else:
+            leaves.append(jnp.asarray(ent))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def _mesh_batch_axes(mesh) -> Optional[tuple]:
@@ -69,15 +111,16 @@ def _mesh_batch_axes(mesh) -> Optional[tuple]:
 # GLOBALLY (shapes via ``jax.eval_shape`` on the model's noise probe) and
 # each shard consumes its slice, so meshed and single-chip resolvers with
 # the same seed produce identical outputs.
-@partial(jax.jit, static_argnames=("model", "normalize", "mesh"))
-def _sr_call(model, variables, y, key, normalize, mesh=None):
+@partial(jax.jit, static_argnames=("model", "normalize", "mesh", "pack_spec"))
+def _sr_call(model, variables, y, key, normalize, mesh=None, pack_spec=None):
     key, k_u, k_z = jax.random.split(key, 3)
     y = y.astype(jnp.float32)
     if normalize:
         y = normalize_image(y)
     shapes = jax.eval_shape(
         lambda v, yy: model.apply(
-            v, yy, method=type(model).generation_noise_shapes
+            _unpack_weights(v, pack_spec), yy,
+            method=type(model).generation_noise_shapes
         ),
         variables, y,
     )
@@ -85,8 +128,12 @@ def _sr_call(model, variables, y, key, normalize, mesh=None):
     eps_z = jax.random.normal(k_z, shapes[1].shape, jnp.float32)
 
     def gen(v, yy, eu, ez):
+        # int8-weights mode dequantizes HERE, inside the generation (and
+        # inside _sr_moments_call's scan body): the weights cross HBM as
+        # int8 and widen in-core — the artifact arm's formulation.
         return model.apply(
-            v, yy, eu, ez, method=type(model).conditional_generation_eps
+            _unpack_weights(v, pack_spec), yy, eu, ez,
+            method=type(model).conditional_generation_eps
         )
 
     axes = _mesh_batch_axes(mesh)
@@ -116,21 +163,24 @@ def _sr_call(model, variables, y, key, normalize, mesh=None):
 # resolver each scan step runs the generation under `jax.shard_map` with
 # globally-drawn eps, same as `_sr_call`, so the fused Pallas / int8 kernels
 # execute per shard and meshed == single-chip for the same key.
-@partial(jax.jit, static_argnames=("model", "k", "normalize", "mesh"))
-def _sr_moments_call(model, variables, y, key, k, normalize, mesh=None):
+@partial(jax.jit, static_argnames=("model", "k", "normalize", "mesh", "pack_spec"))
+def _sr_moments_call(model, variables, y, key, k, normalize, mesh=None,
+                     pack_spec=None):
     y = y.astype(jnp.float32)
     if normalize:
         y = normalize_image(y)
     shapes = jax.eval_shape(
         lambda v, yy: model.apply(
-            v, yy, method=type(model).generation_noise_shapes
+            _unpack_weights(v, pack_spec), yy,
+            method=type(model).generation_noise_shapes
         ),
         variables, y,
     )
 
     def gen(v, yy, eu, ez):
         return model.apply(
-            v, yy, eu, ez, method=type(model).conditional_generation_eps
+            _unpack_weights(v, pack_spec), yy, eu, ez,
+            method=type(model).conditional_generation_eps
         )
 
     axes = _mesh_batch_axes(mesh)
@@ -173,14 +223,22 @@ class SuperResolver(TileEndpoints):
         seed: int = 0,
         normalize: bool = True,
         int8: bool = False,
+        int8_weights: bool = False,
         mesh: Optional[Any] = None,
     ) -> None:
         if not isinstance(model, (CondSRVAE, SRVAE)):
             raise TypeError("SuperResolver serves CondSRVAE/SRVAE models")
+        if int8 and int8_weights:
+            raise ValueError(
+                "int8 (live W8A8 Pallas) and int8_weights (weights-only, "
+                "dequantized in-graph) are different quantization modes — "
+                "pick one (DEPLOY.md recommends int8_weights)"
+            )
         self.model = model
         self.variables = variables
         self.normalize = normalize
         self.int8 = int8
+        self.int8_weights = int8_weights
         # Multi-device serving: params replicate over the mesh; request
         # batches shard over the batch axes and posterior draws shard over
         # the same axes in ``uncertainty`` (each chip decodes its slice of
@@ -217,6 +275,23 @@ class SuperResolver(TileEndpoints):
                 self.variables["quant"] = qz.quantize_params_tree(
                     self.variables["params"], jax.random.PRNGKey(seed)
                 )
+        # Weights-only int8 (the round-4 measured winner — 1.27x live f32
+        # as an artifact, 98.3 dB): big kernels quantized ONCE at load,
+        # dequantized by plain graph ops inside super_resolve /
+        # super_resolve_moments (and every tile/stream/HTTP path riding
+        # them). ``uncertainty``/``mmse_estimate`` keep the f32 tree
+        # (their chunked-draw pipeline predates the hook; the moment-based
+        # whole-raster UQ is the production path).
+        self._pack_spec = None
+        self._payload = None
+        if int8_weights:
+            host_vars = jax.device_get(self.variables)
+            payload, self._pack_spec = _pack_int8_weights(host_vars)
+            if mesh is not None:
+                from simple_vae_rs_tpu.parallel.mesh import replicate
+
+                payload = replicate(mesh, payload)
+            self._payload = payload
         self._rng = jax.random.PRNGKey(seed)
         self._calls = 0
 
@@ -234,6 +309,7 @@ class SuperResolver(TileEndpoints):
         seed: int = 0,
         pallas_conv: bool = True,
         int8: bool = False,
+        int8_weights: bool = False,
         mesh: Optional[Any] = None,
     ) -> "SuperResolver":
         """Rebuild the model around a checkpoint and serve it.
@@ -310,9 +386,17 @@ class SuperResolver(TileEndpoints):
         vars_ = {"params": state.params}
         if state.batch_stats:
             vars_["batch_stats"] = state.batch_stats
-        return cls(model, vars_, seed=seed, int8=int8, mesh=mesh)
+        return cls(model, vars_, seed=seed, int8=int8,
+                   int8_weights=int8_weights, mesh=mesh)
 
     # ---------------------------------------------------------- endpoints
+    def _call_vars(self):
+        """(variables, pack_spec) for the compiled SR endpoints: the int8
+        payload + static spec in weights-only mode, the plain tree else."""
+        if self._pack_spec is not None:
+            return self._payload, self._pack_spec
+        return self.variables, None
+
     def _next_rng(self) -> jax.Array:
         self._calls += 1
         return jax.random.fold_in(self._rng, self._calls)
@@ -360,10 +444,11 @@ class SuperResolver(TileEndpoints):
                 )
             y = jax.device_put(y, self._batch_sharding)
         key = self._rng if seed is None else jax.random.PRNGKey(int(seed))
+        call_vars, pack_spec = self._call_vars()
         new_rng, out = _sr_call(
-            self.model, self.variables, y, key,
+            self.model, call_vars, y, key,
             self.normalize if normalize is None else normalize,
-            mesh=self.mesh,
+            mesh=self.mesh, pack_spec=pack_spec,
         )
         if seed is None:
             self._rng = new_rng
@@ -398,9 +483,10 @@ class SuperResolver(TileEndpoints):
             y = jax.device_put(y, self._batch_sharding)
         key = (self._next_rng() if seed is None
                else jax.random.PRNGKey(int(seed)))
+        call_vars, pack_spec = self._call_vars()
         s1, s2 = _sr_moments_call(
-            self.model, self.variables, y, key, int(samples),
-            bool(normalize), mesh=self.mesh,
+            self.model, call_vars, y, key, int(samples),
+            bool(normalize), mesh=self.mesh, pack_spec=pack_spec,
         )
         if self._batch_sharding is not None and pad:
             s1, s2 = s1[:b], s2[:b]

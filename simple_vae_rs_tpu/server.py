@@ -413,6 +413,7 @@ class ModelService:
                 "patch_size": int(r.model.config.patch_size),
                 "channels": int(r.model.config.channels),
                 "int8": bool(r.int8),
+                "int8_weights": bool(getattr(r, "int8_weights", False)),
                 "mesh": dict(r.mesh.shape) if r.mesh is not None else None,
                 "moments": moments,
                 "seed": True,
@@ -724,7 +725,13 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8471)
     p.add_argument("--int8", action="store_true",
-                   help="serve the W8A8 quantized decoder")
+                   help="serve the live W8A8 Pallas decoder (measured "
+                   "0.845x end-to-end at the B250 serving shape — prefer "
+                   "--int8_weights, DEPLOY.md)")
+    p.add_argument("--int8_weights", action="store_true",
+                   help="weights-only int8: kernels quantized at load, "
+                   "dequantized in-graph (the measured-fastest serving "
+                   "arm, 1.27x f32 at 98.3 dB — BASELINE.md)")
     p.add_argument("--pallas_conv", action="store_true",
                    help="fused conv+BN+ReLU eval kernels")
     p.add_argument("--mesh_data", type=int, default=1,
@@ -764,7 +771,8 @@ def main(argv: Optional[list] = None) -> None:
 
     if args.artifact:
         baked = [name for name, val in [
-            ("--int8", args.int8), ("--pallas_conv", args.pallas_conv),
+            ("--int8", args.int8), ("--int8_weights", args.int8_weights),
+            ("--pallas_conv", args.pallas_conv),
             ("--mesh_data", args.mesh_data > 1),
             ("-cr", args.compression_ratio is not None),
             ("--patch_size", args.patch_size is not None),
@@ -806,6 +814,7 @@ def main(argv: Optional[list] = None) -> None:
             model_type=args.model_type,
             pallas_conv=args.pallas_conv,
             int8=args.int8,
+            int8_weights=args.int8_weights,
             mesh=mesh,
         )
         cfg = resolver.model.config

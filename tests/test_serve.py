@@ -370,3 +370,67 @@ def test_mixed_topology_resolvers_coexist():
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(a1), np.asarray(b), rtol=1e-5,
                                atol=1e-5)
+
+
+# ------------------------------------------------ weights-only int8 mode
+def test_int8_weights_mode_close_to_f32_and_quantized():
+    """int8_weights=True: the round-4 measured-fastest serving formulation
+    (weights quantized at load, dequantized by plain graph ops in-trace)
+    brought live — seeded outputs track the f32 resolver closely but are
+    NOT bitwise equal (proof the quantization actually engaged)."""
+    model, variables = _small_cond()
+    y = np.random.default_rng(21).random((3, 8, 8, 4)).astype(np.float32)
+    f = SuperResolver(model, variables, seed=4)
+    q = SuperResolver(model, variables, seed=4, int8_weights=True)
+    assert q._pack_spec is not None
+    assert "int8" in q._pack_spec[0], "no kernel was large enough to pack"
+    a = np.asarray(f.super_resolve(y, seed=123))
+    b = np.asarray(q.super_resolve(y, seed=123))
+    assert a.shape == b.shape
+    err = float(np.sqrt(np.mean((a - b) ** 2)))
+    assert err < 5e-2, f"int8-weight decode drifted too far: rmse={err}"
+    assert not np.array_equal(a, b)
+    # per-request seeding: bitwise reproducible on repeat
+    np.testing.assert_array_equal(
+        b, np.asarray(q.super_resolve(y, seed=123))
+    )
+
+
+def test_int8_weights_moments_and_uncertainty():
+    """The moments hook rides the packed payload; uncertainty keeps the
+    f32 tree (documented) — both defined and consistent."""
+    model, variables = _small_cond()
+    y = np.random.default_rng(22).random((2, 8, 8, 4)).astype(np.float32)
+    q = SuperResolver(model, variables, seed=6, int8_weights=True)
+    s1, s2 = q.super_resolve_moments(y, 4, seed=9)
+    s1, s2 = np.asarray(s1), np.asarray(s2)
+    mean = s1 / 4
+    assert float((s2 / 4 - mean * mean).min()) >= -1e-5
+    u = q.uncertainty(y[:1], samples=4, chunk=4, seed=9)
+    assert np.all(np.isfinite(np.asarray(u["mean"])))
+
+
+def test_int8_weights_mesh_matches_single_device():
+    """Meshed int8-weights serving == single-chip exactly (same packed
+    payload replicated; eps drawn globally, decode per shard)."""
+    from simple_vae_rs_tpu.config import MeshConfig
+    from simple_vae_rs_tpu.parallel.mesh import make_mesh
+
+    model, variables = _small_cond()
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    y = np.random.default_rng(23).random((8, 8, 8, 4)).astype(np.float32)
+    single = SuperResolver(model, variables, seed=8, int8_weights=True)
+    meshed = SuperResolver(model, variables, seed=8, int8_weights=True,
+                           mesh=mesh)
+    a = np.asarray(single.super_resolve(y, seed=55))
+    b = np.asarray(meshed.super_resolve(y, seed=55))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+    m1 = np.asarray(single.super_resolve_moments(y, 3, seed=55)[0])
+    m2 = np.asarray(meshed.super_resolve_moments(y, 3, seed=55)[0])
+    np.testing.assert_allclose(m1, m2, rtol=1e-5, atol=1e-5)
+
+
+def test_int8_modes_mutually_exclusive():
+    model, variables = _small_cond()
+    with pytest.raises(ValueError, match="int8_weights"):
+        SuperResolver(model, variables, int8=True, int8_weights=True)
