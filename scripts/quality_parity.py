@@ -68,20 +68,12 @@ MMSE_DRAWS = 16
 def build_dataset(cfg=CFG):
     """(lr, hr) float32 pairs, NHWC, in [0,1]; deterministic.
 
-    ``cfg['dataset']``: "synthetic" (smooth fields — the parity arm) or
+    ``cfg['dataset']``: "synthetic" (smooth fields — the parity arm),
     "hf" (band-correlated high-frequency scenes — the arm where SR must
-    beat the bicubic baseline, round-3 verdict item 1)."""
+    beat the bicubic baseline, round-3 verdict item 1), or "sen2venus"
+    (a REAL indexed tile tree at ``cfg['data_root']`` — the north star's
+    grid-mode parity data; both frameworks read the same patches)."""
     sys.path.insert(0, REPO)
-    from simple_vae_rs_tpu.data.datasets import (
-        SyntheticHFDataset,
-        SyntheticSRDataset,
-    )
-
-    cls = (SyntheticHFDataset if cfg.get("dataset") == "hf"
-           else SyntheticSRDataset)
-    ds = cls(
-        length=cfg["n_tiles"], hr_size=cfg["patch_size"], seed=cfg["data_seed"]
-    )
 
     def norm(a):  # per-channel min-max, the normalize_image semantics
         mn = a.min(axis=(0, 1), keepdims=True)
@@ -89,12 +81,45 @@ def build_dataset(cfg=CFG):
         return ((a - mn) / (mx - mn + 1e-5)).astype(np.float32)
 
     lrs, hrs = [], []
-    for i in range(len(ds)):
-        lr, hr = ds[i]
-        lrs.append(norm(lr))
-        hrs.append(norm(hr))
+    if cfg.get("dataset") == "sen2venus":
+        # reference grid-mode semantics (dataset.py:140-163): every tile
+        # pair grid-cropped to aligned (ps/2, ps) windows, each window
+        # normalized per channel — sequential order, so the 80/20 split
+        # below matches the reference's sequential split too.
+        from simple_vae_rs_tpu.data.datasets import Sen2VenusDataset
+
+        ds = Sen2VenusDataset(root=cfg["data_root"])
+        ps = cfg["patch_size"]
+        for i in range(len(ds)):
+            lr_t, hr_t = ds[i]
+            lr_t = lr_t.astype(np.float32)
+            hr_t = hr_t.astype(np.float32)
+            ny, nx = hr_t.shape[0] // ps, hr_t.shape[1] // ps
+            for yy in range(ny):
+                for xx in range(nx):
+                    h = ps // 2
+                    lrs.append(norm(
+                        lr_t[yy * h:(yy + 1) * h, xx * h:(xx + 1) * h]))
+                    hrs.append(norm(
+                        hr_t[yy * ps:(yy + 1) * ps, xx * ps:(xx + 1) * ps]))
+    else:
+        from simple_vae_rs_tpu.data.datasets import (
+            SyntheticHFDataset,
+            SyntheticSRDataset,
+        )
+
+        cls = (SyntheticHFDataset if cfg.get("dataset") == "hf"
+               else SyntheticSRDataset)
+        ds = cls(
+            length=cfg["n_tiles"], hr_size=cfg["patch_size"],
+            seed=cfg["data_seed"],
+        )
+        for i in range(len(ds)):
+            lr, hr = ds[i]
+            lrs.append(norm(lr))
+            hrs.append(norm(hr))
     lr_all, hr_all = np.stack(lrs), np.stack(hrs)
-    n_train = int(0.8 * len(ds))  # sequential 80/20, reference dataset.py:30-32
+    n_train = int(0.8 * len(lr_all))  # sequential 80/20, reference dataset.py:30-32
     return (lr_all[:n_train], hr_all[:n_train]), (lr_all[n_train:], hr_all[n_train:])
 
 
@@ -559,6 +584,8 @@ def seed_replicates(family: str = "cond",
             continue
         if "_hf" in name:  # high-frequency dataset arm, own experiment
             continue
+        if "_s2v" in name:  # real-data arm, own experiment
+            continue
         side = "reference" if name.startswith(
             "quality_parity_reference") else "tpu"
         m = re.search(r"_s(\d+)_e", name)
@@ -630,7 +657,9 @@ def report(epochs: int | None = None) -> None:
                  "reference_vae", "tpu_vae",
                  "reference_hf", "tpu_hf",
                  "reference_hf_mid35", "tpu_hf_mid35",
-                 "reference_hf_ps32", "tpu_hf_ps32"):
+                 "reference_hf_ps32", "tpu_hf_ps32",
+                 "reference_s2v", "tpu_s2v",
+                 "reference_s2v_ps32", "tpu_s2v_ps32"):
         if epochs is not None:
             path = os.path.join(OUT_DIR, f"quality_parity_{side}_e{epochs}.json")
             if not os.path.exists(path):
@@ -683,12 +712,18 @@ def main() -> None:
                     help="small = cr=2/ps=32 Cond arm (CPU-affordable "
                          "wiring experiments; archives get a _ps32 suffix)")
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--dataset", choices=["synthetic", "hf"],
+    ap.add_argument("--dataset", choices=["synthetic", "hf", "sen2venus"],
                     default="synthetic",
                     help="hf = high-frequency synthetic scenes (sharp "
                          "sub-pixel geometry) — the arm where SR must "
                          "beat the bicubic baseline; archives get a _hf "
-                         "suffix")
+                         "suffix. sen2venus = a real indexed tile tree "
+                         "(--data_root), grid-mode cropped — the north "
+                         "star's parity data; archives get a _s2v suffix")
+    ap.add_argument("--data_root", default=None,
+                    help="Sen2Venus tree root (contains index.csv; "
+                         "scripts/make_index.py builds one from a raw "
+                         "download) — required with --dataset sen2venus")
     ap.add_argument("--backend", default="", help="jax platform override (tpu side)")
     ap.add_argument("--torch_regroup", action="store_true",
                     help="tpu side: use the reference's exact C-major latent "
@@ -712,6 +747,15 @@ def main() -> None:
         if args.model == "vae":
             ap.error("--dataset hf applies to the cond (SR) family only")
         CFG["dataset"] = "hf"
+    elif args.dataset == "sen2venus":
+        if args.model == "vae":
+            ap.error("--dataset sen2venus applies to the cond (SR) family "
+                     "only")
+        if not args.data_root:
+            ap.error("--dataset sen2venus needs --data_root (the tree "
+                     "with index.csv)")
+        CFG["dataset"] = "sen2venus"
+        CFG["data_root"] = os.path.abspath(args.data_root)
     if args.preset == "small":
         if args.model == "vae":
             # the small preset only rewrites the Cond arm's CFG; silently
@@ -736,6 +780,8 @@ def main() -> None:
                          torch_regroup=args.torch_regroup)
     if args.dataset == "hf":
         result["side"] += "_hf"
+    elif args.dataset == "sen2venus":
+        result["side"] += "_s2v"
     if args.preset == "small":
         result["side"] += "_ps32"
     if args.seed != 0:  # non-default seeds get their own archives
