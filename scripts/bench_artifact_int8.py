@@ -103,15 +103,24 @@ def main() -> None:
         "artifact_f32": lambda b: arts["f32"].super_resolve(b, seed=5),
         "artifact_int8w": lambda b: arts["int8"].super_resolve(b, seed=5),
     }
-    res = {}
+    # two interleaved passes (A..E, A..E): a mid-session relay/tunnel
+    # drift shows up as per-arm disagreement instead of silently faking
+    # an arm difference (the elbo_ab guard, applied here after round 4's
+    # live_int8 number failed to replicate across sessions)
     outs = {}
-    for name, fn in arms.items():
-        outs[name] = np.asarray(fn(y))  # warm + output for quality check
-        sec = timeit(fn, y, args.iters)
-        res[name] = sec
+    passes = {name: [] for name in arms}
+    for _ in range(2):
+        for name, fn in arms.items():
+            if name not in outs:
+                outs[name] = np.asarray(fn(y))  # warm + quality check
+            passes[name].append(timeit(fn, y, args.iters))
+    res = {}
+    for name, (s1, s2) in passes.items():
+        res[name] = (s1 + s2) / 2
         print(json.dumps({
-            "arm": name, "ms": round(sec * 1e3, 3),
-            "patches_per_sec": round(B / sec, 1),
+            "arm": name, "ms": round(res[name] * 1e3, 3),
+            "patches_per_sec": round(B / res[name], 1),
+            "drift": round(abs(s1 - s2) / max(s1, s2), 4),
         }), flush=True)
 
     def psnr(a, b):

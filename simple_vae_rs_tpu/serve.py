@@ -15,17 +15,20 @@ BASELINE.md).
 
 Serving-scale options the reference has no analogue for:
 
-- ``int8_weights=True`` — weights-only int8 (RECOMMENDED, DEPLOY.md): the
-  big conv kernels are round-to-nearest quantized at load (per-output-
-  channel scales, ``export.py``'s artifact formulation) and dequantized by
-  plain graph ops inside each compiled request, so the weight-bound decode
-  reads quarter-size tensors from HBM. The round-4 paired v5e measurement
-  put this formulation 1.27x over live f32 at 98.3 dB (BASELINE.md).
-- ``int8=True`` — live W8A8 Pallas decoder (opt-in; measured 0.845x END
-  TO END at the B250 serving shape despite 1.2-1.7x per-kernel wins —
-  BASELINE.md int8 story): decoder conv weights are stochastic-round
-  quantized once at load (``ops/quantize.py``) and the blocks dispatch the
-  fused int8 Pallas kernels (``ops/pallas_int8.py``).
+- ``int8_weights=True`` — weights-only int8 (the PREFERRED quantized live
+  mode, DEPLOY.md): the big conv kernels are round-to-nearest quantized at
+  load (per-output-channel scales, ``export.py``'s artifact formulation)
+  and dequantized by plain graph ops inside each compiled request —
+  quarter-size weight residency at **98.3 dB** vs f32. The round-5 paired
+  v5e windows found live-arm THROUGHPUT rankings unresolvable through the
+  tunneled relay (BASELINE.md round-5 re-measurement), so its case is
+  quality + memory; re-rank locally on a quiet link.
+- ``int8=True`` — live W8A8 Pallas decoder (opt-in; 86.1 dB vs f32, and
+  no demonstrated end-to-end win at the B250 serving shape despite
+  1.2-1.7x per-kernel gains — BASELINE.md int8 story): decoder conv
+  weights are stochastic-round quantized once at load
+  (``ops/quantize.py``) and the blocks dispatch the fused int8 Pallas
+  kernels (``ops/pallas_int8.py``).
 - ``mesh=make_mesh(...)`` — multi-chip serving: request batches shard over
   the mesh's batch axes and ``uncertainty``'s posterior draws decode
   data-parallel (N-draw UQ scales linearly in chips).
@@ -53,11 +56,11 @@ def _pack_int8_weights(variables):
     """Quantize the big floating kernels to int8 + per-output-channel f32
     scales — ``export.py``'s artifact formulation (``_pack_variables``),
     reused verbatim — and return a jit-traversable payload plus a hashable
-    static spec. The round-4 paired measurement (BASELINE.md artifact
-    table) found this arm the FASTEST serving config on the v5e (1.27x
-    live f32): dequantization stays *inside* the compiled graph (plain
+    static spec. Dequantization stays *inside* the compiled graph (plain
     convert+multiply, no Pallas), so the weight-bound decode reads
-    quarter-size tensors from HBM every call."""
+    quarter-size tensors from HBM every call at 98.3 dB vs f32
+    (BASELINE.md round-5 paired window; live-arm throughput rankings are
+    relay-noise-bound on this box, so the claim is quality + memory)."""
     from simple_vae_rs_tpu.export import _pack_variables
 
     packed, treedef = _pack_variables(variables, "int8")
@@ -275,8 +278,8 @@ class SuperResolver(TileEndpoints):
                 self.variables["quant"] = qz.quantize_params_tree(
                     self.variables["params"], jax.random.PRNGKey(seed)
                 )
-        # Weights-only int8 (the round-4 measured winner — 1.27x live f32
-        # as an artifact, 98.3 dB): big kernels quantized ONCE at load,
+        # Weights-only int8 (the artifact arms' formulation, 98.3 dB vs
+        # f32): big kernels quantized ONCE at load,
         # dequantized by plain graph ops inside super_resolve /
         # super_resolve_moments (and every tile/stream/HTTP path riding
         # them). ``uncertainty``/``mmse_estimate`` keep the f32 tree

@@ -725,13 +725,13 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8471)
     p.add_argument("--int8", action="store_true",
-                   help="serve the live W8A8 Pallas decoder (measured "
-                   "0.845x end-to-end at the B250 serving shape — prefer "
-                   "--int8_weights, DEPLOY.md)")
+                   help="serve the live W8A8 Pallas decoder (86.1 dB vs "
+                   "f32; no demonstrated end-to-end win at the serving "
+                   "shape — prefer --int8_weights, DEPLOY.md)")
     p.add_argument("--int8_weights", action="store_true",
                    help="weights-only int8: kernels quantized at load, "
-                   "dequantized in-graph (the measured-fastest serving "
-                   "arm, 1.27x f32 at 98.3 dB — BASELINE.md)")
+                   "dequantized in-graph (the artifact formulation live: "
+                   "quarter-size weights at 98.3 dB — BASELINE.md)")
     p.add_argument("--pallas_conv", action="store_true",
                    help="fused conv+BN+ReLU eval kernels")
     p.add_argument("--mesh_data", type=int, default=1,
