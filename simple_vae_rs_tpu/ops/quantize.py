@@ -211,3 +211,40 @@ def quantize_params_tree(
         return out
 
     return walk(params, ())
+
+
+# ------------------------------------------------- weights-only int8 pack
+def pack_int8_weights(variables):
+    """Quantize the big floating kernels to int8 + per-output-channel f32
+    scales — ``export.py``'s artifact formulation (``_pack_variables``),
+    reused verbatim — returning a jit-traversable payload plus a hashable
+    static spec ``(tags, treedef)``. The serving layer (``serve.py``) and
+    the chunked-draw decoder (``tasks.sample_chunked``) pass the payload
+    where the variables tree would go and the spec as a static jit arg;
+    :func:`unpack_weights` rebuilds the f32 tree IN-TRACE, so the weights
+    cross HBM quarter-size and widen in-core (98.3 dB vs f32 —
+    BASELINE.md round-5 paired window)."""
+    from simple_vae_rs_tpu.export import _pack_variables
+
+    packed, treedef = _pack_variables(variables, "int8")
+    tags = tuple(e[0] for e in packed)
+    payload = tuple(
+        (e[1], e[2]) if e[0] == "int8" else e[1] for e in packed
+    )
+    return payload, (tags, treedef)
+
+
+def unpack_weights(variables, pack_spec):
+    """In-trace inverse of :func:`pack_int8_weights`; identity when no
+    spec rides the call (the plain f32 path)."""
+    if pack_spec is None:
+        return variables
+    tags, treedef = pack_spec
+    leaves = []
+    for tag, ent in zip(tags, variables):
+        if tag == "int8":
+            q, s = ent
+            leaves.append(q.astype(jnp.float32) * s)
+        else:
+            leaves.append(jnp.asarray(ent))
+    return jax.tree_util.tree_unflatten(treedef, leaves)

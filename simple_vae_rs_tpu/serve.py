@@ -52,39 +52,16 @@ from simple_vae_rs_tpu.utils.image import normalize_image
 Array = jnp.ndarray
 
 
-def _pack_int8_weights(variables):
-    """Quantize the big floating kernels to int8 + per-output-channel f32
-    scales — ``export.py``'s artifact formulation (``_pack_variables``),
-    reused verbatim — and return a jit-traversable payload plus a hashable
-    static spec. Dequantization stays *inside* the compiled graph (plain
-    convert+multiply, no Pallas), so the weight-bound decode reads
-    quarter-size tensors from HBM every call at 98.3 dB vs f32
-    (BASELINE.md round-5 paired window; live-arm throughput rankings are
-    relay-noise-bound on this box, so the claim is quality + memory)."""
-    from simple_vae_rs_tpu.export import _pack_variables
-
-    packed, treedef = _pack_variables(variables, "int8")
-    tags = tuple(e[0] for e in packed)
-    payload = tuple(
-        (e[1], e[2]) if e[0] == "int8" else e[1] for e in packed
-    )
-    return payload, (tags, treedef)
-
-
-def _unpack_weights(variables, pack_spec):
-    """In-trace inverse of :func:`_pack_int8_weights`; identity when no
-    spec rides the call (the plain f32 resolver path)."""
-    if pack_spec is None:
-        return variables
-    tags, treedef = pack_spec
-    leaves = []
-    for tag, ent in zip(tags, variables):
-        if tag == "int8":
-            q, s = ent
-            leaves.append(q.astype(jnp.float32) * s)
-        else:
-            leaves.append(jnp.asarray(ent))
-    return jax.tree_util.tree_unflatten(treedef, leaves)
+# Weights-only int8 pack/unpack live in ops/quantize.py (shared with the
+# chunked-draw decoder in tasks.py): dequantization stays *inside* the
+# compiled graph (plain convert+multiply, no Pallas), so the weight-bound
+# decode reads quarter-size tensors from HBM every call at 98.3 dB vs f32
+# (BASELINE.md round-5 paired window; live-arm throughput rankings are
+# relay-noise-bound on this box, so the claim is quality + memory).
+from simple_vae_rs_tpu.ops.quantize import (  # noqa: E402
+    pack_int8_weights as _pack_int8_weights,
+    unpack_weights as _unpack_weights,
+)
 
 
 def _mesh_batch_axes(mesh) -> Optional[tuple]:
@@ -282,9 +259,8 @@ class SuperResolver(TileEndpoints):
         # f32): big kernels quantized ONCE at load,
         # dequantized by plain graph ops inside super_resolve /
         # super_resolve_moments (and every tile/stream/HTTP path riding
-        # them). ``uncertainty``/``mmse_estimate`` keep the f32 tree
-        # (their chunked-draw pipeline predates the hook; the moment-based
-        # whole-raster UQ is the production path).
+        # them) AND the chunked-draw pipeline behind ``uncertainty``/
+        # ``mmse_estimate`` (pack_spec threads into tasks.sample_chunked).
         self._pack_spec = None
         self._payload = None
         if int8_weights:
@@ -524,10 +500,11 @@ class SuperResolver(TileEndpoints):
         chunk = -(-chunk // self._n_shards) * self._n_shards
         key = (self._next_rng() if seed is None
                else jax.random.PRNGKey(int(seed)))
+        call_vars, pack_spec = self._call_vars()
         draws = sample_chunked(
-            self.model, self.variables, y, key,
+            self.model, call_vars, y, key,
             samples=samples, chunk=chunk, sharding=self._batch_sharding,
-            mesh=self.mesh,
+            mesh=self.mesh, pack_spec=pack_spec,
         )
         return {
             "mean": jnp.mean(draws, axis=0),

@@ -44,6 +44,7 @@ def sample_chunked(
     chunk: int = 100,
     sharding=None,
     mesh=None,
+    pack_spec=None,
 ) -> Array:
     """N posterior draws decoded in fixed-size chunks.
 
@@ -60,6 +61,12 @@ def sample_chunked(
     XLA's SPMD partitioner slices the decoder behind the input sharding.
     Draw values are sharding-independent (same key -> same draws), so
     sharded and single-device results agree to float tolerance either way.
+
+    ``pack_spec`` (with ``variables`` holding the matching payload) is the
+    weights-only int8 mode (``ops.quantize.pack_int8_weights``): every
+    helper below dequantizes IN-TRACE, so the per-chunk decodes read int8
+    weights from HBM — the same formulation the serving endpoints and the
+    exported artifacts use.
     """
     if sharding is None:
         chunk = min(chunk, samples)
@@ -79,7 +86,8 @@ def sample_chunked(
 
     if isinstance(model, (CondSRVAE, SRVAE)):
         rng_u, rng_z = jax.random.split(rng)
-        mu_p, lv_p, y_feat = _cond_prep(model, variables, y, rng_u)
+        mu_p, lv_p, y_feat = _cond_prep(model, variables, y, rng_u,
+                                        pack_spec=pack_spec)
         std = jnp.exp(0.5 * lv_p)
         shape = (chunk,) + tuple(mu_p.shape[1:])
         outs = [
@@ -87,12 +95,12 @@ def sample_chunked(
                 model, variables, mu_p, std, y_feat,
                 jax.random.fold_in(rng_z, i), chunk,
                 draw(jax.random.fold_in(rng_z, i), shape),
-                mesh,
+                mesh, pack_spec,
             )
             for i in range(n_chunks)
         ]
     else:
-        mu, logvar = _vae_encode(model, variables, y)
+        mu, logvar = _vae_encode(model, variables, y, pack_spec=pack_spec)
         std = jnp.exp(0.5 * logvar)
         shape = (chunk, mu.shape[-1])
         outs = [
@@ -100,7 +108,7 @@ def sample_chunked(
                 model, variables, mu, std,
                 jax.random.fold_in(rng, i), chunk,
                 draw(jax.random.fold_in(rng, i), shape),
-                mesh,
+                mesh, pack_spec,
             )
             for i in range(n_chunks)
         ]
@@ -130,9 +138,12 @@ def _cond_decode_method(m, z, yf):
     return core.decode_x_from_features(z, yf, train=False)
 
 
-@partial(jax.jit, static_argnames=("model",))
-def _cond_prep(model, variables, y, rng):
-    return model.apply(variables, y, rng, method=_cond_prep_method)
+@partial(jax.jit, static_argnames=("model", "pack_spec"))
+def _cond_prep(model, variables, y, rng, pack_spec=None):
+    from simple_vae_rs_tpu.ops.quantize import unpack_weights
+
+    return model.apply(unpack_weights(variables, pack_spec), y, rng,
+                       method=_cond_prep_method)
 
 
 @partial(jax.jit, static_argnames=("shape",))
@@ -171,34 +182,45 @@ def _sharded_decode(decode, mesh, variables, *batched):
 # compiled decode inherits its batch partitioning from it; passing the
 # ``mesh`` too runs the decode per-shard under shard_map (fused kernels
 # survive multi-chip — see ``_sharded_decode``).
-@partial(jax.jit, static_argnames=("model", "chunk", "mesh"))
+@partial(jax.jit, static_argnames=("model", "chunk", "mesh", "pack_spec"))
 def _cond_decode_chunk(model, variables, mu_p, std, y_feat, rng, chunk,
-                       eps=None, mesh=None):
+                       eps=None, mesh=None, pack_spec=None):
+    from simple_vae_rs_tpu.ops.quantize import unpack_weights
+
     if eps is None:
         eps = jax.random.normal(rng, (chunk,) + mu_p.shape[1:], jnp.float32)
     z = mu_p + eps * std
     yf = jnp.broadcast_to(y_feat, (chunk,) + y_feat.shape[1:])
 
     def decode(v, z_b, yf_b):
-        return model.apply(v, z_b, yf_b, method=_cond_decode_method)
+        # int8-weights dequant happens HERE so the per-shard decode under
+        # shard_map reads int8 from HBM (same placement as serve._sr_call)
+        return model.apply(unpack_weights(v, pack_spec), z_b, yf_b,
+                           method=_cond_decode_method)
 
     return _sharded_decode(decode, mesh, variables, z, yf)
 
 
-@partial(jax.jit, static_argnames=("model",))
-def _vae_encode(model, variables, y):
-    return model.apply(variables, y, train=False, method=VAE.encode)
+@partial(jax.jit, static_argnames=("model", "pack_spec"))
+def _vae_encode(model, variables, y, pack_spec=None):
+    from simple_vae_rs_tpu.ops.quantize import unpack_weights
+
+    return model.apply(unpack_weights(variables, pack_spec), y, train=False,
+                       method=VAE.encode)
 
 
-@partial(jax.jit, static_argnames=("model", "chunk", "mesh"))
+@partial(jax.jit, static_argnames=("model", "chunk", "mesh", "pack_spec"))
 def _vae_decode_chunk(model, variables, mu, std, rng, chunk, eps=None,
-                      mesh=None):
+                      mesh=None, pack_spec=None):
+    from simple_vae_rs_tpu.ops.quantize import unpack_weights
+
     if eps is None:
         eps = jax.random.normal(rng, (chunk, mu.shape[-1]), jnp.float32)
     z = mu + eps * std
 
     def decode(v, z_b):
-        return model.apply(v, z_b, train=False, method=VAE.decode)
+        return model.apply(unpack_weights(v, pack_spec), z_b, train=False,
+                           method=VAE.decode)
 
     return _sharded_decode(decode, mesh, variables, z)
 

@@ -19,6 +19,7 @@ the functional TPU pattern:
 
 from __future__ import annotations
 
+import contextlib
 import time
 from math import isnan
 from typing import Any, Dict, Iterable, Optional, Sequence, Tuple
@@ -156,8 +157,6 @@ class Trainer:
         0.9896x end-to-end inside the train step — BASELINE.md fused-ELBO
         A/B; ``cfg.train_elbo="pallas"`` restores them), eval keeps the
         fused kernels (single-pass, latency-bound)."""
-        import contextlib
-
         if train and getattr(self.cfg, "train_elbo", "xla") != "pallas":
             return L.force_xla()
         return contextlib.nullcontext()

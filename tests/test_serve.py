@@ -397,17 +397,25 @@ def test_int8_weights_mode_close_to_f32_and_quantized():
 
 
 def test_int8_weights_moments_and_uncertainty():
-    """The moments hook rides the packed payload; uncertainty keeps the
-    f32 tree (documented) — both defined and consistent."""
+    """The moments hook AND the chunked-draw uncertainty pipeline both
+    ride the packed payload (pack_spec threads into sample_chunked) —
+    defined, consistent, and actually quantized."""
     model, variables = _small_cond()
     y = np.random.default_rng(22).random((2, 8, 8, 4)).astype(np.float32)
+    f = SuperResolver(model, variables, seed=6)
     q = SuperResolver(model, variables, seed=6, int8_weights=True)
     s1, s2 = q.super_resolve_moments(y, 4, seed=9)
     s1, s2 = np.asarray(s1), np.asarray(s2)
     mean = s1 / 4
     assert float((s2 / 4 - mean * mean).min()) >= -1e-5
-    u = q.uncertainty(y[:1], samples=4, chunk=4, seed=9)
-    assert np.all(np.isfinite(np.asarray(u["mean"])))
+    uq = q.uncertainty(y[:1], samples=4, chunk=4, seed=9)
+    uf = f.uncertainty(y[:1], samples=4, chunk=4, seed=9)
+    a, b = np.asarray(uq["mean"]), np.asarray(uf["mean"])
+    assert np.all(np.isfinite(a))
+    # same seed, same draws — close to f32 but NOT bitwise (the chunk
+    # decodes really ran on dequantized-int8 weights)
+    assert float(np.sqrt(np.mean((a - b) ** 2))) < 5e-2
+    assert not np.array_equal(a, b)
 
 
 def test_int8_weights_mesh_matches_single_device():
