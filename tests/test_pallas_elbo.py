@@ -167,3 +167,29 @@ def test_pallas_rows_under_shard_map_match():
     np.testing.assert_allclose(
         np.asarray(got), np.sum((a - b) ** 2, axis=1), rtol=1e-5
     )
+
+
+def test_engine_elbo_scope_routes_training_to_xla():
+    """Round-5 default: training traces under force_xla (the measured
+    faster arm); eval keeps the fused kernels; cfg restores Pallas."""
+    import contextlib
+
+    from simple_vae_rs_tpu.config import CondSRVAEConfig, TrainConfig
+    from simple_vae_rs_tpu.models import CondSRVAE
+    from simple_vae_rs_tpu.train.engine import Trainer
+
+    model = CondSRVAE(CondSRVAEConfig(cr=2.0, patch_size=16))
+
+    def kind(tr, train):
+        return type(tr._elbo_scope(train)).__name__
+
+    default = Trainer(model, TrainConfig())
+    assert default.cfg.train_elbo == "xla"
+    with default._elbo_scope(True):
+        assert pe._FORCE_XLA.get() is True  # training scope forces XLA
+    assert pe._FORCE_XLA.get() is False  # scope exits cleanly
+    assert isinstance(default._elbo_scope(False), contextlib.nullcontext)
+
+    pallas = Trainer(model, TrainConfig(train_elbo="pallas"))
+    assert isinstance(pallas._elbo_scope(True), contextlib.nullcontext)
+    assert kind(default, True) != "nullcontext"
