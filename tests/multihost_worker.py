@@ -97,9 +97,14 @@ def main() -> None:
                 yield local(global_batch(s))
 
     model = CondSRVAE(CondSRVAEConfig(cr=2.0, patch_size=PS))
+    # scan_steps stays at the shipped default (0 = auto): the post-epoch
+    # dispatch probe then runs in every process and its decision is
+    # BROADCAST from process 0 (advisor r4: per-process decisions near
+    # the threshold could pick different fused-k programs and hang the
+    # collectives) — this test exercises that broadcast for real.
     trainer = Trainer(
         model,
-        TrainConfig(epochs=1, learning_rate=1e-3, scan_steps=1, seed=0),
+        TrainConfig(epochs=1, learning_rate=1e-3, seed=0),
         mesh=mesh,
     )
     loader = Loader()
@@ -148,6 +153,9 @@ def main() -> None:
     out = {
         "pid": a.pid,
         "nproc": a.nproc,
+        # the post-epoch auto-scan decision (broadcast from process 0
+        # under multihost — the parent asserts all processes agree)
+        "auto_scan_k": trainer._auto_scan_k,
         "n_devices": len(jax.devices()),
         "epoch_meta": int(meta.get("epoch", -1)),
         "resumed_loss": resumed_loss,

@@ -100,6 +100,14 @@ def test_two_process_fit_checkpoint_resume_matches_single(tmp_path):
     p1 = np.load(multi_outs[1] + ".params1.npy")
     np.testing.assert_array_equal(p0, p1)
 
+    # the auto-scan probe ran with the shipped default (scan_steps=0)
+    # and process 0's decision was broadcast: every process must hold
+    # the SAME k (advisor r4 — divergent k means divergent compiled
+    # programs and hung collectives)
+    ks = {r["auto_scan_k"] for r in multi}
+    assert len(ks) == 1, f"processes disagree on auto scan k: {ks}"
+    assert ks.pop() in (1, 2)
+
     # multihost numerics match the single-process control: same data,
     # same seeds, same schedule — only the process topology differs.
     # Gloo's cross-process all-reduce reassociates float adds vs the
