@@ -16,6 +16,10 @@
 #                    f32/int8 artifacts, one session (verdict item 2)
 #   bench_headline — bench.py: headline throughput with the train_elbo
 #                    default flipped (expected ~+1% vs r4's 10,610 p/s)
+#   hf_mid15_e350  — verdict item 7: the mid15 rebuild arm extended to
+#                    e350 (fresh run; ~3.4 s/epoch on a healthy link) so
+#                    the annealing conclusion replicates at the second
+#                    texture level
 #
 # Usage (repo root):  nohup scripts/tpu_queue.sh >/dev/null 2>&1 &
 
@@ -43,7 +47,7 @@ run() {
 
 healthy() { timeout 300 python -m simple_vae_rs_tpu.doctor --budget 120 >>"$LOG" 2>&1; }
 
-STAGES="elbo_ab_r5 artifact_int8w bench_headline"
+STAGES="elbo_ab_r5 artifact_int8w bench_headline hf_mid15_e350"
 all_done() {
     for s in $STAGES; do
         [ -e "$DIR/$s.done" ] || return 1
@@ -58,7 +62,8 @@ for i in $(seq 1 "$POLLS"); do
         note "tunnel healthy (poll $i) — running incomplete stages"
         run elbo_ab_r5     3600 python scripts/bench_elbo_ab.py \
           && run artifact_int8w 3600 python scripts/bench_artifact_int8.py \
-          && run bench_headline 3600 python bench.py
+          && run bench_headline 3600 python bench.py \
+          && run hf_mid15_e350  5400 python scripts/quality_parity.py --side tpu --dataset hf --epochs 350
         all_done && { note "r5 queue drained — record numbers in BASELINE.md"; exit 0; }
         note "a stage failed (tunnel flapped?) — back to polling"
     else
