@@ -706,3 +706,31 @@ def test_explicit_scan_steps_overrides_auto(monkeypatch):
                                          scan_steps=2))
     trainer.fit(loader, loader, epochs=2, val_metrics_every=10)
     assert trainer._auto_scan_k is None
+
+
+def test_msgpack_save_removes_stale_orbax(tmp_path, monkeypatch):
+    """Advisor r4: a multi-process (msgpack-path) save at a path that
+    previously held a single-process orbax checkpoint must remove the
+    stale .orbax tree — load_checkpoint prefers orbax and would silently
+    resume from the OLDER state otherwise."""
+    import os
+
+    import jax
+
+    from simple_vae_rs_tpu.train import checkpoint as ck
+
+    path = str(tmp_path / "job")
+    stale = path + ".orbax"
+    os.makedirs(stale)
+    with open(os.path.join(stale, "marker"), "w") as fh:
+        fh.write("old")
+
+    # process_count > 1 routes _write_tree down the collective-free
+    # msgpack path (the tree is already plain host arrays)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    tree = {"params": {"w": np.ones((2, 2), np.float32)},
+            "batch_stats": {}, "opt_state": (), "rng": np.zeros(2, np.uint32),
+            "step": np.int64(3)}
+    ck._write_tree(path, tree, {"epoch": 1})
+    assert os.path.exists(path + ".msgpack")
+    assert not os.path.isdir(stale), "stale .orbax survived the msgpack save"
